@@ -1,0 +1,371 @@
+"""HTML main-content + table-structure extraction kernel.
+
+This replaces the reference's per-page LLM call
+(``table_ocr/direct.py:14-79`` — one Gemini request per (page, sample))
+with a deterministic parse: stdlib ``html.parser`` streaming parse,
+text-density / link-density boilerplate stripping (Boilerpipe /
+trafilatura-style heuristics), and table-grid reconstruction with
+rowspan/colspan occupancy and ditto-mark resolution (the reference's
+document phenomenology: scanned registers with ditto marks and
+page-edge bleed, ``table_ocr/config.py:40-51``).
+
+Pure Python, stdlib only, ZERO Spark imports — the identical function
+runs standalone (golden generator, pytest) and inside Arrow-batched
+UDFs (SURVEY.md §7.0: byte-identical by construction).
+
+Pinned semantics (deviations from the reference are deliberate and
+documented; the reference has no deterministic extractor to match):
+
+* Boilerplate containers ``nav/header/footer/aside`` are dropped with
+  their whole subtree.
+* ``script/style/noscript/template/head/title/svg/iframe`` content is
+  ignored.
+* A text block is the inline text between block-element boundaries.
+  Blocks inside ``<article>``/``<main>`` are always kept; other blocks
+  are kept iff normalized length ≥ MIN_BLOCK_CHARS and link density
+  (chars inside <a> / total chars) ≤ MAX_LINK_DENSITY.
+* ``extracted_text`` = kept blocks, each pinned-normalized
+  (``textops.normalize_text``), joined with ``"\\n"``. Table content is
+  NOT part of extracted_text — it is returned structurally in
+  ``cells``.
+* Tables: top-level ``<table>`` elements only (a nested table's text
+  flows into its host cell). Grid built with standard rowspan/colspan
+  occupancy. Tables with < 2 rows or < 2 columns are page-edge-bleed /
+  layout artifacts and are skipped entirely (the analogue of the
+  reference's ``crop_sides`` page-bleed cropping,
+  ``table_ocr/core.py:197-205``).
+* Ditto marks (``"``, ``″``, ``''``, ``-"-`` — config.py:50) in a cell
+  resolve to the nearest non-ditto cell text above in the same column
+  of the same table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+
+from table_ocr_spark.kernel.textops import normalize_text
+
+# -- pinned heuristics ------------------------------------------------------
+MIN_BLOCK_CHARS = 40       # non-article blocks shorter than this are noise
+MAX_LINK_DENSITY = 0.35    # non-article blocks more linky than this are nav
+MIN_TABLE_ROWS = 2         # below → page-bleed artifact
+MIN_TABLE_COLS = 2
+MAX_SPAN = 1000            # defensive cap on rowspan/colspan
+
+DITTO_MARKS = {'"', "″", "''", '-"-', "〃"}
+
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "title", "svg", "iframe"}
+)
+_BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+        "article", "section", "main", "blockquote", "pre", "body", "html",
+        "figure", "figcaption", "dl", "dt", "dd", "form", "fieldset",
+        "address", "hr",
+    }
+)
+_VOID_TAGS = frozenset(
+    {"br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+
+@dataclass
+class Cell:
+    table_id: int
+    row: int
+    col: int
+    rowspan: int
+    colspan: int
+    text: str
+
+    def as_dict(self) -> Dict:
+        return {
+            "table_id": self.table_id,
+            "row": self.row,
+            "col": self.col,
+            "rowspan": self.rowspan,
+            "colspan": self.colspan,
+            "text": self.text,
+        }
+
+
+@dataclass
+class ExtractionResult:
+    text: str
+    cells: List[Cell] = field(default_factory=list)
+    n_tables: int = 0
+
+    def cells_as_dicts(self) -> List[Dict]:
+        return [c.as_dict() for c in self.cells]
+
+
+class _RawCell:
+    __slots__ = ("rowspan", "colspan", "parts")
+
+    def __init__(self, rowspan: int, colspan: int):
+        self.rowspan = rowspan
+        self.colspan = colspan
+        self.parts: List[str] = []
+
+
+class _TableCtx:
+    __slots__ = ("rows", "cur_row", "cur_cell", "nested")
+
+    def __init__(self):
+        self.rows: List[List[_RawCell]] = []
+        self.cur_row: Optional[List[_RawCell]] = None
+        self.cur_cell: Optional[_RawCell] = None
+        self.nested = 0
+
+
+def _span_attr(attrs: Dict[str, Optional[str]], name: str) -> int:
+    v = attrs.get(name)
+    if v is None:
+        return 1
+    try:
+        n = int(str(v).strip())
+    except ValueError:
+        return 1
+    return max(1, min(n, MAX_SPAN))
+
+
+class _Extractor(HTMLParser):
+    """Streaming block/table accumulator. Single pass, O(doc)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.skip_depth = 0          # inside script/style/... subtree
+        self.boiler_depth = 0        # inside nav/header/footer/aside
+        self.article_depth = 0       # inside article/main
+        self.link_depth = 0          # inside <a>
+        self.blocks: List[Tuple[str, int, int, bool]] = []
+        # (raw_text, total_chars, link_chars, in_article)
+        self._buf: List[str] = []
+        self._buf_total = 0
+        self._buf_link = 0
+        self._buf_article = False
+        self.tables: List[_TableCtx] = []   # finished top-level tables
+        self._tstack: List[_TableCtx] = []  # open table contexts
+
+    # -- block buffer -------------------------------------------------------
+    def _flush(self):
+        if self._buf_total:
+            self.blocks.append(
+                ("".join(self._buf), self._buf_total, self._buf_link,
+                 self._buf_article)
+            )
+        self._buf = []
+        self._buf_total = 0
+        self._buf_link = 0
+        self._buf_article = self.article_depth > 0
+
+    def _emit_text(self, data: str):
+        if not data:
+            return
+        t = self._tstack[-1] if self._tstack else None
+        if t is not None:
+            if t.cur_cell is not None:
+                t.cur_cell.parts.append(data)
+            return  # text between cells (or in caption) is dropped
+        if not self._buf:
+            self._buf_article = self.article_depth > 0
+        self._buf.append(data)
+        self._buf_total += len(data)
+        if self.link_depth > 0:
+            self._buf_link += len(data)
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            if tag in ("br", "hr") and self.skip_depth == 0 and self.boiler_depth == 0:
+                self._emit_text(" " if tag == "br" else "")
+                if tag == "hr":
+                    self._flush()
+            return
+        if tag in _SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if self.skip_depth:
+            return
+        if tag in _BOILERPLATE_TAGS:
+            self.boiler_depth += 1
+            return
+        if self.boiler_depth:
+            return
+        amap = dict(attrs)
+        if tag == "table":
+            if self._tstack:
+                self._tstack[-1].nested += 1
+            else:
+                self._flush()
+                self._tstack.append(_TableCtx())
+            return
+        if self._tstack:
+            t = self._tstack[-1]
+            if t.nested:
+                return  # inside a nested table: everything flows to host cell
+            if tag == "tr":
+                t.cur_row = []
+                t.rows.append(t.cur_row)
+                t.cur_cell = None
+            elif tag in ("td", "th"):
+                if t.cur_row is None:
+                    t.cur_row = []
+                    t.rows.append(t.cur_row)
+                t.cur_cell = _RawCell(
+                    _span_attr(amap, "rowspan"), _span_attr(amap, "colspan")
+                )
+                t.cur_row.append(t.cur_cell)
+            return
+        if tag == "a":
+            self.link_depth += 1
+        if tag in ("article", "main"):
+            self._flush()
+            self.article_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            if self.skip_depth:
+                self.skip_depth -= 1
+            return
+        if self.skip_depth:
+            return
+        if tag in _BOILERPLATE_TAGS:
+            if self.boiler_depth:
+                self.boiler_depth -= 1
+            return
+        if self.boiler_depth:
+            return
+        if tag == "table":
+            if self._tstack:
+                t = self._tstack[-1]
+                if t.nested:
+                    t.nested -= 1
+                else:
+                    self._tstack.pop()
+                    self.tables.append(t)
+            return
+        if self._tstack:
+            t = self._tstack[-1]
+            if t.nested:
+                return
+            if tag in ("td", "th"):
+                t.cur_cell = None
+            elif tag == "tr":
+                t.cur_row = None
+                t.cur_cell = None
+            return
+        if tag == "a":
+            if self.link_depth:
+                self.link_depth -= 1
+            return
+        if tag in ("article", "main"):
+            self._flush()
+            if self.article_depth:
+                self.article_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_data(self, data):
+        if self.skip_depth or self.boiler_depth:
+            return
+        self._emit_text(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+        # unclosed tables at EOF still count
+        while self._tstack:
+            self.tables.append(self._tstack.pop())
+
+
+def _build_grid(table_id: int, rows: List[List[_RawCell]]) -> Tuple[List[Cell], int, int]:
+    """Rowspan/colspan occupancy placement → positioned cells.
+
+    Standard HTML table algorithm: each cell is placed at the first
+    unoccupied column of its row; its span footprint blocks cells below.
+    """
+    occupied = set()
+    cells: List[Cell] = []
+    max_col = -1
+    for r, row in enumerate(rows):
+        c = 0
+        for raw in row:
+            while (r, c) in occupied:
+                c += 1
+            text = normalize_text("".join(raw.parts))
+            cells.append(Cell(table_id, r, c, raw.rowspan, raw.colspan, text))
+            for dr in range(raw.rowspan):
+                for dc in range(raw.colspan):
+                    occupied.add((r + dr, c + dc))
+            end = c + raw.colspan - 1
+            if end > max_col:
+                max_col = end
+            c += raw.colspan
+    return cells, len(rows), max_col + 1
+
+
+def _resolve_dittos(cells: List[Cell]) -> None:
+    """Replace ditto-mark cells with the nearest non-ditto text above in
+    the same (table, col)."""
+    last_by_col: Dict[Tuple[int, int], str] = {}
+    for cell in sorted(cells, key=lambda x: (x.table_id, x.row, x.col)):
+        key = (cell.table_id, cell.col)
+        if cell.text in DITTO_MARKS:
+            prev = last_by_col.get(key)
+            if prev is not None:
+                cell.text = prev
+        else:
+            if cell.text:
+                last_by_col[key] = cell.text
+
+
+def extract_html(html: bytes | str) -> ExtractionResult:
+    """Extract main-content text + table cell structures from one HTML
+    document. Deterministic; the per-url byte-identity gate is defined
+    over this function's ``text`` output."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _Extractor()
+    try:
+        p.feed(html)
+    finally:
+        p.close()
+
+    kept: List[str] = []
+    for raw, total, link, in_article in p.blocks:
+        norm = normalize_text(raw)
+        if not norm:
+            continue
+        if in_article:
+            kept.append(norm)
+            continue
+        if total and (link / total) > MAX_LINK_DENSITY:
+            continue
+        if len(norm) < MIN_BLOCK_CHARS:
+            continue
+        kept.append(norm)
+
+    all_cells: List[Cell] = []
+    table_id = 0
+    for t in p.tables:
+        cells, n_rows, n_cols = _build_grid(table_id, t.rows)
+        if n_rows < MIN_TABLE_ROWS or n_cols < MIN_TABLE_COLS:
+            continue  # page-bleed sliver / layout artifact
+        all_cells.extend(cells)
+        table_id += 1
+    _resolve_dittos(all_cells)
+
+    return ExtractionResult(text="\n".join(kept), cells=all_cells, n_tables=table_id)

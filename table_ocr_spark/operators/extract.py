@@ -1,0 +1,164 @@
+"""The vectorized extraction pipeline — the Spark replacement for the
+reference's per-page LLM loop (``table_ocr/direct.py:147-175``: one HTTP
+call per (page, sample) under an asyncio semaphore).
+
+Here the whole corpus flows as Arrow record batches through ONE
+``mapInArrow`` stage wrapping the pure-Python kernel
+(:mod:`table_ocr_spark.kernel.html_extract`). The dispatch is batched
+(never driver-side / per-row Python at the Spark level); parallelism is
+the partition count, not a semaphore (reference `direct.py:312`).
+
+Scale notes (100 TB / 10^12 docs):
+- ``html`` is projected away immediately after the kernel stage — it
+  never crosses a shuffle.
+- Extraction is map-only: url-hash repartition is used only to level
+  partition sizes; host-skew salting matters for host-keyed stages and
+  is provided by :func:`salted_repartition` / two-phase aggregation in
+  :mod:`table_ocr_spark.functions.sqlfuncs`.
+- Arrow batch size bounded via spark.sql.execution.arrow.maxRecordsPerBatch
+  so a batch of html blobs fits executor memory (SURVEY.md §7.3.4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CELL_STRUCT = T.StructType(
+    [
+        T.StructField("table_id", T.IntegerType()),
+        T.StructField("row", T.IntegerType()),
+        T.StructField("col", T.IntegerType()),
+        T.StructField("rowspan", T.IntegerType()),
+        T.StructField("colspan", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("cells", T.ArrayType(CELL_STRUCT)),
+        T.StructField("n_tables", T.IntegerType()),
+    ]
+)
+
+_PA_CELL = pa.struct(
+    [
+        ("table_id", pa.int32()),
+        ("row", pa.int32()),
+        ("col", pa.int32()),
+        ("rowspan", pa.int32()),
+        ("colspan", pa.int32()),
+        ("text", pa.string()),
+    ]
+)
+
+
+def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Arrow-batch kernel driver. Runs on executors; imports the kernel
+    once per Python worker (module-level cache — the reference's lazy
+    client pattern, ``table_ocr/core.py:44-64``)."""
+    from table_ocr_spark.kernel.html_extract import extract_html
+
+    for batch in batches:
+        urls = batch.column("url")
+        htmls = batch.column("html").to_pylist()
+        texts: List[str] = []
+        cells_col: List[List[dict]] = []
+        n_tables: List[int] = []
+        for h in htmls:
+            if h is None:
+                texts.append("")
+                cells_col.append([])
+                n_tables.append(0)
+                continue
+            r = extract_html(h)
+            texts.append(r.text)
+            cells_col.append(r.cells_as_dicts())
+            n_tables.append(r.n_tables)
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls,
+                pa.array(texts, pa.string()),
+                pa.array(cells_col, pa.list_(_PA_CELL)),
+                pa.array(n_tables, pa.int32()),
+            ],
+            names=["url", "extracted_text", "cells", "n_tables"],
+        )
+
+
+def host_of(url_col) -> F.Column:
+    """Host component of a url column (cheap regexp, codegen'd)."""
+    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
+
+
+def salted_repartition(
+    df: DataFrame,
+    key: str = "url",
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Repartition by ``xxhash64(key, salt)``. For a map-only stage a
+    plain url-hash is already uniform; the explicit salt column is the
+    hook host-keyed stages use to break hot-host skew (north rule).
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.lit(7)), F.lit(salt_buckets))
+    if num_partitions:
+        return df.repartition(num_partitions, F.xxhash64(F.col(key)), salt)
+    return df.repartition(F.xxhash64(F.col(key)), salt)
+
+
+def extract_documents(
+    pages: DataFrame,
+    num_partitions: Optional[int] = None,
+    keep_columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """pages ``(url, warc_ts, html, ...)`` → ``(url, extracted_text,
+    cells, n_tables [, keep_columns...])``.
+
+    The heavy ``html`` column is confined to the scan→kernel segment of
+    the plan; extra columns to carry through are re-joined cheaply by
+    url AFTER extraction only if requested (they'd otherwise ride along
+    the Arrow exchange for free — for the common case we just select
+    them in).
+    """
+    cols = ["url", "html"]
+    df = pages.select(*cols)
+    df = salted_repartition(df, "url", num_partitions)
+    out = df.mapInArrow(_extract_arrow_batches, EXTRACT_SCHEMA)
+    if keep_columns:
+        extra = pages.select("url", *keep_columns)
+        out = out.join(extra, "url", "left")
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Scalar Arrow UDF: html binary → extracted main-content text.
+    Convenience path for single-column extraction inside larger plans
+    (e.g. the round-trip correctness query)."""
+    from table_ocr_spark.kernel.html_extract import extract_html
+
+    return pd.Series(
+        [extract_html(h).text if h is not None else "" for h in html]
+    )
+
+
+def latest_capture(pages: DataFrame) -> DataFrame:
+    """Latest capture per url (W3 pattern, SURVEY.md §2.5): dedup
+    re-crawled urls keeping max ``warc_ts``."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

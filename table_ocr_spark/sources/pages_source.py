@@ -1,0 +1,62 @@
+"""Pages-table source/sink with an Iceberg→parquet fallback.
+
+The production target is an Iceberg snapshot of Common-Crawl-style
+pages (BASELINE.json input_hint); in this sandbox the Iceberg runtime
+jar is unavailable, so the reader/writer is an interface with a parquet
+fallback of identical schema (SURVEY.md §7.3.5). Switching to Iceberg
+is a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Read the pages table. ``iceberg:db.table`` → Iceberg catalog;
+    anything else → parquet path. Filters/column pruning push down in
+    both cases (verify with .explain: PushedFilters / ReadSchema)."""
+    if path_or_table.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(path_or_table[len("iceberg:"):])
+    return spark.read.schema(PAGES_SCHEMA).parquet(path_or_table)
+
+
+def write_extracted(df: DataFrame, path_or_table: str, mode: str = "append") -> None:
+    """Append extracted rows. Iceberg gives snapshot isolation + the
+    monotonic run counter for free; the parquet fallback relies on the
+    lineage table for idempotence (plans/lineage.py)."""
+    if path_or_table.startswith("iceberg:"):
+        df.writeTo(path_or_table[len("iceberg:"):]).append()
+        return
+    df.write.mode(mode).parquet(path_or_table)
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL reader (reference S3: ``table_ocr/batch.py:292-305``) —
+    Spark's native JSON source, with corrupt-record capture instead of
+    the reference's skip-and-log loop (S5, ``ui/dataframe_utils.py:125-201``)."""
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

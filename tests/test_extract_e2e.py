@@ -1,0 +1,122 @@
+"""Layer-3 end-to-end: synthetic corpus → Spark pipeline → extracted
+text BYTE-IDENTICAL to the by-construction golden (pages.text), and
+cells matching the generator's expected geometry. Also checks
+partition-count invariance (results must not depend on physical
+parallelism) and the latest-capture dedup."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark.datagen.pages import generate_pages, write_pages_parquet
+from table_ocr_spark.operators.extract import extract_documents, latest_capture
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    path = os.path.join(d, "pages.parquet")
+    n = write_pages_parquet(path, n_docs=150, seed=42)
+    pages, goldens = generate_pages(n_docs=150, seed=42)
+    return path, pages, goldens, n
+
+
+def test_datagen_deterministic():
+    a, _ = generate_pages(n_docs=30, seed=7)
+    b, _ = generate_pages(n_docs=30, seed=7)
+    assert [p["html"] for p in a] == [p["html"] for p in b]
+    assert [p["url"] for p in a] == [p["url"] for p in b]
+
+
+def test_datagen_hot_host_skew():
+    pages, _ = generate_pages(n_docs=400, seed=42)
+    hot = sum(1 for p in pages if "big-portal" in p["url"])
+    assert 0.2 < hot / len(pages) < 0.4
+
+
+def test_extraction_byte_identical(spark, corpus):
+    path, pages, goldens, _ = corpus
+    df = spark.read.parquet(path)
+    out = extract_documents(df).collect()
+    got = {r["url"]: r["extracted_text"] for r in out}
+    golden = {p["url"]: p["text"] for p in pages}
+    assert set(got) == set(golden)
+    mismatches = [u for u in golden if got[u] != golden[u]]
+    assert mismatches == [], (
+        f"{len(mismatches)} urls differ; first: {mismatches[:1]} "
+        f"got={got[mismatches[0]][:200]!r} want={golden[mismatches[0]][:200]!r}"
+        if mismatches else ""
+    )
+    # byte-level check on a sample (not just str equality)
+    for u in list(golden)[:20]:
+        assert got[u].encode("utf-8") == golden[u].encode("utf-8")
+
+
+def test_extraction_cells_match_expected(spark, corpus):
+    path, pages, goldens, _ = corpus
+    df = spark.read.parquet(path)
+    out = extract_documents(df).collect()
+    got = {
+        r["url"]: sorted(
+            (c["table_id"], c["row"], c["col"], c["rowspan"], c["colspan"], c["text"])
+            for c in r["cells"]
+        )
+        for r in out
+    }
+    for g in goldens:
+        want = sorted(
+            (c["table_id"], c["row"], c["col"], c["rowspan"], c["colspan"], c["text"])
+            for c in g["cells"]
+        )
+        assert got[g["url"]] == want, g["url"]
+
+
+def test_extraction_n_tables(spark, corpus):
+    path, pages, goldens, _ = corpus
+    out = extract_documents(spark.read.parquet(path)).collect()
+    got = {r["url"]: r["n_tables"] for r in out}
+    for g in goldens:
+        assert got[g["url"]] == g["n_tables"], g["url"]
+
+
+def test_partition_invariance(spark, corpus):
+    path, *_ = corpus
+    df = spark.read.parquet(path)
+    a = {
+        (r["url"], r["extracted_text"])
+        for r in extract_documents(df, num_partitions=2).collect()
+    }
+    b = {
+        (r["url"], r["extracted_text"])
+        for r in extract_documents(df, num_partitions=13).collect()
+    }
+    assert a == b
+
+
+def test_latest_capture_dedup(spark, corpus):
+    path, pages, *_ = corpus
+    df = spark.read.parquet(path)
+    total = df.count()
+    deduped = latest_capture(df)
+    n_urls = df.select("url").distinct().count()
+    assert deduped.count() == n_urls < total
+    # kept row per url is the max warc_ts
+    chk = (
+        deduped.alias("d")
+        .join(
+            df.groupBy("url").agg(F.max("warc_ts").alias("mx")).alias("m"), "url"
+        )
+        .filter(F.col("d.warc_ts") != F.col("m.mx"))
+        .count()
+    )
+    assert chk == 0
+
+
+def test_null_html_yields_empty(spark):
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"<article><p>ok fine</p></article>")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r["extracted_text"] for r in extract_documents(df).collect()}
+    assert rows["u1"] == "" and rows["u2"] == "ok fine"

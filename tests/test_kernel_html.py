@@ -1,0 +1,155 @@
+"""Layer-1 kernel tests: HTML extraction against hand-computed goldens
+(these catch kernel bugs; the e2e tests catch pipeline corruption)."""
+
+from table_ocr_spark.kernel.html_extract import extract_html
+
+
+def cells_tuples(r):
+    return [(c.table_id, c.row, c.col, c.rowspan, c.colspan, c.text) for c in r.cells]
+
+
+class TestBoilerplate:
+    def test_nav_header_footer_aside_dropped(self):
+        html = (
+            "<body><nav><a href='/'>x</a></nav><header>site header text here</header>"
+            "<article><p>keep me please</p></article>"
+            "<aside>sidebar words</aside><footer>foot</footer></body>"
+        )
+        assert extract_html(html).text == "keep me please"
+
+    def test_linky_div_dropped_texty_div_kept(self):
+        html = (
+            "<body><div><a href='/a'>one</a> <a href='/b'>two</a> "
+            "<a href='/c'>three links dominate this</a></div>"
+            "<div>this plain paragraph easily exceeds the forty character "
+            "minimum threshold</div></body>"
+        )
+        assert (
+            extract_html(html).text
+            == "this plain paragraph easily exceeds the forty character minimum threshold"
+        )
+
+    def test_short_non_article_block_dropped(self):
+        assert extract_html("<body><div>short</div></body>").text == ""
+
+    def test_article_keeps_short_blocks(self):
+        assert extract_html("<body><article><p>short</p></article></body>").text == "short"
+
+    def test_script_style_ignored(self):
+        html = (
+            "<body><script>var x = 'not text';</script><style>p{}</style>"
+            "<article><p>real</p></article></body>"
+        )
+        assert extract_html(html).text == "real"
+
+
+class TestEncoding:
+    def test_entities_and_nbsp(self):
+        html = "<article><p>A &amp; B&nbsp;&lt;C&gt;</p></article>"
+        assert extract_html(html).text == "A & B <C>"
+
+    def test_bytes_input_utf8(self):
+        html = "<article><p>Größe 天地 مرحبا</p></article>".encode("utf-8")
+        assert extract_html(html).text == "Größe 天地 مرحبا"
+
+    def test_mixed_newlines_collapse(self):
+        html = b"<article><p>a\r\nb\rc\nd</p></article>"
+        assert extract_html(html).text == "a b c d"
+
+    def test_blocks_joined_with_newline(self):
+        html = "<article><p>one</p><p>two</p></article>"
+        assert extract_html(html).text == "one\ntwo"
+
+
+class TestTables:
+    def test_plain_grid(self):
+        html = "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        r = extract_html(html)
+        assert r.n_tables == 1
+        assert cells_tuples(r) == [
+            (0, 0, 0, 1, 1, "a"), (0, 0, 1, 1, 1, "b"),
+            (0, 1, 0, 1, 1, "1"), (0, 1, 1, 1, 1, "2"),
+        ]
+
+    def test_rowspan_colspan_occupancy(self):
+        html = (
+            "<table><tr><td rowspan='2'>A</td><td>B</td><td>C</td></tr>"
+            "<tr><td colspan='2'>D</td></tr></table>"
+        )
+        r = extract_html(html)
+        assert cells_tuples(r) == [
+            (0, 0, 0, 2, 1, "A"), (0, 0, 1, 1, 1, "B"), (0, 0, 2, 1, 1, "C"),
+            (0, 1, 1, 1, 2, "D"),
+        ]
+
+    def test_ditto_resolution(self):
+        html = (
+            "<table><tr><td>x</td><td>München</td></tr>"
+            '<tr><td>y</td><td>"</td></tr>'
+            '<tr><td>z</td><td>"</td></tr></table>'
+        )
+        r = extract_html(html)
+        col1 = [c.text for c in r.cells if c.col == 1]
+        assert col1 == ["München", "München", "München"]
+
+    def test_sliver_table_skipped(self):
+        html = "<table><tr><td>a</td></tr><tr><td>b</td></tr></table>"
+        r = extract_html(html)
+        assert r.n_tables == 0 and r.cells == []
+
+    def test_single_row_table_skipped(self):
+        html = "<table><tr><td>a</td><td>b</td></tr></table>"
+        assert extract_html(html).n_tables == 0
+
+    def test_nested_table_text_flows_to_host_cell(self):
+        html = (
+            "<table><tr><td>out1</td><td><table><tr><td>in</td></tr></table></td></tr>"
+            "<tr><td>out2</td><td>out3</td></tr></table>"
+        )
+        r = extract_html(html)
+        assert r.n_tables == 1
+        host = [c for c in r.cells if c.row == 0 and c.col == 1][0]
+        assert host.text == "in"
+
+    def test_table_text_not_in_extracted_text(self):
+        html = (
+            "<article><p>prose</p></article>"
+            "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+        )
+        r = extract_html(html)
+        assert r.text == "prose"
+        assert len(r.cells) == 4
+
+    def test_empty_cells_kept(self):
+        html = "<table><tr><td>a</td><td></td></tr><tr><td></td><td>d</td></tr></table>"
+        r = extract_html(html)
+        texts = {(c.row, c.col): c.text for c in r.cells}
+        assert texts[(0, 1)] == "" and texts[(1, 0)] == ""
+
+    def test_multiple_tables_numbered_in_order(self):
+        html = (
+            "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+            "<table><tr><td>1</td></tr></table>"  # sliver — skipped
+            "<table><tr><td>e</td><td>f</td></tr><tr><td>g</td><td>h</td></tr></table>"
+        )
+        r = extract_html(html)
+        assert r.n_tables == 2
+        assert {c.table_id for c in r.cells} == {0, 1}
+
+
+class TestRobustness:
+    def test_unclosed_tags(self):
+        html = "<body><article><p>one<p>two</article>"
+        assert extract_html(html).text == "one\ntwo"
+
+    def test_empty_document(self):
+        r = extract_html(b"")
+        assert r.text == "" and r.cells == [] and r.n_tables == 0
+
+    def test_invalid_utf8_replaced(self):
+        r = extract_html(b"<article><p>ok \xff\xfe</p></article>")
+        assert "ok" in r.text
+
+    def test_determinism(self):
+        html = "<article><p>stable output</p></article>".encode()
+        assert extract_html(html).text == extract_html(html).text

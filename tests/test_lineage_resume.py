@@ -1,0 +1,75 @@
+"""Checkpointed restart: kill after wave k, re-run, assert the final
+table is identical (no dupes, no gaps) and lineage has one terminal row
+per bucket (FIXTURES.md §6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark.datagen.pages import write_pages_parquet
+from table_ocr_spark.plans.lineage import (
+    InjectedFailure,
+    completed_buckets,
+    next_run_id,
+    read_extracted,
+    run_pipeline,
+)
+
+
+@pytest.fixture()
+def pages_path(tmp_path):
+    p = os.path.join(tmp_path, "pages.parquet")
+    write_pages_parquet(p, n_docs=64, seed=11)
+    return p
+
+
+def test_clean_run_then_resume_is_noop(spark, pages_path, tmp_path):
+    out = os.path.join(tmp_path, "out1")
+    pages = spark.read.parquet(pages_path)
+    rep1 = run_pipeline(spark, pages, out, run_id="run1", num_buckets=8, wave_size=3)
+    assert rep1.buckets_processed == 8
+    n1 = read_extracted(spark, out).count()
+    rep2 = run_pipeline(spark, pages, out, run_id="run2", num_buckets=8, wave_size=3)
+    assert rep2.buckets_processed == 0  # everything already done
+    assert read_extracted(spark, out).count() == n1
+
+
+def test_failure_then_resume_identical(spark, pages_path, tmp_path):
+    out_ref = os.path.join(tmp_path, "ref")
+    out = os.path.join(tmp_path, "out2")
+    pages = spark.read.parquet(pages_path)
+
+    run_pipeline(spark, pages, out_ref, num_buckets=8, wave_size=3)
+    want = {
+        (r["url"], r["extracted_text"], r["bucket"])
+        for r in read_extracted(spark, out_ref).collect()
+    }
+
+    with pytest.raises(InjectedFailure):
+        run_pipeline(
+            spark, pages, out, num_buckets=8, wave_size=3, fail_after_wave=1
+        )
+    done_mid = completed_buckets(spark, out)
+    assert 0 < len(done_mid) < 8
+
+    rep = run_pipeline(spark, pages, out, run_id="run2", num_buckets=8, wave_size=3)
+    assert rep.buckets_done_prior == len(done_mid)
+    got = {
+        (r["url"], r["extracted_text"], r["bucket"])
+        for r in read_extracted(spark, out).collect()
+    }
+    assert got == want  # no dupes, no gaps, byte-identical
+
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    per_bucket = lin.filter(F.col("status") == "SUCCEEDED").groupBy("bucket").count()
+    assert per_bucket.count() == 8
+    assert per_bucket.filter(F.col("count") > 1).count() == 0
+
+
+def test_next_run_id(spark, pages_path, tmp_path):
+    out = os.path.join(tmp_path, "out3")
+    assert next_run_id(spark, out) == "run1"
+    pages = spark.read.parquet(pages_path)
+    run_pipeline(spark, pages, out, run_id="run1", num_buckets=4, wave_size=4)
+    assert next_run_id(spark, out) == "run2"
