@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline surface (dedup / similarity / text
+analysis); ``oracle_sql()`` gives the DuckDB-runnable ANSI equivalent
+for each (identical pinned semantics — see the operator docstrings in
+``table_ocr_spark/``).
+
+Derived inputs (both engines derive them identically from the driver's
+parquet tables, so every step is oracle-checkable):
+
+- vote samples:   documents × samples 1..3 (+ a 4th sample for
+  doc_id%17==0 → ambiguous groups); value = 'corrupt' when
+  (doc_id*31 + sample*7) % 5 == 0 else lang.
+- dedup corpus:   documents ∪ exact copies (doc_id+100000, doc_id%10==0)
+  ∪ 80%-token-prefix truncations (doc_id+200000, doc_id%7==0).
+- embedding corpus (near-dup): embeddings ∪ exact copies
+  (vec_id+10000, vec_id%20==0).
 """
 
 from __future__ import annotations
@@ -12,27 +24,889 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from table_ocr_spark.operators.dedup import SIMHASH_BITS
+
+# ---------------------------------------------------------------------------
+# shared constants (any change must be mirrored in the oracle SQL below)
+# ---------------------------------------------------------------------------
+VOTE_N_SAMPLES = 3
+VOTE_EXTRA_MOD = 17
+VOTE_CORRUPT = "corrupt"
+DUP_COPY_MOD, DUP_COPY_OFF = 10, 100_000
+DUP_TRUNC_MOD, DUP_TRUNC_OFF = 7, 200_000
+DUP_TRUNC_FRAC = 0.8
+NGRAM_K = 3
+JACCARD_T = 0.5
+MINHASH_T = 0.8
+ANN_QUERIES = 10  # vec_id < 10
+ANN_K, IVF_K = 5, 3
+EMB_COPY_MOD, EMB_COPY_OFF = 20, 10_000
+NEAR_DUP_T = 0.99
+SESSION_GAP_US = 1800 * 1_000_000
+KEY_BAD_MOD = 97
+JSON_BAD_MOD = 13
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived inputs (Spark side)
+# ---------------------------------------------------------------------------
+
+def _vote_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(1), F.lit(VOTE_N_SAMPLES))).alias("sample"),
+    )
+    extra = docs.filter(F.col("doc_id") % VOTE_EXTRA_MOD == 0).select(
+        "doc_id", "lang", F.lit(VOTE_N_SAMPLES + 1).alias("sample")
+    )
+    samp = base.unionByName(extra)
+    value = F.when(
+        (F.col("doc_id") * 31 + F.col("sample") * 7) % 5 == 0, F.lit(VOTE_CORRUPT)
+    ).otherwise(F.col("lang"))
+    return samp.select("doc_id", "sample", value.alias("lang_vote"))
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % DUP_COPY_MOD == 0).select(
+        (F.col("doc_id") + DUP_COPY_OFF).alias("doc_id"), "text"
+    )
+    toks = tokens(F.col("text"))
+    keep = F.greatest(
+        F.floor(F.size(toks) * DUP_TRUNC_FRAC).cast("int"), F.lit(1)
+    )
+    trunc = docs.filter(F.col("doc_id") % DUP_TRUNC_MOD == 0).select(
+        (F.col("doc_id") + DUP_TRUNC_OFF).alias("doc_id"),
+        F.array_join(F.slice(toks, F.lit(1), keep), " ").alias("text"),
+    )
+    return base.unionByName(copies).unionByName(trunc)
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % EMB_COPY_MOD == 0).select(
+        (F.col("vec_id") + EMB_COPY_OFF).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.docpages import doc_id_from_url, documents_as_pages
+    from table_ocr_spark.operators.extract import extract_documents
+
+    pages = documents_as_pages(_read(spark, sf_dir, "documents"))
+    out = extract_documents(pages)
+    return out.select(
+        doc_id_from_url(F.col("url")).alias("doc_id"),
+        F.col("extracted_text"),
+    )
+
+
+def q_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.docpages import doc_id_from_url, documents_as_pages
+    from table_ocr_spark.operators.extract import extract_documents
+
+    pages = documents_as_pages(_read(spark, sf_dir, "documents"))
+    out = extract_documents(pages)
+    c = out.select(
+        doc_id_from_url(F.col("url")).alias("doc_id"),
+        F.explode("cells").alias("cell"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("cell.table_id").cast("long").alias("table_id"),
+        F.col("cell.row").cast("long").alias("row_idx"),
+        F.col("cell.col").cast("long").alias("col_idx"),
+        F.col("cell.rowspan").cast("long").alias("rowspan"),
+        F.col("cell.colspan").cast("long").alias("colspan"),
+        F.col("cell.text").alias("cell_text"),
+    )
+
+
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.vote import sample_majority_vote
+
+    samp = _vote_samples(spark, sf_dir)
+    return sample_majority_vote(samp, ["doc_id"], n_samples=VOTE_N_SAMPLES)
+
+
+def q_vote_ambiguity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    samp = _vote_samples(spark, sf_dir)
+    sizes = samp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_gs"))
+    amb_keys = sizes.filter(F.col("_gs") > VOTE_N_SAMPLES).select("doc_id")
+    unamb = samp.join(amb_keys, "doc_id", "left_anti")
+    amb = samp.join(amb_keys, "doc_id", "left_semi")
+
+    def _summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.countDistinct("doc_id").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(F.lit(name).alias("branch"), "n_groups", "n_rows")
+
+    return _summ(unamb, "unambiguous").unionByName(_summ(amb, "ambiguous"))
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_token_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev = F.sum(price_c * disc_c)
+    return li.groupBy("l_returnflag").agg(
+        (rev.cast("double") / 10000).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q1_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("_cents"))
+    joined = per_cust.join(
+        F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+    )
+    w = Window.orderBy(F.desc("_cents"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "c_custkey", "c_name",
+            (F.col("_cents").cast("double") / 100).alias("total_revenue"),
+            "rank",
+        )
+    )
+
+
+def q_union_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", cents.alias("total_cents")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_orderpriority")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def q_request_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_id") % KEY_BAD_MOD == 0,
+        F.concat(F.lit("ev"), F.col("event_id").cast("string"), F.lit("_bad")),
+    ).otherwise(
+        F.concat(
+            F.lit("ev"), F.col("event_id").cast("string"),
+            F.lit("_page_"), (F.col("event_id") % 7).cast("string"),
+            F.lit("_sample_"), (F.col("event_id") % 3).cast("string"),
+        )
+    )
+    keyed = ev.select(key.alias("key"))
+    pat = r"^(.*)_page_(\d+)_sample_(\d+)$"
+    return keyed.filter(F.col("key").rlike(pat)).select(
+        "key",
+        F.regexp_extract("key", pat, 1).alias("doc_name"),
+        F.regexp_extract("key", pat, 2).cast("long").alias("page"),
+        F.regexp_extract("key", pat, 3).cast("long").alias("sample"),
+    )
+
+
+def q_json_fence_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % JSON_BAD_MOD == 0, F.lit("no json here")
+    ).otherwise(
+        F.concat(
+            F.lit('```json\n{"table": [{"v": '),
+            F.col("event_id").cast("string"),
+            F.lit("}]}\n```"),
+        )
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(payload, r"^```[a-zA-Z]*\n", ""), r"\n```$", ""
+    )
+    v = F.get_json_object(stripped, "$.table[0].v").cast("long")
+    return ev.select(
+        "event_id", v.alias("v"), v.isNotNull().alias("recovered")
+    )
+
+
+def q_page_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        & (F.col("event_type") == "purchase")
+    ).select("event_id", "ts", "user_id", "value")
+
+
+def q_run_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.agg(
+        (F.coalesce(F.max("event_id"), F.lit(0)) + 1).alias("next_run_id")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _dup_corpus(spark, sf_dir), k=NGRAM_K, threshold=JACCARD_T
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _dup_corpus(spark, sf_dir), k=NGRAM_K, threshold=MINHASH_T
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, list(range(ANN_QUERIES)), k=ANN_K)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, list(range(ANN_QUERIES)), k=IVF_K)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_emb_corpus(spark, sf_dir), threshold=NEAR_DUP_T)
+
+
+def q_salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.functions.sqlfuncs import salted_agg
+
+    docs = _read(spark, sf_dir, "documents")
+    return salted_agg(
+        docs,
+        key="source",
+        agg_cols={
+            "n_docs": (F.lit(1), "count"),
+            "sum_chars": (F.col("n_chars"), "sum"),
+        },
+        salt_buckets=8,
+        salt_source="doc_id",
+    )
+
+
+_MD_STRUCT = T.ArrayType(
+    T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.StringType())])
+)
+
+
+@F.pandas_udf(_MD_STRUCT)
+def _parse_md_udf(md):  # type: ignore[no-untyped-def]
+    import pandas as pd
+
+    from table_ocr_spark.kernel.textops import parse_markdown_table
+
+    return pd.Series(
+        [
+            [{"k": d.get("k", ""), "v": d.get("v", "")} for d in parse_markdown_table(s)]
+            for s in md
+        ]
+    )
+
+
+def q_markdown_table_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("| k | v |\n|---|---|\n| lang | "),
+        F.col("lang"),
+        F.lit(" |\n| source | "),
+        F.col("source"),
+        F.lit(" |"),
+    )
+    rows = docs.select("doc_id", F.explode(_parse_md_udf(md)).alias("r"))
+    return rows.select("doc_id", F.col("r.k").alias("k"), F.col("r.v").alias("v"))
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.multimodal import image_metadata
+
+    docs = _read(spark, sf_dir, "documents")
+
+    @F.pandas_udf(T.BinaryType())
+    def _fake_payload(doc_id):  # type: ignore[no-untyped-def]
+        import struct
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                b"FAKEIMG"
+                + struct.pack("<HH", int(d) % 640 + 16, int(d) % 480 + 16)
+                + struct.pack("<f", (int(d) % 256) / 2.0)
+                for d in doc_id
+            ]
+        )
+
+    imgs = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        _fake_payload("doc_id").alias("payload"),
+    )
+    meta = image_metadata(imgs)
+    return meta.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "mime",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "gray_mean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on /root/testdata/sf0.001: documents → HTML
+    pages → vectorized kernel extraction → (doc_id, text, tables)."""
+    from table_ocr_spark.operators.docpages import doc_id_from_url, documents_as_pages
+    from table_ocr_spark.operators.extract import extract_documents
+
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    out = extract_documents(documents_as_pages(docs))
+    return out.select(
+        doc_id_from_url(F.col("url")).alias("doc_id"),
+        "extracted_text",
+        F.col("n_tables").cast("long").alias("n_tables"),
+        F.size("cells").cast("long").alias("n_cells"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_text": q_extract_text,
+        "extract_cells": q_extract_cells,
+        "majority_vote": q_majority_vote,
+        "vote_ambiguity_split": q_vote_ambiguity_split,
+        "latest_event_per_user": q_latest_event_per_user,
+        "hourly_event_rollup": q_hourly_event_rollup,
+        "sessionize": q_sessionize,
+        "token_usage_rollup": q_token_usage_rollup,
+        "cost_model": q_cost_model,
+        "q1_returnflag": q_q1_returnflag,
+        "top_customers": q_top_customers,
+        "union_relaxed": q_union_relaxed,
+        "request_key_parse": q_request_key_parse,
+        "json_fence_recovery": q_json_fence_recovery,
+        "page_slice": q_page_slice,
+        "run_counter": q_run_counter,
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "salted_host_agg": q_salted_host_agg,
+        "markdown_table_parse": q_markdown_table_parse,
+        "multimodal_image_meta": q_multimodal_image_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(str_split_regex(text, '\s+'), w -> w <> '')"
+
+_VOTE_SAMPLES_SQL = """
+  SELECT doc_id, s.smp,
+         CASE WHEN (doc_id*31 + s.smp*7) % 5 = 0 THEN 'corrupt' ELSE lang END AS lang_vote
+  FROM documents, (SELECT unnest(generate_series(1, 3)) AS smp) s
+  UNION ALL
+  SELECT doc_id, 4,
+         CASE WHEN (doc_id*31 + 4*7) % 5 = 0 THEN 'corrupt' ELSE lang END
+  FROM documents WHERE doc_id % 17 = 0
+"""
+
+_DUP_CORPUS_SQL = (
     """
-    return {}
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(t[1:greatest(CAST(floor(len(t)*0.8) AS INT), 1)], ' ')
+  FROM (SELECT doc_id, """
+    + _TOKS
+    + """ AS t FROM documents)
+  WHERE doc_id % 7 = 0
+"""
+)
+
+_SHINGLE_SETS_SQL = """
+  SELECT doc_id AS id,
+         list_distinct(
+           list_transform(generate_series(1, len(t)-2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM (SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), w -> w <> '') AS t
+        FROM corpus)
+"""
+
+_JACCARD_PAIRS_SQL = """
+  WITH corpus AS ({corpus}),
+  sets AS ({sets}),
+  ex AS (SELECT id, unnest(shingles) AS sh FROM sets),
+  cand AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+    GROUP BY a.id, b.id),
+  sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS n FROM sets)
+  SELECT c.id_a, c.id_b,
+         round(CAST(c.inter AS DOUBLE) / (na.n + nb.n - c.inter), 6) AS jaccard,
+         CAST(c.inter AS BIGINT) AS n_common
+  FROM cand c JOIN sizes na ON na.id = c.id_a JOIN sizes nb ON nb.id = c.id_b
+  WHERE CAST(c.inter AS DOUBLE) / (na.n + nb.n - c.inter) >= {t}
+"""
+
+
+def _simhash_sig_sql() -> str:
+    """Simhash signature (SIMHASH_BITS wide) as a SQL expression over
+    token values (mirrors dedup.simhash16 bit-for-bit)."""
+    val = (
+        "list_transform(list_filter(str_split_regex(text, '\\s+'), w -> w <> ''), "
+        "w -> (CAST(length(w)*31 + ascii(substr(w,1,1)) AS BIGINT) * 2654435761) "
+        "% 4294967296)"
+    )
+    bits = " + ".join(
+        "CASE WHEN coalesce(list_sum(list_transform(vals, "
+        f"v -> ((v >> {b}) & 1)*2 - 1)), 0) >= 0 THEN CAST({1 << b} AS BIGINT) "
+        "ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"SELECT doc_id AS id, ({bits}) AS simhash FROM (SELECT doc_id, {val} AS vals FROM corpus)"
+
+
+_ANN_BASE_SQL = """
+  WITH v AS (SELECT vec_id, label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             FROM {src}),
+  q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec FROM v WHERE vec_id < 10),
+  s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+               list_dot_product(q.qvec, v.vec) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(v.vec, v.vec))) AS sc
+        FROM q JOIN v ON v.vec_id <> q.query_id {extra})
+  SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, round(sc, 6) AS score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn
+        FROM s)
+  WHERE rn <= {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["extract_text"] = "SELECT doc_id, text AS extracted_text FROM documents"
+
+    cell_rows = [
+        ("0", "0", "'k'"), ("0", "1", "'v'"),
+        ("1", "0", "'lang'"), ("1", "1", "lang"),
+        ("2", "0", "'source'"),
+        ("2", "1", "CASE WHEN doc_id % 5 = 0 THEN lang ELSE source END"),
+        ("3", "0", "'chars'"), ("3", "1", "CAST(n_chars AS VARCHAR)"),
+    ]
+    sql["extract_cells"] = " UNION ALL ".join(
+        f"SELECT doc_id, CAST(0 AS BIGINT) AS table_id, CAST({r} AS BIGINT) AS row_idx, "
+        f"CAST({c} AS BIGINT) AS col_idx, CAST(1 AS BIGINT) AS rowspan, "
+        f"CAST(1 AS BIGINT) AS colspan, {txt} AS cell_text FROM documents"
+        for r, c, txt in cell_rows
+    )
+
+    sql["majority_vote"] = f"""
+      WITH samp AS ({_VOTE_SAMPLES_SQL}),
+      sizes AS (SELECT doc_id, count(*) AS gs FROM samp GROUP BY doc_id),
+      counts AS (SELECT doc_id, lang_vote, count(*) AS cnt
+                 FROM samp GROUP BY doc_id, lang_vote),
+      ranked AS (SELECT doc_id, lang_vote, cnt,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY cnt DESC, lang_vote ASC NULLS LAST) AS rn,
+                        CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+                 FROM counts)
+      SELECT r.doc_id, r.lang_vote,
+             CAST(r.cnt AS DOUBLE) / r.tot AS lang_vote_agreement,
+             r.tot AS n_samples, (s.gs > 3) AS ambiguous
+      FROM ranked r JOIN sizes s USING (doc_id) WHERE r.rn = 1
     """
-    return {}
+
+    sql["vote_ambiguity_split"] = f"""
+      WITH samp AS ({_VOTE_SAMPLES_SQL}),
+      sizes AS (SELECT doc_id, count(*) AS gs FROM samp GROUP BY doc_id)
+      SELECT 'unambiguous' AS branch,
+             CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_groups,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM samp s JOIN sizes z USING (doc_id) WHERE z.gs <= 3
+      UNION ALL
+      SELECT 'ambiguous', CAST(count(DISTINCT s.doc_id) AS BIGINT), CAST(count(*) AS BIGINT)
+      FROM samp s JOIN sizes z USING (doc_id) WHERE z.gs > 3
+    """
+
+    sql["latest_event_per_user"] = """
+      SELECT user_id, event_id, ts, event_type FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """
+
+    sql["hourly_event_rollup"] = """
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             count(*) AS n_events, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2
+    """
+
+    sql["sessionize"] = """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sess GROUP BY user_id, session_id
+    """
+
+    sql["token_usage_rollup"] = """
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             count(*) AS n_events
+      FROM events GROUP BY event_type
+    """
+
+    sql["cost_model"] = """
+      SELECT l_returnflag,
+             CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS DOUBLE)
+             / 10000 AS revenue,
+             count(*) AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["q1_returnflag"] = """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(l_quantity) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["top_customers"] = """
+      WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey)
+      SELECT c.c_custkey, c.c_name, CAST(p.cents AS DOUBLE)/100 AS total_revenue,
+             CAST(row_number() OVER (ORDER BY p.cents DESC, c.c_custkey ASC) AS BIGINT) AS rank
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+      QUALIFY rank <= 10
+    """
+
+    sql["union_relaxed"] = """
+      SELECT o_orderkey, CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_cents,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F'
+    """
+
+    sql["request_key_parse"] = """
+      WITH keyed AS (
+        SELECT CASE WHEN event_id % 97 = 0
+                    THEN 'ev' || CAST(event_id AS VARCHAR) || '_bad'
+                    ELSE 'ev' || CAST(event_id AS VARCHAR)
+                         || '_page_' || CAST(event_id % 7 AS VARCHAR)
+                         || '_sample_' || CAST(event_id % 3 AS VARCHAR) END AS key
+        FROM events)
+      SELECT key,
+             regexp_extract(key, '^(.*)_page_(\\d+)_sample_(\\d+)$', 1) AS doc_name,
+             CAST(regexp_extract(key, '^(.*)_page_(\\d+)_sample_(\\d+)$', 2) AS BIGINT) AS page,
+             CAST(regexp_extract(key, '^(.*)_page_(\\d+)_sample_(\\d+)$', 3) AS BIGINT) AS sample
+      FROM keyed WHERE regexp_matches(key, '^(.*)_page_(\\d+)_sample_(\\d+)$')
+    """
+
+    sql["json_fence_recovery"] = """
+      WITH p AS (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0 THEN 'no json here'
+                    ELSE '```json' || chr(10) || '{"table": [{"v": '
+                         || CAST(event_id AS VARCHAR) || '}]}' || chr(10) || '```'
+               END AS payload
+        FROM events),
+      s AS (SELECT event_id,
+                   regexp_replace(regexp_replace(payload, '^```[a-zA-Z]*\\n', ''),
+                                  '\\n```$', '') AS stripped
+            FROM p)
+      SELECT event_id,
+             CASE WHEN json_valid(stripped)
+                  THEN CAST(json_extract_string(stripped, '$.table[0].v') AS BIGINT)
+                  ELSE NULL END AS v,
+             CASE WHEN json_valid(stripped)
+                  THEN json_extract_string(stripped, '$.table[0].v') IS NOT NULL
+                  ELSE FALSE END AS recovered
+      FROM s
+    """
+
+    sql["page_slice"] = """
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        AND event_type = 'purchase'
+    """
+
+    sql["run_counter"] = (
+        "SELECT CAST(coalesce(max(event_id), 0) + 1 AS BIGINT) AS next_run_id FROM events"
+    )
+
+    sql["doc_stats"] = f"""
+      WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   coalesce(CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS BIGINT), 0) AS tok_chars,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+                   CAST(len(list_filter(toks, w -> w IN ('the','a','of','to','and','in','is','for','on','with'))) AS BIGINT) AS sw
+            FROM t)
+      SELECT doc_id, n_tokens, n_chars_obs,
+             round(CAST(tok_chars AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_token_len,
+             round(CAST(punct AS DOUBLE) / greatest(n_chars_obs, 1), 6) AS punct_ratio,
+             round(CAST(sw AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+             round(least(n_tokens/100.0, 1.0)*0.4
+                   + (1.0 - CAST(punct AS DOUBLE)/greatest(n_chars_obs, 1))*0.3
+                   + (CAST(sw AS DOUBLE)/greatest(n_tokens, 1))*0.3, 6) AS quality_score
+      FROM m
+    """
+
+    sw_en = "'the','a','of','to','and','in','is','for','on','with'"
+    sw_de = "'der','die','das','und','ist','für','mit','ein','eine','über'"
+    sw_fr = "'le','la','les','et','est','pour','dans','un','une','sur'"
+    sql["lang_id"] = f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      s AS (SELECT doc_id,
+                   CAST(len(list_filter(toks, w -> w IN ({sw_en}))) AS BIGINT) AS sw_en,
+                   CAST(len(list_filter(toks, w -> w IN ({sw_de}))) AS BIGINT) AS sw_de,
+                   CAST(len(list_filter(toks, w -> w IN ({sw_fr}))) AS BIGINT) AS sw_fr
+            FROM t)
+      SELECT doc_id, sw_en, sw_de, sw_fr,
+             CASE WHEN sw_en = 0 AND sw_de = 0 AND sw_fr = 0 THEN 'und'
+                  WHEN sw_en >= sw_de AND sw_en >= sw_fr THEN 'en'
+                  WHEN sw_de >= sw_fr THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM s
+    """
+
+    sql["doc_fingerprint"] = f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks,
+                   w -> CAST(length(w)*31 + ascii(substr(w,1,1)) AS BIGINT))),
+               (acc, v) -> (acc*131 + v) % 1000000007) AS fingerprint
+      FROM t
+    """
+
+    sql["dedup_exact"] = f"""
+      WITH corpus AS ({_DUP_CORPUS_SQL}),
+      n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM corpus),
+      g AS (SELECT norm, min(doc_id) AS canonical_id, count(*) AS n_copies
+            FROM n GROUP BY norm)
+      SELECT n.doc_id, g.canonical_id, CAST(g.n_copies AS BIGINT) AS n_copies,
+             n.doc_id <> g.canonical_id AS is_dup
+      FROM n JOIN g USING (norm)
+    """
+
+    sql["dedup_ngram_jaccard"] = _JACCARD_PAIRS_SQL.format(
+        corpus=_DUP_CORPUS_SQL, sets=_SHINGLE_SETS_SQL, t=JACCARD_T
+    )
+    sql["dedup_minhash_lsh"] = _JACCARD_PAIRS_SQL.format(
+        corpus=_DUP_CORPUS_SQL, sets=_SHINGLE_SETS_SQL, t=MINHASH_T
+    )
+
+    sql["dedup_simhash"] = f"""
+      WITH corpus AS ({_DUP_CORPUS_SQL}),
+      sig AS ({_simhash_sig_sql()})
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.id < b.id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    sql["ann_bruteforce"] = _ANN_BASE_SQL.format(src="embeddings", extra="", k=ANN_K)
+    sql["ann_ivf"] = _ANN_BASE_SQL.format(
+        src="embeddings", extra="AND v.label = q.qlabel", k=IVF_K
+    )
+
+    sql["embedding_near_dup"] = """
+      WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id % 20 = 0),
+      v AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM corpus)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.vec, b.vec) /
+                   (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vec, b.vec) /
+            (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+            >= 0.99
+    """
+
+    sql["salted_host_agg"] = """
+      SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source
+    """
+
+    sql["markdown_table_parse"] = """
+      SELECT doc_id, 'lang' AS k, lang AS v FROM documents
+      UNION ALL
+      SELECT doc_id, 'source', source FROM documents
+    """
+
+    sql["multimodal_image_meta"] = """
+      SELECT doc_id, 'image/x-fake' AS mime,
+             CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+             CAST(doc_id % 480 + 16 AS BIGINT) AS height,
+             CAST((doc_id % 256) / 2.0 AS DOUBLE) AS gray_mean
+      FROM documents
+    """
+
+    return sql

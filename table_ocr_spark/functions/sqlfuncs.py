@@ -60,12 +60,24 @@ def word_shingles(words_col: Column, k: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> List[Column]:
     """num_hashes independent min-hashes of a shingle set, via seeded
-    xxhash64 (seed mixed in as a literal column). JVM-side only."""
-    sigs = []
-    for i in range(num_hashes):
-        hashed = F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
-        sigs.append(F.array_min(hashed).alias(f"mh_{i}"))
-    return sigs
+    xxhash64 (seed mixed in as a literal column). JVM-side only.
+
+    NOTE: the per-seed lambda must be built by a factory with exactly
+    one parameter — a default-arg lambda (``lambda s, i=i``) would be
+    introspected by pyspark as a 2-arg (element, index) lambda and the
+    seed would silently become the array index.
+    """
+
+    def _hasher(seed: int):
+        def h(s: Column) -> Column:
+            return F.xxhash64(F.lit(seed), s)
+
+        return h
+
+    return [
+        F.array_min(F.transform(shingles, _hasher(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
 
 
 def band_keys(sig_cols: Sequence[str], rows_per_band: int = 2) -> List[Column]:

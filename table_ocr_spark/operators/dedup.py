@@ -1,0 +1,271 @@
+"""Deduplication operators for the training-data pipeline: exact
+(hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash near-dup.
+
+Everything is JVM-side DataFrame algebra (no Python UDFs). Each
+operator's semantics are pinned so the DuckDB oracle reproduces them
+exactly; the probabilistic stage (MinHash banding) is always followed
+by an exact-Jaccard verification so the *output* is deterministic — the
+banding only prunes the candidate space (at 10^12 docs the all-pairs
+join is impossible; the band join is the scale path, and with 32
+hashes / 16 bands of 2 the miss probability at J>=0.8 is
+(1-0.8^2)^16 ≈ 6e-8 per pair).
+
+Scale notes:
+- the shingle self-join (`ngram_jaccard_pairs`) is the *oracle-shaped*
+  quadratic path: correct at test SF, unusable at crawl scale. Use
+  ``max_shingle_df`` to drop stop-shingles (bounded fanout) or prefer
+  ``minhash_lsh_pairs`` which shuffles only (band_key) groups.
+- all joins here are equi-joins on hash-distributed keys; AQE handles
+  band-bucket skew (a hot shingle/band = one big group).
+
+Pinned definitions (shared with the oracle SQL):
+- normalization for exact dedup := lower(text), \\s+ collapsed to one
+  space, trimmed
+- shingle := k consecutive tokens joined with one space; DISTINCT set
+- jaccard := |A∩B| / |A∪B| over distinct shingle sets, rounded 6 dp
+- simhash := SIMHASH_BITS-wide signature over tokens valued by the same
+  polynomial token hash as textstats.fingerprint; bit b set iff
+  sum over tokens of (2*bit_b(val)-1) >= 0
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from table_ocr_spark.functions.sqlfuncs import word_shingles
+from table_ocr_spark.operators.textstats import tokens
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 4  # 8 bands of 4 bits -> hamming<=3 pairs always share a band
+
+
+def normalized_text(col: Column) -> Column:
+    """Pinned dedup normalization (lower + whitespace collapse + trim)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate clustering: every doc mapped to the canonical
+    (min id) doc of its normalized-text group, plus the group size.
+    One shuffle on the normalized text (map-side partial agg applies);
+    at crawl scale group on xxhash64(norm) instead of the full string
+    to keep shuffle rows narrow (same clusters, cheaper exchange).
+    """
+    norm = normalized_text(F.col(text_col)).alias("_norm")
+    with_norm = df.select(F.col(id_col), norm)
+    groups = with_norm.groupBy("_norm").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        with_norm.join(groups, "_norm")
+        .select(
+            F.col(id_col),
+            "canonical_id",
+            "n_copies",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingles: distinct array of k-word shingles)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(toks, k)).alias("shingles"),
+    )
+
+
+def _pair_jaccard(cand: DataFrame, sets_df: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs (id_a < id_b) via array
+    intersection on the (small) candidate set."""
+    a = sets_df.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sa"))
+    b = sets_df.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    na = F.size("_sa").cast("long")
+    nb = F.size("_sb").cast("long")
+    jac = inter / F.greatest(na + nb - inter, F.lit(1))
+    return joined.select(
+        "id_a", "id_b", jac.alias("_jac_raw"), F.round(jac, 6).alias("jaccard"),
+        inter.alias("n_common"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """All pairs with Jaccard(k-shingle sets) >= threshold, exactly.
+
+    Plan: explode distinct shingles -> self equi-join on shingle
+    (id_a < id_b) -> count = |A∩B| -> join sizes -> filter. This is the
+    ground-truth path; ``max_shingle_df`` (drop shingles occurring in
+    more than N docs) bounds the join fanout at scale at the cost of a
+    slight recall change — leave None for oracle parity.
+    """
+    sets_df = shingle_sets(df, text_col, id_col, k).cache()
+    exploded = sets_df.select("id", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        exploded = exploded.join(rare, "sh", "left_semi")
+    a = exploded.select(F.col("id").alias("id_a"), "sh")
+    b = exploded.select(F.col("id").alias("id_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes = sets_df.select("id", F.size("shingles").cast("long").alias("_n"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(jac >= threshold)
+        .select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard"),
+            F.col("_inter").alias("n_common"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs at Jaccard >= threshold via MinHash banding +
+    exact verification. Output is identical to ``ngram_jaccard_pairs``
+    at the same threshold (up to the ~1e-7 banding miss probability);
+    the shuffle is on band buckets, NOT on raw shingles — this is the
+    path that survives 10^12 documents.
+    """
+    from table_ocr_spark.functions.sqlfuncs import band_keys, minhash_signature
+
+    sets_df = shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
+    sig = sets_df.select("id", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+    bands = band_keys(sig_cols, rows_per_band)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), bk.cast("long").alias("bkey"))
+                for i, bk in enumerate(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = _pair_jaccard(cand, sets_df)
+    # threshold on the UNROUNDED value (oracle parity); round only output
+    return verified.filter(F.col("_jac_raw") >= threshold).select(
+        "id_a", "id_b", "jaccard", "n_common"
+    )
+
+
+SIMHASH_MIX = 2654435761  # Knuth multiplicative constant
+SIMHASH_VAL_MOD = 1 << 32
+
+
+def _token_val(w: Column) -> Column:
+    """Engine-portable token hash (no xxhash, so the DuckDB oracle can
+    recompute it): the fingerprint-style base value scrambled by a
+    multiplicative mix so ALL 32 signature bits carry signal — the raw
+    base value is < 2^11, which would leave the high simhash bits
+    constant and collapse the signature space."""
+    base = F.length(w).cast("long") * 31 + F.ascii(F.substring(w, 1, 1)).cast("long")
+    return (base * F.lit(SIMHASH_MIX)) % F.lit(SIMHASH_VAL_MOD)
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document over the token stream (with
+    multiplicity). bit b of the signature is set iff the sum over
+    tokens of (2*bit_b(val(tok)) - 1) is >= 0. Map-only, codegen'd."""
+    toks = tokens(F.col(text_col))
+    vals = F.transform(toks, _token_val)
+
+    def _bit_merge(b: int):
+        # factory, not a default-arg lambda: pyspark's lambda-arity
+        # introspection requires exactly (acc, v)
+        def merge(acc: Column, v: Column) -> Column:
+            return acc + (F.shiftright(v, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+        return merge
+
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        contrib = F.aggregate(vals, F.lit(0).cast("long"), _bit_merge(b))
+        sig = sig + F.when(contrib >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs with hamming(simhash16) <= max_hamming — EXACT, via
+    band join: with 4 bands of 4 bits, any pair within hamming 3 shares
+    at least one identical band (pigeonhole), so banding loses nothing.
+    The shuffle is on 4 band buckets per doc, never all-pairs.
+    """
+    sig = simhash16(df, text_col, id_col)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", i * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bkey"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bkey")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("_ha"), "band", "bkey")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("_hb"), "band", "bkey")
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,86 @@
+"""Derive a deterministic Common-Crawl-style pages table from the
+driver's ``documents.parquet`` — pure SQL-expressible construction, so
+the extraction pipeline can run against driver-provided data with an
+EXACT DuckDB oracle (the wrap is invertible by design).
+
+Each document becomes one HTML page containing:
+- ``<nav>`` boilerplate + a link-farm ``<div>`` + a short noise block
+  (all of which the kernel must DROP),
+- ``<article><p>{text}</p></article>`` (the kernel must return exactly
+  ``text`` — documents.text is verified pre-normalized, so
+  ``normalize_text`` is the identity on it),
+- a 1-column sliver "page-bleed" table (must be SKIPPED),
+- one real 4x2 key/value table with a ditto mark on doc_id % 5 == 0
+  (cells recoverable in closed form — the oracle reconstructs them).
+
+The reference analogue is the fixture/golden-file strategy
+(``ui/ocr_data/results/...`` golden JSONs); here the golden is
+construction itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# doc_id % 5 == 0 -> the "source" row carries a ditto mark that must
+# resolve to the lang value above it (kernel ditto semantics).
+DITTO_MOD = 5
+
+_PRE = (
+    "<!DOCTYPE html><html><head><title>d</title></head><body>"
+    '<nav><a href="/a">section one</a> | <a href="/b">section two</a></nav>'
+    '<div><a href="/x">related</a> <a href="/y">links</a> <a href="/z">farm</a></div>'
+    "<div>tiny note</div>"
+    "<article><p>"
+)
+_MID = (
+    "</p></article>"
+    "<table><tr><td>s1</td></tr><tr><td>s2</td></tr></table>"  # sliver: skipped
+    "<table><tr><th>k</th><th>v</th></tr>"
+    "<tr><td>lang</td><td>"
+)
+_MID2 = "</td></tr><tr><td>source</td><td>"
+_MID3 = "</td></tr><tr><td>chars</td><td>"
+_POST = "</td></tr></table></body></html>"
+
+
+def documents_as_pages(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) -> pages
+    (url, warc_ts, html:binary, text, lang). Pure column expressions;
+    the html construction never leaves the JVM."""
+    source_cell = F.when(
+        F.col("doc_id") % DITTO_MOD == 0, F.lit("&quot;")
+    ).otherwise(F.col("source"))
+    html_str = F.concat(
+        F.lit(_PRE),
+        F.col("text"),
+        F.lit(_MID),
+        F.col("lang"),
+        F.lit(_MID2),
+        source_cell,
+        F.lit(_MID3),
+        F.col("n_chars").cast("string"),
+        F.lit(_POST),
+    )
+    return docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def expected_source_cell(docs: DataFrame) -> DataFrame:
+    """Closed-form expected ditto-resolved 'source' cell text."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % DITTO_MOD == 0, F.col("lang"))
+        .otherwise(F.col("source"))
+        .alias("source_cell"),
+    )
+
+
+def doc_id_from_url(url_col) -> F.Column:
+    return F.regexp_extract(url_col, r"^doc:(\d+)$", 1).cast("long")

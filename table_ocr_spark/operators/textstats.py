@@ -1,0 +1,123 @@
+"""Text-analysis operators for the training-data pipeline surface:
+token counting, quality scoring, language identification, document
+fingerprinting. All pure JVM-side column expressions (whole-stage
+codegen; zero Python UDFs) so they run at crawl scale, and every
+formula is pinned so the DuckDB oracle can reproduce it exactly.
+
+The reference has no text-analytics layer (its "quality" mechanism is
+LLM self-agreement, ``ui/majority_vote.py:59-201``); these operators
+are the deterministic analogues a 100 TB pretraining pipeline needs.
+
+Pinned definitions (shared with ``__spark_entry__.oracle_sql``):
+- token        := maximal run of non-whitespace (split \\s+, drop '')
+- punct chars  := [.,;:!?]
+- stopword hit := token IN the pinned per-language list (non-distinct)
+- lang_id      := argmax of stopword hits over {en, de, fr}; ties break
+                  en > de > fr; all-zero -> 'und'
+- fingerprint  := fold over tokens of
+                  acc = (acc*131 + length(tok)*31 + ascii(tok[0])) % 1e9+7
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FP_MOD = 1_000_000_007
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "für", "mit", "ein", "eine", "über"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans", "un", "une", "sur"],
+}
+# pinned tie-break order (argmax prefers earlier entries)
+LANG_ORDER = ["en", "de", "fr"]
+
+
+def tokens(col: Column) -> Column:
+    """Pinned tokenizer: split on \\s+, drop empty tokens."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Non-distinct count of tokens in the pinned stopword list."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda w: w.isin(*sw))).cast("long")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token/quality statistics.
+
+    Output: (id, n_tokens, n_chars_obs, avg_token_len, punct_ratio,
+    stopword_ratio, quality_score) — quality is the pinned blend
+    ``0.4*min(n_tokens/100,1) + 0.3*(1-punct_ratio) + 0.3*stopword_ratio``
+    rounded to 6 dp. Map-only: no shuffle; scales linearly.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")).cast("long")
+    sw = stopword_hits(toks, "en")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = sw / F.greatest(n_tok, F.lit(1))
+    quality = F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + stop_ratio * 0.3,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_obs"),
+        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language identification (n-gram-free heuristic;
+    a real deployment would swap the pinned lists for fastText — the
+    *plan shape* is what matters: map-only, codegen'd, no shuffle).
+    """
+    toks = tokens(F.col(text_col))
+    scores = {lg: stopword_hits(toks, lg) for lg in LANG_ORDER}
+    en, de, fr = scores["en"], scores["de"], scores["fr"]
+    pred = (
+        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        .when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        F.col(id_col),
+        en.alias("sw_en"),
+        de.alias("sw_de"),
+        fr.alias("sw_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (document fingerprint; detects exact/near-prefix duplicates and is
+    stable across engines — no engine hash functions involved).
+    """
+    toks = tokens(F.col(text_col))
+    vals = F.transform(
+        toks,
+        lambda w: F.length(w).cast("long") * 31 + F.ascii(F.substring(w, 1, 1)).cast("long"),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 131 + v) % FP_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
