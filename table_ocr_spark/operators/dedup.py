@@ -166,7 +166,11 @@ def minhash_lsh_pairs(
     """
     from table_ocr_spark.functions.sqlfuncs import band_keys, minhash_signature
 
-    sets_df = shingle_sets(df, text_col, id_col, k).filter(F.size("shingles") > 0)
+    # cached: reused by the signature scan AND both sides of the
+    # verification join (otherwise tokenize+shingle runs 3x)
+    sets_df = shingle_sets(df, text_col, id_col, k).filter(
+        F.size("shingles") > 0
+    ).cache()
     sig = sets_df.select("id", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
     bands = band_keys(sig_cols, rows_per_band)
