@@ -39,7 +39,11 @@ from table_ocr_spark.functions.sqlfuncs import word_shingles
 from table_ocr_spark.operators.textstats import tokens
 
 SIMHASH_BITS = 32
-SIMHASH_BAND_BITS = 4  # 8 bands of 4 bits -> hamming<=3 pairs always share a band
+# 4 bands of 8 bits: hamming<=3 pairs always share a band (pigeonhole:
+# 3 differing bits touch at most 3 of the 4 bands), and 256 values per
+# band keeps buckets ~n/256 — 4-bit bands (16 values) made every bucket
+# huge and the candidate join quadratic-ish.
+SIMHASH_BAND_BITS = 8
 
 
 def normalized_text(col: Column) -> Column:
@@ -76,11 +80,18 @@ def exact_dedup(
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingles: distinct array of k-word shingles)."""
-    toks = tokens(F.col(text_col))
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(toks, k)).alias("shingles"),
+    """(id, shingles: distinct array of k-word shingles).
+
+    Tokens are materialized into a column BEFORE shingling: the shingle
+    lambda reads each token k times per position, and against a raw
+    expression (not a bound attribute) interpreted HOF evaluation
+    re-runs the whole split+filter per read — O(n^2) per document.
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    return toked.select(
+        "id", F.array_distinct(word_shingles(F.col("_toks"), k)).alias("shingles")
     )
 
 
@@ -164,14 +175,25 @@ def minhash_lsh_pairs(
     the shuffle is on band buckets, NOT on raw shingles — this is the
     path that survives 10^12 documents.
     """
-    from table_ocr_spark.functions.sqlfuncs import band_keys, minhash_signature
+    from table_ocr_spark.functions.sqlfuncs import band_keys
 
     # cached: reused by the signature scan AND both sides of the
     # verification join (otherwise tokenize+shingle runs 3x)
     sets_df = shingle_sets(df, text_col, id_col, k).filter(
         F.size("shingles") > 0
     ).cache()
-    sig = sets_df.select("id", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    # signatures via explode + codegen'd hash aggregate, NOT 32
+    # higher-order array folds: Spark HOF lambdas run interpreted, so
+    # num_hashes transforms over the shingle array are ~20x slower than
+    # num_hashes min() aggregates over exploded rows (identical result —
+    # min over the same hashed values).
+    ex = sets_df.select("id", F.explode("shingles").alias("sh"))
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
     bands = band_keys(sig_cols, rows_per_band)
     banded = sig.select(
@@ -216,22 +238,26 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """32-bit SimHash per document over the token stream (with
     multiplicity). bit b of the signature is set iff the sum over
     tokens of (2*bit_b(val(tok)) - 1) is >= 0. Map-only, codegen'd."""
-    toks = tokens(F.col(text_col))
-    vals = F.transform(toks, _token_val)
-
-    def _bit_merge(b: int):
-        # factory, not a default-arg lambda: pyspark's lambda-arity
-        # introspection requires exactly (acc, v)
-        def merge(acc: Column, v: Column) -> Column:
-            return acc + (F.shiftright(v, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-        return merge
-
+    # explode + codegen'd sum aggregates instead of SIMHASH_BITS
+    # interpreted array folds (bit sums are order-insensitive, so the
+    # rewrite is exact); docs with zero tokens get sum 0 per bit -> all
+    # bits set, same as the fold's 0-init result.
+    ids = df.select(F.col(id_col).alias("id"))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(F.col(text_col)), _token_val)).alias("v"),
+    )
+    sums = ex.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright("v", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
     sig = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        contrib = F.aggregate(vals, F.lit(0).cast("long"), _bit_merge(b))
+        contrib = F.coalesce(F.col(f"s{b}"), F.lit(0))
         sig = sig + F.when(contrib >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return ids.join(sums, "id", "left").select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -240,8 +266,8 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """All pairs with hamming(simhash16) <= max_hamming — EXACT, via
-    band join: with 4 bands of 4 bits, any pair within hamming 3 shares
+    """All pairs with hamming(simhash) <= max_hamming — EXACT, via
+    band join: with 4 bands of 8 bits, any pair within hamming 3 shares
     at least one identical band (pigeonhole), so banding loses nothing.
     The shuffle is on 4 band buckets per doc, never all-pairs.
     """
