@@ -131,7 +131,14 @@ def extract_documents(
     """
     cols = ["url", "html"]
     df = pages.select(*cols)
-    df = salted_repartition(df, "url", num_partitions)
+    # Extraction is map-only: by default the scan's split planning
+    # (spark.sql.files.maxPartitionBytes) levels partitions and the
+    # html NEVER crosses a shuffle — at 100 TB an exchange of the raw
+    # html column would be the single largest cost in the job. Pass
+    # num_partitions to force an explicit url-hash+salt layout (e.g.
+    # when the sink wants url-aligned buckets).
+    if num_partitions is not None:
+        df = salted_repartition(df, "url", num_partitions)
     out = df.mapInArrow(_extract_arrow_batches, EXTRACT_SCHEMA)
     if keep_columns:
         extra = pages.select("url", *keep_columns)

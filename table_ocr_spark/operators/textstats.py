@@ -53,15 +53,23 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ``0.4*min(n_tokens/100,1) + 0.3*(1-punct_ratio) + 0.3*stopword_ratio``
     rounded to 6 dp. Map-only: no shuffle; scales linearly.
     """
-    toks = tokens(F.col(text_col))
+    # bind tokens to a column first: several expressions below read the
+    # token array, and interpreted HOF evaluation would re-run the
+    # split+filter once per reference against a raw expression
+    toked = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks).cast("long")
-    n_chars = F.length(F.col(text_col)).cast("long")
+    n_chars = F.length("_t").cast("long")
     tok_chars = F.aggregate(
         F.transform(toks, lambda w: F.length(w).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", "")).cast("long")
+    punct = F.length(F.regexp_replace(F.col("_t"), r"[^.,;:!?]", "")).cast("long")
     sw = stopword_hits(toks, "en")
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = sw / F.greatest(n_tok, F.lit(1))
@@ -71,7 +79,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         + stop_ratio * 0.3,
         6,
     )
-    return df.select(
+    return toked.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_obs"),
@@ -87,7 +95,8 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     a real deployment would swap the pinned lists for fastText — the
     *plan shape* is what matters: map-only, codegen'd, no shuffle).
     """
-    toks = tokens(F.col(text_col))
+    df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     scores = {lg: stopword_hits(toks, lg) for lg in LANG_ORDER}
     en, de, fr = scores["en"], scores["de"], scores["fr"]
     pred = (
