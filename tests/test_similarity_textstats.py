@@ -1,0 +1,117 @@
+"""Similarity-search and text-analysis operators vs numpy / hand
+oracles, plus plan-shape assertions (broadcast, no cartesian)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from table_ocr_spark.operators.textstats import fingerprint, lang_id, token_stats
+
+VECS = [
+    # (vec_id, embedding, label)
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0], 0),
+    (2, [0.0, 1.0, 0.0], 1),
+    (3, [0.0, 0.95, 0.05], 1),
+    (4, [0.0, 0.0, 1.0], 2),
+    (5, [0.5, 0.5, 0.0], 0),
+    (6, [1.0, 0.01, 0.0], 0),
+]
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_python(spark, emb):
+    got = brute_force_topk(emb, [0], k=3).collect()
+    vecs = {v[0]: v[1] for v in VECS}
+    ranked = sorted(
+        ((_cos(vecs[0], v), -i) for i, v in vecs.items() if i != 0), reverse=True
+    )
+    expect_ids = [-x[1] for x in ranked[:3]]
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == expect_ids
+    top = sorted(got, key=lambda r: r["rank"])[0]
+    assert abs(top["score"] - round(_cos(vecs[0], vecs[top["neighbor_id"]]), 6)) < 1e-9
+
+
+def test_ivf_topk_searches_own_cell_only(spark, emb):
+    got = ivf_topk(emb, [0], k=5).collect()
+    # label-0 cell has vec_ids {1, 5, 6} besides the query
+    assert {r["neighbor_id"] for r in got} == {1, 5, 6}
+
+
+def test_cosine_near_dup_blocked_by_label(spark, emb):
+    dup = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    pairs = cosine_near_dup_pairs(emb.unionByName(dup), threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in got
+    # cross-label true near-dups are invisible by design (documented
+    # blocking tradeoff) — nothing with label!=label appears
+    vecs = {v[0]: (v[1], v[2]) for v in VECS}
+    for a, b in got:
+        if a in vecs and b in vecs:
+            assert vecs[a][1] == vecs[b][1]
+
+
+def test_token_stats_formulas(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat, on the mat!")], "doc_id long, text string"
+    )
+    r = token_stats(df).collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["n_chars_obs"] == 24
+    # tokens: the cat sat, on the mat! -> lengths 3+3+4+2+3+4 = 19
+    assert r["avg_token_len"] == round(19 / 6, 6)
+    assert r["punct_ratio"] == round(2 / 24, 6)
+    assert r["stopword_ratio"] == round(3 / 6, 6)  # the, on, the
+
+
+def test_lang_id_argmax_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),          # en
+            (2, "der Hund und die Katze ist"),   # de
+            (3, "le chat et la porte est"),      # fr
+            (4, "xyzzy plugh"),                  # none -> und
+            (5, "the der"),                      # tie en/de -> en (pinned)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und", 5: "en"}
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+    # mirror the pinned recurrence in python
+    mod = 1_000_000_007
+    acc = 0
+    for w in "alpha beta gamma".split():
+        acc = (acc * 131 + len(w) * 31 + ord(w[0])) % mod
+    assert fps[1] == acc
+
+
+def test_ann_uses_broadcast_not_shuffle(spark, emb):
+    plan = brute_force_topk(emb, [0], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

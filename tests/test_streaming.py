@@ -1,0 +1,150 @@
+"""Structured Streaming coverage: availableNow incremental extraction
+(file-source checkpoint progress), stateful sessionization
+(applyInPandasWithState, state carried across micro-batches), and the
+watermarked rollup."""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark.datagen.pages import write_pages_parquet
+from table_ocr_spark.streaming.incremental import incremental_extract
+from table_ocr_spark.streaming.sessionize import (
+    streaming_hourly_rollup,
+    streaming_sessionize,
+)
+
+
+def test_incremental_extract_processes_each_file_once(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_pages_parquet(str(src / "a.parquet"), n_docs=20, seed=1, dup_frac=0)
+    incremental_extract(spark, str(src), sink, ckpt)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 20
+
+    # second invocation with a NEW file: only the new file is processed
+    write_pages_parquet(str(src / "b.parquet"), n_docs=15, seed=2, dup_frac=0)
+    incremental_extract(spark, str(src), sink, ckpt)
+    n2 = spark.read.parquet(sink).count()
+    assert n2 == 35
+
+    # third invocation with nothing new: no duplicates
+    incremental_extract(spark, str(src), sink, ckpt)
+    assert spark.read.parquet(sink).count() == 35
+
+
+def _write_events(path: str, rows):
+    table = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, path)
+
+
+EV_SCHEMA = "user_id long, ts timestamp"
+
+
+def test_streaming_sessionize_state_across_batches(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def s(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    # batch 1: user 1 has a session (0,10) then a gap>30min then (50,)
+    _write_events(str(src / "b1.parquet"), [(1, s(0)), (1, s(10)), (1, s(50))])
+
+    def run():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    out1 = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(str(tmp_path / "out")).collect()
+    # only the FIRST session closed (the 50-min event opened a new one,
+    # still held in state)
+    assert len(out1) == 1
+    assert out1[0]["n_events"] == 2
+    assert out1[0]["session_start"] == s(0) and out1[0]["session_end"] == s(10)
+
+    # batch 2: an event 5 min after the open session extends it; one
+    # 2 hours later closes it — proving state survived the restart
+    _write_events(str(src / "b2.parquet"), [(1, s(55)), (1, s(175))])
+    run()
+    out2 = sorted(
+        spark.read.schema(
+            "user_id long, session_start timestamp, session_end timestamp, n_events long"
+        ).parquet(str(tmp_path / "out")).collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(out2) == 2
+    assert out2[1]["session_start"] == s(50) and out2[1]["session_end"] == s(55)
+    assert out2[1]["n_events"] == 2
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    src = tmp_path / "ev2"
+    src.mkdir()
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "click"), (2, t0 + dt.timedelta(minutes=30), "click"),
+        (3, t0 + dt.timedelta(hours=1, minutes=5), "view"),
+    ]
+    table = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(src / "a.parquet"))
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(str(src))
+    q = (
+        streaming_hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["hour_ts"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+    # append mode only emits windows the watermark has passed; with
+    # availableNow the final watermark is max(ts) - 2h -> the 12:00
+    # window may or may not be closed. Assert against the batch twin
+    # restricted to emitted windows.
+    batch = (
+        spark.read.parquet(str(src / "a.parquet"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_ts"), "event_type", "n")
+    ).collect()
+    expect = {(r["hour_ts"], r["event_type"]): r["n"] for r in batch}
+    for k, v in got.items():
+        assert expect[k] == v
