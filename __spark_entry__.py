@@ -447,6 +447,72 @@ def q_markdown_table_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select("doc_id", F.col("r.k").alias("k"), F.col("r.v").alias("v"))
 
 
+def q_results_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core result structure — ``results[page][sample]``
+    JSON payloads (``ui/dataframe_utils.py:67-122``, S4) — decoded the
+    Spark way: posexplode×2 for (page, sample), from_json for the
+    payload, posexplode for positional row identity (J5/W2: row order
+    comes from array position, never physical row order)."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def payload(p: int, s: int):
+        return F.concat(
+            F.lit('{"table": [{"name": "'),
+            F.col("lang"),
+            F.lit(f'", "val": '),
+            (F.col("n_chars") + p).cast("string"),
+            F.lit('}, {"name": "'),
+            F.col("source"),
+            F.lit('", "val": '),
+            (F.col("n_chars") * s).cast("string"),
+            F.lit("}]}"),
+        )
+
+    results = F.array(
+        *[F.array(*[payload(p, s) for s in (1, 2)]) for p in (1, 2)]
+    )
+    pages = docs.select("doc_id", F.posexplode(results).alias("_p", "_page_arr"))
+    samples = pages.select(
+        "doc_id", "_p", F.posexplode("_page_arr").alias("_s", "_payload")
+    )
+    parsed = samples.select(
+        "doc_id",
+        (F.col("_p") + 1).cast("long").alias("page"),
+        (F.col("_s") + 1).cast("long").alias("sample"),
+        F.from_json(
+            "_payload", "table array<struct<name:string,val:long>>"
+        ).alias("_doc"),
+    )
+    rows = parsed.select(
+        "doc_id", "page", "sample", F.posexplode("_doc.table").alias("row_index", "r")
+    )
+    return rows.select(
+        "doc_id", "page", "sample",
+        F.col("row_index").cast("long").alias("row_index"),
+        F.col("r.name").alias("name"),
+        F.col("r.val").alias("val"),
+    )
+
+
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text"))).cast("long")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(
+            F.length("text").cast("long") / F.greatest(bpe, F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.multimodal import image_metadata
 
@@ -532,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_host_agg": q_salted_host_agg,
         "markdown_table_parse": q_markdown_table_parse,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "results_payload_decode": q_results_payload_decode,
+        "token_counts": q_token_counts,
     }
 
 
@@ -899,6 +967,26 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, 'lang' AS k, lang AS v FROM documents
       UNION ALL
       SELECT doc_id, 'source', source FROM documents
+    """
+
+    sql["results_payload_decode"] = """
+      SELECT doc_id, p.p AS page, s.s AS sample, r.r AS row_index,
+             CASE WHEN r.r = 0 THEN lang ELSE source END AS name,
+             CAST(CASE WHEN r.r = 0 THEN n_chars + p.p ELSE n_chars * s.s END AS BIGINT) AS val
+      FROM documents,
+           (SELECT unnest(generate_series(1, 2)) AS p) p,
+           (SELECT unnest(generate_series(1, 2)) AS s) s,
+           (SELECT unnest(generate_series(0, 1)) AS r) r
+    """
+
+    sql["token_counts"] = """
+      SELECT doc_id,
+             CAST(len(list_filter(str_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+             round(CAST(length(text) AS DOUBLE) /
+                   greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT), 1), 6)
+             AS chars_per_token
+      FROM documents
     """
 
     sql["multimodal_image_meta"] = """

@@ -17,6 +17,12 @@ reference — ``ocr_pdf``/``create_batch_ocr_job``/``get_job_state``/
 - :func:`run_pipeline`           — checkpointed, lineage-tracked run
 """
 
+from table_ocr_spark.api import (
+    create_extraction_run,
+    extract_pages,
+    get_run_state,
+    read_run_results,
+)
 from table_ocr_spark.operators.extract import extract_documents, extract_text_udf
 from table_ocr_spark.operators.vote import sample_majority_vote
 from table_ocr_spark.plans.lineage import run_pipeline
@@ -26,6 +32,11 @@ __all__ = [
     "extract_text_udf",
     "sample_majority_vote",
     "run_pipeline",
+    # reference API parity (table_ocr/__init__.py:9-17)
+    "extract_pages",
+    "create_extraction_run",
+    "get_run_state",
+    "read_run_results",
 ]
 
 __version__ = "0.1.0"

@@ -79,3 +79,90 @@ def image_metadata(images: DataFrame) -> DataFrame:
             )
 
     return images.select("url", "payload").mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _encode_fake(w: int, h: int, mean: float) -> bytes:
+    return _FAKE_MAGIC + struct.pack("<HH", w, h) + struct.pack("<f", mean)
+
+
+def resize_images(images: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Aspect-preserving downscale (reference analogue: the DPI render /
+    grayscale transforms of ``table_ocr/core.py:147-153, 197-205``).
+    The pixel resample itself is STUBBED for FAKEIMG payloads (real path
+    would call PIL.Image.thumbnail inside this same kernel); the Spark
+    plumbing — Arrow batching, binary-in/binary-out, metadata columns —
+    is real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, mean = _decode_image(b)
+                scale = min(1.0, max_dim / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                rows.append((url, _encode_fake(nw, nh, mean), nw, nh))
+            yield pd.DataFrame(rows, columns=["url", "payload", "width", "height"])
+
+    return images.select("url", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+_FAKE_VIDEO_MAGIC = b"FAKEVID"
+
+
+def encode_fake_video(frames: list) -> bytes:
+    """Deterministic fake container: FAKEVID<n:u16> then n frames of
+    FAKEIMG payloads, each length-prefixed (u32)."""
+    out = [_FAKE_VIDEO_MAGIC, struct.pack("<H", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def sample_frames(videos: DataFrame, every_nth: int = 2) -> DataFrame:
+    """1→N frame sampling (``mapInPandas`` UDTF shape — the reference's
+    page explode, ``table_ocr/core.py:158-215``, for the video
+    modality). Decode is STUBBED for FAKEVID containers; a real build
+    swaps in pyav/ffmpeg INSIDE this kernel, the plan is unchanged."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(_FAKE_VIDEO_MAGIC):
+                    raise NotImplementedError(
+                        "video decode requires pyav/ffmpeg (absent in this "
+                        "container); use FAKEVID payloads in tests"
+                    )
+                (n,) = struct.unpack("<H", b[7:9])
+                off = 9
+                for i in range(n):
+                    (ln,) = struct.unpack("<I", b[off : off + 4])
+                    off += 4
+                    frame = b[off : off + ln]
+                    off += ln
+                    if i % every_nth == 0:
+                        rows.append((url, i, frame))
+            yield pd.DataFrame(rows, columns=["url", "frame_idx", "frame"])
+
+    return videos.select("url", "payload").mapInPandas(kernel, FRAME_SCHEMA)
