@@ -494,6 +494,28 @@ def q_results_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout segmentation end-to-end: documents rendered as
+    positioned-span FAKEPDF pages, geometry-segmented back (kernel/
+    layout.py) — paragraph reading order and the 2x2 table grid are
+    recovered exactly (north star: 'table-region detection via
+    row/column grid reconstruction from cell bounding geometry')."""
+    from table_ocr_spark.operators.docpages import (
+        doc_id_from_url,
+        documents_as_fake_pdfs,
+    )
+    from table_ocr_spark.operators.extract import extract_pdf_documents
+
+    pdfs = documents_as_fake_pdfs(_read(spark, sf_dir, "documents"))
+    out = extract_pdf_documents(pdfs)
+    return out.select(
+        doc_id_from_url(F.col("url")).alias("doc_id"),
+        "extracted_text",
+        F.col("n_tables").cast("long").alias("n_tables"),
+        F.size("cells").cast("long").alias("n_cells"),
+    )
+
+
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -600,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "results_payload_decode": q_results_payload_decode,
         "token_counts": q_token_counts,
+        "pdf_extract": q_pdf_extract,
     }
 
 
@@ -967,6 +990,12 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, 'lang' AS k, lang AS v FROM documents
       UNION ALL
       SELECT doc_id, 'source', source FROM documents
+    """
+
+    sql["pdf_extract"] = """
+      SELECT doc_id, text AS extracted_text,
+             CAST(1 AS BIGINT) AS n_tables, CAST(4 AS BIGINT) AS n_cells
+      FROM documents
     """
 
     sql["results_payload_decode"] = """

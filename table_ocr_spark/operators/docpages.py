@@ -84,3 +84,49 @@ def expected_source_cell(docs: DataFrame) -> DataFrame:
 
 def doc_id_from_url(url_col) -> F.Column:
     return F.regexp_extract(url_col, r"^doc:(\d+)$", 1).cast("long")
+
+
+def documents_as_fake_pdfs(docs: DataFrame) -> DataFrame:
+    """documents -> (url, payload) FAKEPDF pages: the text flowed as
+    proportional spans (8 px/char, 6 px word gap, 8 words/line) plus a
+    2x2 key/value table in a gap-separated block below. Layout is
+    closed-form, so extraction has an exact oracle: extracted_text ==
+    text, one table, four cells."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def _fake_pdf_udf(text, lang, source):  # type: ignore[no-untyped-def]
+        from table_ocr_spark.kernel.layout import encode_fake_pdf
+
+        out = []
+        for t, lg, src in zip(text, lang, source):
+            spans = []
+            x0, y0, lh, per = 20.0, 20.0, 12.0, 8
+            cx, line = x0, 0
+            words = t.split(" ")
+            for i, w in enumerate(words):
+                if i and i % per == 0:
+                    line += 1
+                    cx = x0
+                wpx = 8.0 * len(w)
+                yy = y0 + line * lh
+                spans.append(
+                    {"x0": cx, "y0": yy, "x1": cx + wpx, "y1": yy + 10.0, "text": w}
+                )
+                cx += wpx + 6.0
+            ty = y0 + (line + 1) * lh + 60.0
+            for r, (k, v) in enumerate((("lang", lg), ("source", src))):
+                for c, cell in enumerate((k, v)):
+                    sx = 20.0 + c * 150.0
+                    spans.append(
+                        {"x0": sx, "y0": ty + r * 14.0, "x1": sx + 8.0 * len(cell),
+                         "y1": ty + r * 14.0 + 10.0, "text": cell}
+                    )
+            out.append(encode_fake_pdf([spans]))
+        return pd.Series(out)
+
+    return docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        _fake_pdf_udf("text", "lang", "source").alias("payload"),
+    )

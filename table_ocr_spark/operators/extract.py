@@ -94,6 +94,52 @@ def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Rec
         )
 
 
+def _extract_pdf_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Arrow-batch driver for the PDF layout kernel (same contract as
+    :func:`_extract_arrow_batches`, different parser)."""
+    from table_ocr_spark.kernel.layout import extract_pdf
+
+    for batch in batches:
+        urls = batch.column("url")
+        payloads = batch.column("html").to_pylist()
+        texts: List[str] = []
+        cells_col: List[List[dict]] = []
+        n_tables: List[int] = []
+        for p in payloads:
+            if p is None:
+                texts.append("")
+                cells_col.append([])
+                n_tables.append(0)
+                continue
+            r = extract_pdf(p)
+            texts.append(r.text)
+            cells_col.append(r.cells_as_dicts())
+            n_tables.append(r.n_tables)
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls,
+                pa.array(texts, pa.string()),
+                pa.array(cells_col, pa.list_(_PA_CELL)),
+                pa.array(n_tables, pa.int32()),
+            ],
+            names=["url", "extracted_text", "cells", "n_tables"],
+        )
+
+
+def extract_pdf_documents(
+    pages: DataFrame,
+    num_partitions: Optional[int] = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """PDF-layout twin of :func:`extract_documents`: ``(url, payload)``
+    → ``(url, extracted_text, cells, n_tables)`` via the geometry
+    segmentation kernel (kernel/layout.py). Map-only by default."""
+    df = pages.select("url", F.col(payload_col).alias("html"))
+    if num_partitions is not None:
+        df = salted_repartition(df, "url", num_partitions)
+    return df.mapInArrow(_extract_pdf_arrow_batches, EXTRACT_SCHEMA)
+
+
 def host_of(url_col) -> F.Column:
     """Host component of a url column (cheap regexp, codegen'd)."""
     return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
@@ -113,6 +159,52 @@ def salted_repartition(
     if num_partitions:
         return df.repartition(num_partitions, F.xxhash64(F.col(key)), salt)
     return df.repartition(F.xxhash64(F.col(key)), salt)
+
+
+def hot_hosts(
+    df: DataFrame, url_col: str = "url", hot_share: float = 0.05
+) -> list:
+    """Hosts holding more than ``hot_share`` of all rows, found with one
+    cheap count aggregation (map-side combine; shuffle rows = number of
+    distinct hosts, not documents). The result is by construction a
+    short list (at most 1/hot_share entries), safe to collect and
+    embed as a literal filter."""
+    counts = (
+        df.groupBy(host_of(F.col(url_col)).alias("_host"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .cache()
+    )
+    total = counts.agg(F.sum("_n")).first()[0] or 0
+    if total == 0:
+        return []
+    rows = counts.filter(F.col("_n") > total * hot_share).collect()
+    return [r["_host"] for r in rows]
+
+
+def skew_aware_repartition(
+    df: DataFrame,
+    url_col: str = "url",
+    num_partitions: Optional[int] = None,
+    hot_share: float = 0.05,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Host-keyed layout with explicit hot-host salting (the north
+    rule's skew strategy): normal hosts are partitioned by host — one
+    locality-preserving bucket per host — while any host exceeding
+    ``hot_share`` of the corpus is spread over ``salt_buckets`` salts.
+    Web corpora are Zipfian in host; without the salt a single hot
+    host becomes one straggler partition that serializes the whole
+    stage at 1000 executors. (AQE fixes skewed *join* sides; a skewed
+    *kernel compute* partition needs this manual salt.)"""
+    hosts = hot_hosts(df, url_col, hot_share)
+    host = host_of(F.col(url_col))
+    salt = F.when(
+        host.isin(hosts),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets)),
+    ).otherwise(F.lit(0))
+    if num_partitions:
+        return df.repartition(num_partitions, host, salt)
+    return df.repartition(host, salt)
 
 
 def extract_documents(

@@ -1,0 +1,104 @@
+"""PDF layout-segmentation kernel + Spark operator: line clustering,
+block splitting, table-region detection from cell geometry, reading
+order, and the mapInArrow pipeline."""
+
+import pytest
+
+from table_ocr_spark.kernel.layout import (
+    Span,
+    encode_fake_pdf,
+    extract_pdf,
+    parse_pdf_payload,
+    segment_page,
+)
+
+
+def sp(x0, y0, text, w=None, h=10):
+    w = w if w is not None else 8 * len(text)
+    return {"x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + h, "text": text}
+
+
+def para_spans(words, x=20, y=20, per_line=4, lh=12):
+    # flowing text: x advances by span width + word gap (ragged right,
+    # like proportional fonts — only the left margin aligns)
+    out = []
+    cx, line = x, 0
+    for i, w in enumerate(words):
+        if i and i % per_line == 0:
+            line += 1
+            cx = x
+        s = sp(cx, y + line * lh, w)
+        out.append(s)
+        cx = s["x1"] + 6
+    return out
+
+
+def table_spans(rows, x=20, y=200, col_w=90, lh=14):
+    out = []
+    for r, row in enumerate(rows):
+        for c, cell in enumerate(row):
+            out.append(sp(x + c * col_w, y + r * lh, cell))
+    return out
+
+
+PARA = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+TABLE = [["name", "city"], ["Huber", "Munich"], ["Meier", "Berlin"]]
+
+
+def test_segment_paragraph_and_table():
+    spans = [Span(**s) for s in para_spans(PARA) + table_spans(TABLE)]
+    texts, cells, n_tables = segment_page(spans)
+    assert texts == ["alpha beta gamma delta epsilon zeta"]
+    assert n_tables == 1
+    grid = {(c.row, c.col): c.text for c in cells}
+    assert grid[(0, 0)] == "name" and grid[(0, 1)] == "city"
+    assert grid[(2, 0)] == "Meier" and grid[(2, 1)] == "Berlin"
+
+
+def test_two_blocks_split_by_gap():
+    a = para_spans(["one", "two"], y=20, per_line=2)
+    b = para_spans(["three", "four"], y=100, per_line=2)
+    texts, cells, n = segment_page([Span(**s) for s in a + b])
+    assert texts == ["one two", "three four"]
+    assert n == 0
+
+
+def test_ragged_lines_are_not_a_table():
+    # wrapped paragraph: one span per line, left-aligned -> 1 shared
+    # column bin only -> not a table
+    spans = [Span(**sp(20, 20 + i * 12, f"word{i} word{i}b")) for i in range(4)]
+    texts, cells, n = segment_page(spans)
+    assert n == 0 and len(texts) == 1
+
+
+def test_multi_page_and_roundtrip():
+    payload = encode_fake_pdf(
+        [para_spans(PARA), table_spans(TABLE, y=20)]
+    )
+    pages = parse_pdf_payload(payload)
+    assert len(pages) == 2
+    r = extract_pdf(payload)
+    assert r.text == "alpha beta gamma delta epsilon zeta"
+    assert r.n_tables == 1
+    assert len(r.cells) == 6
+
+
+def test_spark_pdf_pipeline(spark):
+    from table_ocr_spark.operators.extract import extract_pdf_documents
+
+    rows = [
+        ("p1", encode_fake_pdf([para_spans(PARA) + table_spans(TABLE)])),
+        ("p2", encode_fake_pdf([para_spans(["solo", "page"], per_line=2)])),
+        ("p3", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in extract_pdf_documents(df).collect()}
+    assert got["p1"]["extracted_text"] == "alpha beta gamma delta epsilon zeta"
+    assert got["p1"]["n_tables"] == 1 and len(got["p1"]["cells"]) == 6
+    assert got["p2"]["extracted_text"] == "solo page"
+    assert got["p3"]["extracted_text"] == "" and got["p3"]["n_tables"] == 0
+
+
+def test_unknown_payload_raises():
+    with pytest.raises(NotImplementedError):
+        parse_pdf_payload(b"%PDF-1.7 not really")
