@@ -1,0 +1,132 @@
+"""Dynamic output-schema compilation + payload decoding — the
+reference's core user-facing data path, re-expressed on Spark types.
+
+Reference parity:
+- ``SchemaField``/``OutputSchema`` (``ui/models.py:45-190``): a flat,
+  user-declared schema of STRING|INTEGER|BOOLEAN|NUMBER fields with a
+  ``required`` flag, always wrapped as ``{"table": ARRAY<OBJECT>}``
+  (``ui/models.py:164-178``, ``table_ocr/config.py:55-99``). The
+  reference compiles it to a Pydantic model / genai Schema at runtime;
+  here it compiles to a ``StructType`` the same way.
+- Payload decode (``table_ocr/batch.py:456-501``, K4): fence strip (F1)
+  → JSON parse → permissive coercion (``strict=False``) → one row per
+  table entry with provenance columns. Here: ``regexp_replace`` +
+  ``from_json`` in PERMISSIVE mode (mis-typed values become null, rows
+  never reject the batch) → ``posexplode`` for positional row identity
+  (W2 — array position, never physical order).
+
+Everything is JVM-side; the dynamic schema only shapes the plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ui/models.py:104-109 / table_ocr/pydantic_schemas.py:155-161
+_TYPE_MAP = {
+    "STRING": T.StringType(),
+    "INTEGER": T.LongType(),
+    "BOOLEAN": T.BooleanType(),
+    "NUMBER": T.DoubleType(),
+}
+
+
+@dataclass(frozen=True)
+class SchemaField:
+    """≙ ``ui/models.py:45-65``."""
+
+    name: str
+    field_type: str = "STRING"
+    required: bool = False
+
+    def spark_type(self) -> T.DataType:
+        try:
+            return _TYPE_MAP[self.field_type]
+        except KeyError:
+            raise ValueError(
+                f"unsupported field type {self.field_type!r}; "
+                f"one of {sorted(_TYPE_MAP)}"
+            ) from None
+
+
+def build_row_schema(fields: Sequence[SchemaField]) -> T.StructType:
+    """Compile the flat row schema (≙ the Pydantic build at
+    ``ui/models.py:90-134``). Optional fields are nullable — the
+    reference defaults them to None (``ui/models.py:120-121``)."""
+    return T.StructType(
+        [
+            T.StructField(f.name, f.spark_type(), nullable=True)
+            for f in fields
+        ]
+    )
+
+
+def build_payload_schema(fields: Sequence[SchemaField]) -> T.StructType:
+    """The fixed one-level wrapper ``{"table": ARRAY<OBJECT>}``
+    (``ui/models.py:164-178``); no deeper nesting exists by design
+    (``ui/models.py:180-189``)."""
+    return T.StructType(
+        [T.StructField("table", T.ArrayType(build_row_schema(fields)))]
+    )
+
+
+def strip_fences_col(col: Column) -> Column:
+    """F1 as a codegen'd expression: strip a leading ```` ```lang ````
+    fence and a trailing ```` ``` ```` (JVM twin of
+    ``kernel.textops.strip_json_codeblock``)."""
+    s = F.trim(col)
+    s = F.regexp_replace(s, r"^```[A-Za-z0-9_-]*\n?", "")
+    s = F.regexp_replace(s, r"```$", "")
+    return F.trim(s)
+
+
+def decode_table_payload(
+    df: DataFrame,
+    fields: Sequence[SchemaField],
+    payload_col: str = "payload",
+    provenance: Optional[List[str]] = None,
+) -> DataFrame:
+    """Payload strings → typed rows (≙ ``parse_table_ocr_into_dataframe``,
+    ``table_ocr/batch.py:456-501``): provenance columns ride along,
+    ``row_index`` is the table-array position, and malformed payloads
+    yield zero rows for that document (the reference's skip-and-log,
+    ``batch.py:472-493``) rather than failing the job."""
+    provenance = provenance if provenance is not None else []
+    schema = build_payload_schema(fields)
+    parsed = df.select(
+        *provenance,
+        F.from_json(
+            strip_fences_col(F.col(payload_col)),
+            schema,
+            {"mode": "PERMISSIVE"},
+        ).alias("_doc"),
+    )
+    rows = parsed.select(
+        *provenance, F.posexplode_outer("_doc.table").alias("row_index", "_r")
+    ).filter(F.col("_r").isNotNull())
+    return rows.select(
+        *provenance,
+        F.col("row_index").cast("long").alias("row_index"),
+        *[F.col(f"_r.{f.name}").alias(f.name) for f in fields],
+    )
+
+
+def required_violations(
+    decoded: DataFrame, fields: Sequence[SchemaField]
+) -> DataFrame:
+    """Rows where a ``required`` field is null (the reference coerces
+    rather than rejects — ``strict=False`` — so validation is a
+    separate, queryable concern)."""
+    req = [f.name for f in fields if f.required]
+    if not req:
+        return decoded.limit(0)
+    cond = None
+    for name in req:
+        c = F.col(name).isNull()
+        cond = c if cond is None else (cond | c)
+    return decoded.filter(cond)

@@ -1,0 +1,120 @@
+"""Catalog layer: projects / prompts / schemas dimension entities.
+
+Reference parity: ``ui/storage.py`` persists three JSON lists keyed by
+unique ``name`` with read-all / filter / rewrite CRUD
+(``storage.py:41-123``); ``ui/models.py:192-247`` defines the records;
+projects resolve their prompt/schema by name lookup at use time
+(``ui/pages/projects.py:174-175``, J3).
+
+Here each catalog is a name-keyed parquet table; lookups are broadcast
+hash joins (the tables are O(10)-O(1000) rows — never let a dimension
+this size drive a shuffle of the fact side), upsert is
+read-modify-write keyed on ``name`` (the reference rewrites the whole
+JSON file, ``storage.py:54-66``; snapshot isolation comes from
+writing a fresh directory per version under Iceberg this is a plain
+``MERGE INTO``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CATALOGS = ("projects", "prompts", "schemas")
+
+_SCHEMAS = {
+    # ui/models.py:192-247 — flattened records; schema fields ride as a
+    # JSON string (the reference stores them nested in the same file)
+    "projects": T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("prompt_name", T.StringType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("created_at", T.TimestampType()),
+        ]
+    ),
+    "prompts": T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("text", T.StringType()),
+            T.StructField("created_at", T.TimestampType()),
+        ]
+    ),
+    "schemas": T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("fields_json", T.StringType()),
+            T.StructField("created_at", T.TimestampType()),
+        ]
+    ),
+}
+
+
+class CatalogStore:
+    """≙ ``DataStore`` (``ui/storage.py:11-123``)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, catalog: str) -> str:
+        if catalog not in CATALOGS:
+            raise ValueError(f"unknown catalog {catalog!r}")
+        return os.path.join(self.root, catalog)
+
+    def read(self, catalog: str) -> DataFrame:
+        """read-all (``storage.py:41-44``); empty catalog -> empty df."""
+        path = self._path(catalog)
+        try:
+            return self.spark.read.schema(_SCHEMAS[catalog]).parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], _SCHEMAS[catalog])
+
+    def get(self, catalog: str, name: str) -> Optional[dict]:
+        """name lookup (``storage.py:46-52``)."""
+        rows = self.read(catalog).filter(F.col("name") == name).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def upsert(self, catalog: str, rows: list[dict]) -> None:
+        """insert-or-replace by name (``storage.py:54-66`` rewrites the
+        file; same read-modify-write here, name-deduped — U4)."""
+        incoming = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in _SCHEMAS[catalog].fields) for r in rows],
+            _SCHEMAS[catalog],
+        )
+        existing = self.read(catalog)
+        merged = incoming.unionByName(
+            existing.join(incoming.select("name"), "name", "left_anti")
+        ).dropDuplicates(["name"])
+        # write to a fresh versioned dir then repoint would give snapshot
+        # isolation; plain overwrite is adequate for O(10)-row catalogs
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(self._path(catalog))
+        merged.unpersist()
+
+    def delete(self, catalog: str, name: str) -> None:
+        """≙ ``storage.py:112-123``."""
+        kept = self.read(catalog).filter(F.col("name") != name)
+        kept.cache().count()
+        kept.write.mode("overwrite").parquet(self._path(catalog))
+        kept.unpersist()
+
+
+def resolve_projects(store: CatalogStore) -> DataFrame:
+    """Projects with their prompt text and schema fields resolved by
+    name — the J3 lookup join (``ui/pages/projects.py:174-175``) as
+    broadcast hash joins."""
+    projects = store.read("projects")
+    prompts = store.read("prompts").select(
+        F.col("name").alias("prompt_name"), F.col("text").alias("prompt_text")
+    )
+    schemas = store.read("schemas").select(
+        F.col("name").alias("schema_name"), "fields_json"
+    )
+    return projects.join(F.broadcast(prompts), "prompt_name", "left").join(
+        F.broadcast(schemas), "schema_name", "left"
+    )

@@ -60,3 +60,32 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_jsonl_many(spark: SparkSession, paths: list, tag_file: bool = True) -> DataFrame:
+    """Multi-file combine (S5, ``combine_multiple_results``,
+    ``ui/dataframe_utils.py:125-201``): N result files read as one
+    DataFrame, each row tagged with its source file — the reference's
+    per-file loop + error list becomes ``input_file_name()`` +
+    ``_corrupt_record`` rows."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(list(paths))
+    )
+    if tag_file:
+        df = df.withColumn("file", F.input_file_name())
+    return df
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export sink (S8, ``ui/utils.py:224-239``)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (S9, ``table_ocr/batch.py:153-161`` request files —
+    Spark's JSON writer emits one JSON object per line natively)."""
+    df.write.mode(mode).json(path)

@@ -1,0 +1,92 @@
+"""Dynamic schema compilation + payload decode (the reference's core
+data path) and the catalog CRUD/resolve layer."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from table_ocr_spark.functions.schema_builder import (
+    SchemaField,
+    build_payload_schema,
+    build_row_schema,
+    decode_table_payload,
+    required_violations,
+)
+from table_ocr_spark.sources.catalog import CatalogStore, resolve_projects
+
+FIELDS = [
+    SchemaField("name", "STRING", required=True),
+    SchemaField("jahr", "INTEGER"),
+    SchemaField("aktiv", "BOOLEAN"),
+    SchemaField("betrag", "NUMBER"),
+]
+
+
+def test_build_schema_types():
+    row = build_row_schema(FIELDS)
+    assert [f.dataType for f in row.fields] == [
+        T.StringType(), T.LongType(), T.BooleanType(), T.DoubleType()
+    ]
+    payload = build_payload_schema(FIELDS)
+    assert isinstance(payload["table"].dataType, T.ArrayType)
+    with pytest.raises(ValueError):
+        SchemaField("x", "ARRAY").spark_type()
+
+
+def test_decode_table_payload_permissive(spark):
+    rows = [
+        # fenced payload, 2 rows (fence strip = F1)
+        ("u1", '```json\n{"table": [{"name": "Huber", "jahr": 1876, '
+               '"aktiv": true, "betrag": 1.5}, {"name": "Meier"}]}\n```'),
+        # mis-typed jahr -> null, row kept (strict=False coercion)
+        ("u2", '{"table": [{"name": "Kunz", "jahr": "seventeen"}]}'),
+        # malformed payload -> zero rows, job survives (skip-and-log)
+        ("u3", "not json at all"),
+        # required field missing -> row kept, flagged by validator
+        ("u4", '{"table": [{"jahr": 1900}]}'),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload string")
+    out = decode_table_payload(df, FIELDS, provenance=["url"])
+    got = {(r["url"], r["row_index"]): r for r in out.collect()}
+    assert got[("u1", 0)]["name"] == "Huber" and got[("u1", 0)]["jahr"] == 1876
+    assert got[("u1", 0)]["betrag"] == 1.5 and got[("u1", 0)]["aktiv"] is True
+    assert got[("u1", 1)]["name"] == "Meier" and got[("u1", 1)]["jahr"] is None
+    assert got[("u2", 0)]["jahr"] is None  # coerced, not rejected
+    assert not any(u == "u3" for (u, _) in got)
+    viol = required_violations(out, FIELDS).collect()
+    assert [(r["url"], r["row_index"]) for r in viol] == [("u4", 0)]
+
+
+def test_catalog_crud_and_resolve(spark, tmp_path):
+    store = CatalogStore(spark, str(tmp_path / "cat"))
+    now = dt.datetime(2024, 1, 1)
+    assert store.read("projects").count() == 0
+    assert store.get("prompts", "p1") is None
+
+    store.upsert("prompts", [{"name": "p1", "text": "extract the table", "created_at": now}])
+    store.upsert("schemas", [{"name": "s1", "fields_json": '[{"name":"name"}]', "created_at": now}])
+    store.upsert("projects", [
+        {"name": "lmu", "prompt_name": "p1", "schema_name": "s1", "created_at": now},
+        {"name": "feldmoching", "prompt_name": "p1", "schema_name": "missing", "created_at": now},
+    ])
+
+    # upsert replaces by name (U4 dedup-on-insert)
+    store.upsert("prompts", [{"name": "p1", "text": "v2 prompt", "created_at": now}])
+    assert store.read("prompts").count() == 1
+    assert store.get("prompts", "p1")["text"] == "v2 prompt"
+
+    resolved = {r["name"]: r for r in resolve_projects(store).collect()}
+    assert resolved["lmu"]["prompt_text"] == "v2 prompt"
+    assert resolved["lmu"]["fields_json"] == '[{"name":"name"}]'
+    assert resolved["feldmoching"]["fields_json"] is None  # left join
+
+    store.delete("projects", "feldmoching")
+    assert store.read("projects").count() == 1
+
+    # the resolve join must be broadcast (J3: never shuffle on a dim)
+    plan = resolve_projects(store)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError):
+        store.read("nope")
