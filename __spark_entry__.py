@@ -319,9 +319,12 @@ def q_json_fence_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_page_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
+    # literals cast to TIMESTAMP_NTZ: the parquet ts column is NTZ, and
+    # an LTZ literal would make the comparison depend on the (driver's)
+    # session time zone
     return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
         & (F.col("event_type") == "purchase")
     ).select("event_id", "ts", "user_id", "value")
 

@@ -44,9 +44,15 @@ def normalize_text(s: str) -> str:
 
     This is THE single definition of "normalized text" for the whole
     engine; both the golden generator and the Spark UDFs call it.
+
+    ASCII fast path: NFC is the identity on ASCII and every key of the
+    fold/drop table is non-ASCII, so skipping both steps is exactly
+    equivalent — and this function is the kernel's hottest call (once
+    per block and per table cell).
     """
-    s = unicodedata.normalize("NFC", s)
-    s = s.translate(_SPACE_TRANS)
+    if not s.isascii():
+        s = unicodedata.normalize("NFC", s)
+        s = s.translate(_SPACE_TRANS)
     s = _WS_RUN.sub(" ", s)
     return s.strip()
 
