@@ -145,6 +145,19 @@ def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_majority_vote(samp, ["doc_id"], n_samples=VOTE_N_SAMPLES)
 
 
+def q_majority_vote_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ambiguous-branch ``resolve_group`` path of the vote
+    (``table_ocr/parser.py:100-110``): ambiguous groups re-vote per
+    (key, resolve_group) instead of collapsing."""
+    from table_ocr_spark.operators.vote import sample_majority_vote
+
+    samp = _vote_samples(spark, sf_dir)
+    out = sample_majority_vote(
+        samp, ["doc_id"], n_samples=VOTE_N_SAMPLES, resolve_group="sample"
+    )
+    return out.withColumn("sample", F.col("sample").cast("long"))
+
+
 def q_vote_ambiguity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = _vote_samples(spark, sf_dir)
     sizes = samp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_gs"))
@@ -597,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "extract_cells": q_extract_cells,
         "majority_vote": q_majority_vote,
+        "majority_vote_resolved": q_majority_vote_resolved,
         "vote_ambiguity_split": q_vote_ambiguity_split,
         "latest_event_per_user": q_latest_event_per_user,
         "hourly_event_rollup": q_hourly_event_rollup,
@@ -752,6 +766,28 @@ def oracle_sql() -> dict[str, str]:
              CAST(r.cnt AS DOUBLE) / r.tot AS lang_vote_agreement,
              r.tot AS n_samples, (s.gs > 3) AS ambiguous
       FROM ranked r JOIN sizes s USING (doc_id) WHERE r.rn = 1
+    """
+
+    sql["majority_vote_resolved"] = f"""
+      WITH samp AS ({_VOTE_SAMPLES_SQL}),
+      sizes AS (SELECT doc_id, count(*) AS gs FROM samp GROUP BY doc_id),
+      counts AS (SELECT s.doc_id, s.lang_vote, count(*) AS cnt
+                 FROM samp s JOIN sizes z USING (doc_id) WHERE z.gs <= 3
+                 GROUP BY s.doc_id, s.lang_vote),
+      ranked AS (SELECT doc_id, lang_vote, cnt,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY cnt DESC, lang_vote ASC NULLS LAST) AS rn,
+                        CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+                 FROM counts)
+      SELECT doc_id, CAST(NULL AS BIGINT) AS sample, lang_vote,
+             CAST(cnt AS DOUBLE) / tot AS lang_vote_agreement,
+             tot AS n_samples, FALSE AS ambiguous
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      -- ambiguous docs re-voted per (doc_id, sample): singleton groups
+      SELECT s.doc_id, CAST(s.smp AS BIGINT), s.lang_vote,
+             CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT), TRUE
+      FROM samp s JOIN sizes z USING (doc_id) WHERE z.gs > 3
     """
 
     sql["vote_ambiguity_split"] = f"""
