@@ -415,6 +415,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(_emb_corpus(spark, sf_dir), threshold=NEAR_DUP_T)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import gopher_quality
+
+    return gopher_quality(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from table_ocr_spark.operators.similarity import hyperplane_near_dup_pairs
+
+    return hyperplane_near_dup_pairs(_emb_corpus(spark, sf_dir), threshold=NEAR_DUP_T)
+
+
 def q_salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.functions.sqlfuncs import salted_agg
 
@@ -634,6 +652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "quality_filter": q_quality_filter,
+        "doc_repetition": q_doc_repetition,
         "salted_host_agg": q_salted_host_agg,
         "markdown_table_parse": q_markdown_table_parse,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -1015,6 +1036,69 @@ def oracle_sql() -> dict[str, str]:
              round(list_dot_product(a.vec, b.vec) /
                    (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vec, b.vec) /
+            (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+            >= 0.99
+    """
+
+    sql["quality_filter"] = f"""
+      WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   coalesce(CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS BIGINT), 0) AS tok_chars,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS symbols
+            FROM t),
+      d AS (SELECT doc_id, n_tokens,
+                   CAST(tok_chars AS DOUBLE) / greatest(n_tokens, 1) AS avg_len,
+                   CAST(symbols AS DOUBLE) / greatest(n_chars, 1) AS sym_ratio
+            FROM m)
+      SELECT doc_id, n_tokens,
+             round(avg_len, 6) AS avg_token_len,
+             round(sym_ratio, 6) AS symbol_ratio,
+             (n_tokens >= 10 AND n_tokens <= 100000) AS passes_length,
+             (avg_len >= 2.0 AND avg_len <= 12.0) AS passes_word_len,
+             (sym_ratio <= 0.1) AS passes_symbol,
+             ((n_tokens >= 10 AND n_tokens <= 100000)
+              AND (avg_len >= 2.0 AND avg_len <= 12.0)
+              AND (sym_ratio <= 0.1)) AS quality_pass
+      FROM d
+    """
+
+    sql["doc_repetition"] = f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      base AS (SELECT doc_id,
+                      round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / greatest(len(toks), 1), 6) AS distinct_token_ratio,
+                      CASE WHEN len(toks) >= 2
+                           THEN list_transform(generate_series(1, len(toks)-1),
+                                               i -> toks[i] || ' ' || toks[i+1])
+                           ELSE []::VARCHAR[] END AS bigrams
+               FROM t),
+      ex AS (SELECT doc_id, unnest(bigrams) AS bg FROM base),
+      cnt AS (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY doc_id, bg),
+      agg AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot
+              FROM cnt GROUP BY doc_id)
+      SELECT b.doc_id, b.distinct_token_ratio,
+             coalesce(a.tot, 0) AS n_bigrams,
+             coalesce(round(CAST(a.mx AS DOUBLE) / greatest(a.tot, 1), 6), 0.0) AS top_bigram_share
+      FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
+    # same ground truth as embedding_near_dup but WITHOUT label
+    # blocking: the LSH path must recover the exact all-pairs answer
+    sql["embedding_near_dup_lsh"] = """
+      WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id % 20 = 0),
+      v AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM corpus)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.vec, b.vec) /
+                   (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
       WHERE list_dot_product(a.vec, b.vec) /
             (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
             >= 0.99

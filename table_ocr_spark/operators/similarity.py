@@ -94,6 +94,79 @@ def ivf_topk(
     )
 
 
+HP_BITS = 16
+HP_BAND_BITS = 4  # 4 bands of 4 bits
+
+
+def _hyperplane_sig(vec: Column) -> Column:
+    """Random-hyperplane signature: bit b set iff dot(vec, w_b) >= 0,
+    with plane weights derived deterministically from xxhash64(b, j)
+    (no RNG state to ship; same planes on every executor/run). The
+    2-arg transform lambda is the (element, index) form — index IS the
+    dimension here."""
+    def _weigher(b: int):
+        # factory: the lambda must have EXACTLY (element, index) params —
+        # a default-arg third parameter breaks pyspark arity introspection
+        def w(x: Column, i: Column) -> Column:
+            h = F.xxhash64(F.lit(b), i)
+            return x * ((F.pmod(h, F.lit(1001)) - 500) / F.lit(500.0))
+
+        return w
+
+    sig = F.lit(0).cast("long")
+    for b in range(HP_BITS):
+        proj = F.aggregate(
+            F.transform(vec, _weigher(b)), F.lit(0.0), lambda acc, v: acc + v
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def hyperplane_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH + exact
+    cosine verification — the label-free scale path (no coarse cells
+    needed): candidates come from shared signature bands, survivors are
+    verified exactly, so precision is 1.0; recall at cos >= 0.99
+    (angle <= 8.1 deg) is 1 - (1-(1-θ/π)^4)^4 ≈ 1 - 8e-4, and exact
+    (1.0) for true duplicates, whose signatures are identical."""
+    base = _with_vec(emb, vec_col)
+    sig = base.select("vec_id", "vec", _hyperplane_sig(F.col("vec")).alias("_sig"))
+    mask = (1 << HP_BAND_BITS) - 1
+    n_bands = HP_BITS // HP_BAND_BITS
+    banded = sig.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("_sig", i * HP_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bkey"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "vec", "bb.band", "bb.bkey")
+    a = banded.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("_va"), "band", "bkey")
+    b = banded.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("_vb"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        cand.filter(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -114,6 +114,101 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+# Gopher-style pinned bounds (Rae et al. 2021-flavored, values pinned
+# for the oracle; swap per-corpus in production)
+QF_MIN_TOKENS, QF_MAX_TOKENS = 10, 100_000
+QF_MIN_AVG_LEN, QF_MAX_AVG_LEN = 2.0, 12.0
+QF_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rule-based document quality filter (the Gopher-rules shape):
+    token-count bounds, mean-word-length bounds, symbol-character
+    ratio. Emits per-rule flags plus the conjunction — filters should
+    be auditable columns, not silent drops. Map-only, codegen'd."""
+    toked = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    n_tok = F.size("_toks").cast("long")
+    tok_chars = F.aggregate(
+        F.transform(F.col("_toks"), lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    avg_len = tok_chars / F.greatest(n_tok, F.lit(1))
+    n_chars = F.length("_t").cast("long")
+    symbols = F.length(F.regexp_replace("_t", r"[A-Za-z0-9\s]", "")).cast("long")
+    sym_ratio = symbols / F.greatest(n_chars, F.lit(1))
+    p_len = (n_tok >= QF_MIN_TOKENS) & (n_tok <= QF_MAX_TOKENS)
+    p_avg = (avg_len >= QF_MIN_AVG_LEN) & (avg_len <= QF_MAX_AVG_LEN)
+    p_sym = sym_ratio <= QF_MAX_SYMBOL_RATIO
+    return toked.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        p_len.alias("passes_length"),
+        p_avg.alias("passes_word_len"),
+        p_sym.alias("passes_symbol"),
+        (p_len & p_avg & p_sym).alias("quality_pass"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the dup-line/top-ngram-share
+    family): distinct-token ratio and the share of the most frequent
+    bigram. One shuffle on (doc, bigram) with map-side combine."""
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    n_tok = F.size("_toks").cast("long")
+    distinct_ratio = (
+        F.size(F.array_distinct("_toks")).cast("long")
+        / F.greatest(n_tok, F.lit(1))
+    )
+    base = toked.select(
+        F.col(id_col),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.col("_toks"),
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0)))
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_toks"), i.cast("int")),
+                F.element_at(F.col("_toks"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(F.col(id_col), F.explode_outer(bigrams).alias("_bg"))
+    counts = (
+        ex.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_bg").isNotNull(), F.col("_c"))).alias("_mx"),
+            F.sum(F.when(F.col("_bg").isNotNull(), F.col("_c")).otherwise(0)).alias("_tot"),
+        )
+    )
+    share = F.coalesce(
+        F.col("_mx") / F.greatest(F.col("_tot"), F.lit(1)), F.lit(0.0)
+    )
+    return (
+        base.select(id_col, "distinct_token_ratio")
+        .join(counts, id_col)
+        .select(
+            F.col(id_col),
+            "distinct_token_ratio",
+            F.col("_tot").cast("long").alias("n_bigrams"),
+            F.round(share, 6).alias("top_bigram_share"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream
     (document fingerprint; detects exact/near-prefix duplicates and is

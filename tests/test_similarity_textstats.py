@@ -115,3 +115,52 @@ def test_fingerprint_is_order_sensitive(spark):
 def test_ann_uses_broadcast_not_shuffle(spark, emb):
     plan = brute_force_topk(emb, [0], k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gopher_quality_rules(spark):
+    from table_ocr_spark.operators.textstats import gopher_quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),  # pass
+            (2, "too short"),                                   # fails length
+            (3, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@"),  # fails symbol+avg? symbols
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["quality_pass"] is True
+    assert got[2]["passes_length"] is False and got[2]["quality_pass"] is False
+    assert got[3]["passes_symbol"] is False
+
+
+def test_repetition_stats(spark):
+    from table_ocr_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab -> top 'a b' 3/5
+            (2, "x"),                # no bigrams
+            (3, "p q r s"),          # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_bigrams"] == 5 and got[1]["top_bigram_share"] == 0.6
+    assert got[1]["distinct_token_ratio"] == round(2 / 6, 6)
+    assert got[2]["n_bigrams"] == 0 and got[2]["top_bigram_share"] == 0.0
+    assert got[3]["top_bigram_share"] == round(1 / 3, 6)
+
+
+def test_hyperplane_lsh_finds_exact_dups(spark, emb):
+    from table_ocr_spark.operators.similarity import hyperplane_near_dup_pairs
+
+    dup = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0], 0), (101, [0.0, 0.0, 1.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = hyperplane_near_dup_pairs(emb.unionByName(dup), threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    # exact duplicates have identical signatures -> always candidates
+    assert got[(0, 100)] == 1.0
+    assert got[(4, 101)] == 1.0
