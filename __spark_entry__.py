@@ -54,6 +54,16 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread over the cluster: the testdata tables are single
+    parquet files (one row group → ONE scan task), which would leave
+    every Python-kernel / HOF-heavy query single-threaded. A tiny
+    explicit repartition is the right plan for a small unsplittable
+    input; at production scale the scan's split planning does this."""
+    df = _read(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # derived inputs (Spark side)
 # ---------------------------------------------------------------------------
@@ -77,7 +87,7 @@ def _vote_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import tokens
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_par(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % DUP_COPY_MOD == 0).select(
         (F.col("doc_id") + DUP_COPY_OFF).alias("doc_id"), "text"
@@ -109,7 +119,7 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.docpages import doc_id_from_url, documents_as_pages
     from table_ocr_spark.operators.extract import extract_documents
 
-    pages = documents_as_pages(_read(spark, sf_dir, "documents"))
+    pages = documents_as_pages(_read_par(spark, sf_dir, "documents"))
     out = extract_documents(pages)
     return out.select(
         doc_id_from_url(F.col("url")).alias("doc_id"),
@@ -121,7 +131,7 @@ def q_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.docpages import doc_id_from_url, documents_as_pages
     from table_ocr_spark.operators.extract import extract_documents
 
-    pages = documents_as_pages(_read(spark, sf_dir, "documents"))
+    pages = documents_as_pages(_read_par(spark, sf_dir, "documents"))
     out = extract_documents(pages)
     c = out.select(
         doc_id_from_url(F.col("url")).alias("doc_id"),
@@ -352,19 +362,19 @@ def q_run_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import token_stats
 
-    return token_stats(_read(spark, sf_dir, "documents"))
+    return token_stats(_read_par(spark, sf_dir, "documents"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import lang_id
 
-    return lang_id(_read(spark, sf_dir, "documents"))
+    return lang_id(_read_par(spark, sf_dir, "documents"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import fingerprint
 
-    return fingerprint(_read(spark, sf_dir, "documents"))
+    return fingerprint(_read_par(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,13 +428,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import gopher_quality
 
-    return gopher_quality(_read(spark, sf_dir, "documents"))
+    return gopher_quality(_read_par(spark, sf_dir, "documents"))
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(_read(spark, sf_dir, "documents"))
+    return repetition_stats(_read_par(spark, sf_dir, "documents"))
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +550,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from table_ocr_spark.operators.extract import extract_pdf_documents
 
-    pdfs = documents_as_fake_pdfs(_read(spark, sf_dir, "documents"))
+    pdfs = documents_as_fake_pdfs(_read_par(spark, sf_dir, "documents"))
     out = extract_pdf_documents(pdfs)
     return out.select(
         doc_id_from_url(F.col("url")).alias("doc_id"),

@@ -77,22 +77,47 @@ def exact_dedup(
     )
 
 
+def _shingle_udf(k: int):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(toks):  # type: ignore[no-untyped-def]
+        def mk(t):
+            n = len(t)
+            if n < k:
+                return []
+            seen = set()
+            out = []
+            for i in range(n - k + 1):
+                s = " ".join(t[i : i + k])
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+            return out
+
+        return pd.Series([mk(list(t)) for t in toks])
+
+    return udf
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, shingles: distinct array of k-word shingles).
 
-    Tokens are materialized into a column BEFORE shingling: the shingle
-    lambda reads each token k times per position, and against a raw
-    expression (not a bound attribute) interpreted HOF evaluation
-    re-runs the whole split+filter per read — O(n^2) per document.
-    """
+    Shingle construction runs in an Arrow-batched pandas UDF, not a
+    Spark higher-order function: HOF lambdas evaluate INTERPRETED
+    (~70 ms/doc for 300 positions — measured), while the same loop in
+    Python is ~30 µs/doc. This is the one place where "UDFs are the
+    slow path" inverts: a per-position interpreted expression tree is
+    three orders of magnitude slower than a Python loop over the
+    Arrow batch. Tokenization stays JVM-side (codegen'd split).
+    Map-only either way — no shuffle."""
     toked = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
     )
-    return toked.select(
-        "id", F.array_distinct(word_shingles(F.col("_toks"), k)).alias("shingles")
-    )
+    return toked.select("id", _shingle_udf(k)(F.col("_toks")).alias("shingles"))
 
 
 def _pair_jaccard(cand: DataFrame, sets_df: DataFrame) -> DataFrame:
