@@ -443,6 +443,30 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_near_dup_pairs(_emb_corpus(spark, sf_dir), threshold=NEAR_DUP_T)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a derived corpus with injected emails/phones
+    (documents text contains none, so injection makes the operator
+    observable; both engines derive identically)."""
+    from table_ocr_spark.operators.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    withpii = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("-9999 now"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(withpii)
+
+
 def q_salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.functions.sqlfuncs import salted_agg
 
@@ -665,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "quality_filter": q_quality_filter,
         "doc_repetition": q_doc_repetition,
+        "pii_redact": q_pii_redact,
         "salted_host_agg": q_salted_host_agg,
         "markdown_table_parse": q_markdown_table_parse,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -1112,6 +1137,30 @@ def oracle_sql() -> dict[str, str]:
       WHERE list_dot_product(a.vec, b.vec) /
             (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
             >= 0.99
+    """
+
+    _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+    sql["pii_redact"] = f"""
+      WITH withpii AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || '-9999 now'
+                    ELSE text END AS text
+        FROM documents),
+      s AS (SELECT doc_id, text,
+                   regexp_replace(text, '{_email}', '<EMAIL>', 'g') AS after_email
+            FROM withpii)
+      SELECT doc_id,
+             regexp_replace(after_email, '{_phone}', '<PHONE>', 'g') AS redacted_text,
+             CAST(len(regexp_extract_all(text, '{_email}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(after_email, '{_phone}')) AS BIGINT) AS n_phones,
+             (len(regexp_extract_all(text, '{_email}')) > 0
+              OR len(regexp_extract_all(after_email, '{_phone}')) > 0) AS had_pii
+      FROM s
     """
 
     sql["salted_host_agg"] = """

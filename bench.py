@@ -32,20 +32,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "extract_text",
     "extract_cells",
+    "pdf_extract",
     "majority_vote",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_bruteforce",
+    "embedding_near_dup_lsh",
     "doc_stats",
     "lang_id",
     "doc_fingerprint",
+    "quality_filter",
+    "doc_repetition",
+    "pii_redact",
     "sessionize",
     "hourly_event_rollup",
     "latest_event_per_user",
     "cost_model",
     "q1_returnflag",
     "top_customers",
+    "results_payload_decode",
 ]
 
 # N -> 4N pairs for the scaling criterion. (2, 8) is the primary pair:

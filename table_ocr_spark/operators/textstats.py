@@ -209,6 +209,32 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# pinned PII patterns (portable subset: no lookarounds, same semantics
+# under Java regex and RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing for pretraining corpora: emails and phone-shaped
+    numbers replaced with typed placeholders, with per-document match
+    counts so the redaction rate is auditable. Map-only, codegen'd
+    regex — at 100 TB this is a pure scan stage."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)).cast("long")
+    redacted = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    # phones counted AFTER email redaction (an email can contain digits)
+    n_phone = F.size(F.regexp_extract_all(redacted, F.lit(PHONE_RE), 0)).cast("long")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        ((n_email > 0) | (n_phone > 0)).alias("had_pii"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream
     (document fingerprint; detects exact/near-prefix duplicates and is
