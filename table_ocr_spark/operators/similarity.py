@@ -94,32 +94,48 @@ def ivf_topk(
     )
 
 
-HP_BITS = 16
-HP_BAND_BITS = 4  # 4 bands of 4 bits
+# 64-bit signatures in 8 bands of 8 bits: 256-way bucket selectivity
+# per band (4-bit bands had 16 values — every bucket held ~n/16 vectors
+# and the candidate join went quadratic). Recall at cos>=0.99 is
+# 1-(1-(1-θ/π)^8)^8 ≈ 1-8e-5; exact duplicates are always found.
+HP_BITS = 64
+HP_BAND_BITS = 8
 
 
-def _hyperplane_sig(vec: Column) -> Column:
-    """Random-hyperplane signature: bit b set iff dot(vec, w_b) >= 0,
-    with plane weights derived deterministically from xxhash64(b, j)
-    (no RNG state to ship; same planes on every executor/run). The
-    2-arg transform lambda is the (element, index) form — index IS the
-    dimension here."""
-    def _weigher(b: int):
-        # factory: the lambda must have EXACTLY (element, index) params —
-        # a default-arg third parameter breaks pyspark arity introspection
-        def w(x: Column, i: Column) -> Column:
-            h = F.xxhash64(F.lit(b), i)
-            return x * ((F.pmod(h, F.lit(1001)) - 500) / F.lit(500.0))
+def _plane_matrix(bits: int, dim: int):
+    """Deterministic pseudo-random planes in [-1, 1): a pinned integer
+    mix of (bit, dim) — no RNG state, identical on every executor and
+    run. numpy-computable so the signature UDF is one matmul."""
+    import numpy as np
 
-        return w
+    b = np.arange(bits, dtype=np.uint64).reshape(-1, 1)
+    j = np.arange(dim, dtype=np.uint64).reshape(1, -1)
+    h = (b * np.uint64(1_000_003) + j * np.uint64(7919)) * np.uint64(2654435761)
+    return (h % np.uint64(2**32)).astype(np.float64) / float(2**31) - 1.0
 
-    sig = F.lit(0).cast("long")
-    for b in range(HP_BITS):
-        proj = F.aggregate(
-            F.transform(vec, _weigher(b)), F.lit(0.0), lambda acc, v: acc + v
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return sig
+
+def _hyperplane_sig_udf(bits: int):
+    """vec array -> signature via one numpy matmul per Arrow batch.
+    NOT a Spark higher-order fold: bits x dim interpreted lambda steps
+    cost ~3ms/vector (measured), the matmul ~microseconds — the same
+    interpreted-HOF trap as shingle construction."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def udf(vecs):  # type: ignore[no-untyped-def]
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        W = _plane_matrix(bits, M.shape[1])
+        sig_bits = (M @ W.T) >= 0  # (n, bits)
+        weights = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
+        packed = (sig_bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return udf
 
 
 def hyperplane_near_dup_pairs(
@@ -134,7 +150,9 @@ def hyperplane_near_dup_pairs(
     (angle <= 8.1 deg) is 1 - (1-(1-θ/π)^4)^4 ≈ 1 - 8e-4, and exact
     (1.0) for true duplicates, whose signatures are identical."""
     base = _with_vec(emb, vec_col)
-    sig = base.select("vec_id", "vec", _hyperplane_sig(F.col("vec")).alias("_sig"))
+    sig = base.select(
+        "vec_id", "vec", _hyperplane_sig_udf(HP_BITS)(F.col("vec")).alias("_sig")
+    )
     mask = (1 << HP_BAND_BITS) - 1
     n_bands = HP_BITS // HP_BAND_BITS
     banded = sig.select(
@@ -144,7 +162,10 @@ def hyperplane_near_dup_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright("_sig", i * HP_BAND_BITS)
+                    # unsigned shift: the packed 64-bit signature may be
+                    # negative as a long; arithmetic shift would smear
+                    # the sign bit into high bands
+                    F.shiftrightunsigned("_sig", i * HP_BAND_BITS)
                     .bitwiseAND(F.lit(mask))
                     .alias("bkey"),
                 )
