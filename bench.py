@@ -150,7 +150,7 @@ def time_extract(cpus: int, corpus_path: str) -> float:
         pages = spark.read.parquet(corpus_path)
         _noop_write(extract_documents(pages))
         best = float("inf")
-        trials = 2 if cpus <= 2 else 3
+        trials = 3
         for _ in range(trials):
             t0 = time.perf_counter()
             _noop_write(extract_documents(pages))
@@ -164,7 +164,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-    target_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+    target_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "250000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     work = tempfile.mkdtemp(prefix="tos_bench_")
