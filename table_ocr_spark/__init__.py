@@ -25,6 +25,7 @@ from table_ocr_spark.api import (
 )
 from table_ocr_spark.operators.extract import extract_documents, extract_text_udf
 from table_ocr_spark.operators.vote import sample_majority_vote
+from table_ocr_spark.pipelines import build_training_corpus
 from table_ocr_spark.plans.lineage import run_pipeline
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "extract_text_udf",
     "sample_majority_vote",
     "run_pipeline",
+    "build_training_corpus",
     # reference API parity (table_ocr/__init__.py:9-17)
     "extract_pages",
     "create_extraction_run",

@@ -1,0 +1,94 @@
+"""End-to-end training-corpus pipeline: the composition the individual
+operators exist for. One call takes a raw Common-Crawl-style pages
+table to a deduplicated, quality-filtered, PII-scrubbed text corpus
+with per-stage audit counts.
+
+Stage order (each stage is a DataFrame → DataFrame transform; the
+whole pipeline is one lazy plan until the report forces it):
+
+1. latest-capture dedup (re-crawled urls: newest wins — W3)
+2. kernel extraction (map-only mapInArrow; html never shuffles)
+3. drop empty extractions
+4. Gopher-style quality filter (auditable rule flags)
+5. exact dedup on normalized text (canonical = min url)
+6. MinHash+LSH near-dup removal at the given Jaccard threshold
+   (pair loser = lexicographically larger url; exact-verified)
+7. PII redaction (emails/phones → typed placeholders)
+
+At 10^12 docs every stage is either map-only or a hash-partitioned
+equi-join/aggregation; nothing is quadratic and nothing collects to
+the driver except the (tiny) stage-count report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from table_ocr_spark.operators.extract import extract_documents, latest_capture
+from table_ocr_spark.operators.textstats import gopher_quality, redact_pii
+
+
+@dataclass
+class CorpusReport:
+    n_input: int
+    n_extracted: int
+    n_quality_pass: int
+    n_after_exact_dedup: int
+    n_after_near_dedup: int
+    n_had_pii: int
+
+
+def build_training_corpus(
+    pages: DataFrame,
+    minhash_threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, CorpusReport]:
+    """pages(url, warc_ts, html, ...) → (corpus(url, text, n_emails,
+    n_phones), per-stage counts). The returned DataFrame is unevaluated;
+    the report runs one count per stage (cache-backed)."""
+    n_input = pages.count()
+
+    deduped_pages = latest_capture(pages) if "warc_ts" in pages.columns else pages
+    extracted = (
+        extract_documents(deduped_pages)
+        .select("url", F.col("extracted_text").alias("text"))
+        .filter(F.length("text") > 0)
+        .cache()
+    )
+    n_extracted = extracted.count()
+
+    quality = gopher_quality(extracted, text_col="text", id_col="url")
+    keep_urls = quality.filter(F.col("quality_pass")).select("url")
+    passed = extracted.join(keep_urls, "url", "left_semi").cache()
+    n_quality = passed.count()
+
+    exact = exact_dedup(passed, text_col="text", id_col="url")
+    canonical = exact.filter(~F.col("is_dup")).select("url")
+    uniq = passed.join(canonical, "url", "left_semi").cache()
+    n_exact = uniq.count()
+
+    pairs = minhash_lsh_pairs(
+        uniq, text_col="text", id_col="url", k=shingle_k,
+        threshold=minhash_threshold,
+    )
+    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    near_uniq = uniq.join(losers, "url", "left_anti").cache()
+    n_near = near_uniq.count()
+
+    clean = redact_pii(near_uniq, text_col="text", id_col="url")
+    n_pii = clean.filter(F.col("had_pii")).count()
+    corpus = clean.select(
+        "url", F.col("redacted_text").alias("text"), "n_emails", "n_phones"
+    )
+    return corpus, CorpusReport(
+        n_input=n_input,
+        n_extracted=n_extracted,
+        n_quality_pass=n_quality,
+        n_after_exact_dedup=n_exact,
+        n_after_near_dedup=n_near,
+        n_had_pii=n_pii,
+    )

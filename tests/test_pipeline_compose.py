@@ -1,0 +1,63 @@
+"""The composed training-corpus pipeline: stage counts, dedup
+behavior, and PII scrubbing end-to-end on a corpus with planted
+duplicates and PII."""
+
+from pyspark.sql import functions as F
+
+from table_ocr_spark.datagen import write_pages_parquet
+from table_ocr_spark.pipelines import build_training_corpus
+
+
+def test_training_corpus_pipeline(spark, tmp_path):
+    pq = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pq, n_docs=60, seed=21, dup_frac=0.0)
+    base = spark.read.parquet(pq)
+
+    # plant: exact text dup under a different url (source chosen from
+    # docs that PASS the quality filter — the pinned symbol-ratio rule
+    # is ASCII-centric, so CJK/Arabic fixtures are filtered), and a PII
+    # page
+    passing = base.filter(
+        (F.col("lang") == "en")
+        & (F.size(F.split("text", r"\s+")) >= 12)
+    )
+    dup = passing.limit(1).select(
+        F.lit("https://mirror.example/copy").alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    pii_html = (
+        b"<html><body><article><p>reach me at someone@example.org or "
+        b"555-123-4567 for details about the documented corpus and more "
+        b"filler words to pass the quality filter easily</p></article>"
+        b"</body></html>"
+    )
+    pii = spark.createDataFrame(
+        [("https://pii.example/p1", None, bytearray(pii_html), "", "en")],
+        base.schema,
+    )
+    src_url = passing.limit(1).collect()[0]["url"]
+    pages = base.unionByName(dup).unionByName(pii)
+
+    corpus, rep = build_training_corpus(pages)
+    rows = {r["url"]: r for r in corpus.collect()}
+
+    assert rep.n_input == 62
+    assert rep.n_extracted == 62
+    # the planted exact dup must be gone; its canonical (lexicographic
+    # min url) survives
+    assert rep.n_after_exact_dedup == rep.n_quality_pass - 1
+    # exactly ONE of the two identical-text urls remains (the
+    # lexicographic min is the canonical survivor)
+    survivors = {u for u in ("https://mirror.example/copy", src_url) if u in rows}
+    assert survivors == {min("https://mirror.example/copy", src_url)}
+    texts = [r["text"] for r in rows.values()]
+    assert len(texts) == len(set(texts))
+
+    # PII page survived filters and was scrubbed
+    pii_row = rows["https://pii.example/p1"]
+    assert pii_row["n_emails"] == 1 and pii_row["n_phones"] == 1
+    assert "<EMAIL>" in pii_row["text"] and "<PHONE>" in pii_row["text"]
+    assert "someone@example.org" not in pii_row["text"]
+
+    assert rep.n_had_pii == 1
+    assert rep.n_after_near_dedup <= rep.n_after_exact_dedup
