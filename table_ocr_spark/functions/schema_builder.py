@@ -116,6 +116,72 @@ def decode_table_payload(
     )
 
 
+def encode_results_payload(
+    decoded: DataFrame,
+    fields: Sequence[SchemaField],
+    url_col: str = "url",
+    page_col: str = "page",
+    sample_col: str = "sample",
+) -> DataFrame:
+    """Inverse of :func:`decode_table_payload` — re-serialize typed rows
+    into the reference's persisted result structure
+    ``results[page][sample] = '{"table": [...]}'``
+    (``ui/pages/projects.py:208-217``, S7/F6). Row order inside a table
+    comes from ``row_index`` (positional identity, never physical
+    order); page/sample arrays are position-sorted the same way.
+
+    Output: one row per url with ``results ARRAY<ARRAY<STRING>>`` and
+    ``num_pages`` — the exact shape the reference writes, minus the
+    run-metadata scalars (project/prompt/timestamp), which join in from
+    the catalog/lineage tables.
+    """
+    row_struct = F.struct(
+        F.col("row_index"), *[F.col(f.name) for f in fields]
+    )
+    per_sample = (
+        decoded.groupBy(url_col, page_col, sample_col)
+        .agg(F.sort_array(F.collect_list(row_struct)).alias("_rows"))
+        .select(
+            url_col,
+            page_col,
+            sample_col,
+            F.to_json(
+                F.struct(
+                    F.transform(
+                        "_rows", lambda r: r.dropFields("row_index")
+                    ).alias("table")
+                )
+            ).alias("_payload"),
+        )
+    )
+    per_page = (
+        per_sample.groupBy(url_col, page_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(sample_col), F.col("_payload")))
+            ).alias("_samples")
+        )
+        .select(
+            url_col,
+            page_col,
+            F.transform("_samples", lambda s: s.getField("_payload")).alias("_page_arr"),
+        )
+    )
+    return (
+        per_page.groupBy(url_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(page_col), F.col("_page_arr")))
+            ).alias("_pages")
+        )
+        .select(
+            url_col,
+            F.transform("_pages", lambda p: p.getField("_page_arr")).alias("results"),
+            F.size("_pages").cast("long").alias("num_pages"),
+        )
+    )
+
+
 def required_violations(
     decoded: DataFrame, fields: Sequence[SchemaField]
 ) -> DataFrame:

@@ -90,3 +90,46 @@ def test_catalog_crud_and_resolve(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError):
         store.read("nope")
+
+
+def test_encode_decode_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.functions.schema_builder import encode_results_payload
+
+    # typed rows -> reference payload shape -> decode again == original
+    rows = [
+        ("u1", 1, 1, 0, "Huber", 1876), ("u1", 1, 1, 1, "Meier", 1900),
+        ("u1", 1, 2, 0, "Huber", 1876),
+        ("u1", 2, 1, 0, "Kunz", None),
+        ("u2", 1, 1, 0, "Lang", 1850),
+    ]
+    fields = [SchemaField("name", "STRING"), SchemaField("jahr", "INTEGER")]
+    decoded = spark.createDataFrame(
+        rows, "url string, page int, sample int, row_index int, name string, jahr long"
+    )
+    payload = encode_results_payload(decoded, fields)
+    got = {r["url"]: r for r in payload.collect()}
+    assert got["u1"]["num_pages"] == 2
+    assert len(got["u1"]["results"][0]) == 2  # page 1: two samples
+    # reference shape: results[page][sample] is a '{"table": [...]}' string
+    import json
+
+    t = json.loads(got["u1"]["results"][0][0])
+    assert t["table"][0]["name"] == "Huber" and t["table"][1]["jahr"] == 1900
+
+    # roundtrip through the decoder: same typed rows back
+    flat = payload.select(
+        "url", F.posexplode("results").alias("p0", "_page")
+    ).select(
+        "url", (F.col("p0") + 1).alias("page"),
+        F.posexplode("_page").alias("s0", "payload"),
+    ).select("url", "page", (F.col("s0") + 1).alias("sample"), "payload")
+    redecoded = decode_table_payload(
+        flat, fields, provenance=["url", "page", "sample"]
+    )
+    a = {tuple(r) for r in decoded.collect()}
+    b = {tuple(r) for r in redecoded.select(
+        "url", "page", "sample", "row_index", "name", "jahr"
+    ).collect()}
+    assert a == b
