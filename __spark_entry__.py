@@ -443,6 +443,40 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_near_dup_pairs(_emb_corpus(spark, sf_dir), threshold=NEAR_DUP_T)
 
 
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively, composed from a
+    tagged union + one window pass — operators/asof.py): each purchase
+    matched to the user's latest click at-or-before it. Oracle: DuckDB
+    native ASOF JOIN."""
+    from table_ocr_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return asof_join(purchases, clicks, on="user_id", ts="ts")
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join via bucketed equi-join (never a theta join):
+    click/purchase pairs within the preceding hour."""
+    from table_ocr_spark.operators.asof import time_range_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return time_range_join(
+        purchases, clicks, on="user_id", ts="ts", window_seconds=3600
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a derived corpus with injected emails/phones
     (documents text contains none, so injection makes the operator
@@ -690,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
+        "asof_click_before_purchase": q_asof_click_before_purchase,
+        "range_join_events": q_range_join_events,
         "salted_host_agg": q_salted_host_agg,
         "markdown_table_parse": q_markdown_table_parse,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -1137,6 +1173,24 @@ def oracle_sql() -> dict[str, str]:
       WHERE list_dot_product(a.vec, b.vec) /
             (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
             >= 0.99
+    """
+
+    sql["asof_click_before_purchase"] = """
+      SELECT p.user_id, p.event_id, p.ts,
+             c.ts AS ts_right, c.event_id AS event_id_right
+      FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+    sql["range_join_events"] = """
+      SELECT p.user_id, p.event_id, p.ts,
+             c.ts AS ts_right, c.event_id AS event_id_right
+      FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
     """
 
     _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1,0 +1,110 @@
+"""As-of and time-range joins — operators Spark's DataFrame API lacks
+natively, built as compositions of built-ins (the task's preferred
+path (a): never a Python kernel, never a cartesian product).
+
+``asof_join``: each left row matched to the LATEST right row with
+``right.ts <= left.ts`` within the same key (DuckDB ``ASOF JOIN``
+semantics, which the oracle uses directly). Plan: union the two sides
+with a side tag, one window pass per key ordered by (ts, side) carrying
+the last-seen right payload forward, then keep left rows. ONE shuffle
+on the key — no inequality join, no per-key sort-merge explosion; at
+10^12 rows this is the only shape that survives (an inequality join
+would be quadratic per key).
+
+``time_range_join``: all (left, right) pairs with the same key and
+``right.ts`` in ``[left.ts - window, left.ts]``. Plan: equi-join on
+(key, time_bucket) with the left side exploded to the two candidate
+buckets its window spans, then an exact range filter. Shuffles on
+(key, bucket) — bounded fanout (2x), skew handled by AQE; this is the
+bucketed-band pattern, not a theta join.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: List[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner as-of join (left rows without any prior right row drop,
+    matching DuckDB ``ASOF JOIN``). ``right_cols`` are the right-side
+    payload columns to carry (default: all but key/ts)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, ts)
+    ]
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        on, ts, *right_cols
+    ).withColumn("_side", F.lit(0))
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # right rows sort BEFORE left at equal ts (side 0 < 1) => '<=' semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged
+    for c in right_cols:
+        src = F.when(F.col("_side") == 0, F.col(c))
+        carried = carried.withColumn(
+            f"{c}{suffix}", F.last(src, ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        f"{ts}{suffix}",
+        F.last(
+            F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True
+        ).over(w),
+    )
+    out_cols = [c for c in left.columns] + [f"{ts}{suffix}"] + [
+        f"{c}{suffix}" for c in right_cols
+    ]
+    return (
+        carried.filter(F.col("_side") == 1)
+        .filter(F.col(f"{ts}{suffix}").isNotNull())  # inner as-of
+        .select(*out_cols)
+    )
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    window_seconds: int = 3600,
+    right_cols: List[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """All pairs with ``left.ts - window <= right.ts <= left.ts`` per
+    key, via bucketed equi-join (bucket width = the window, so a left
+    row's admissible range spans at most 2 buckets)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    win_us = window_seconds * 1_000_000
+    bucket = F.floor(us / win_us)
+
+    r_b = right.select(
+        F.col(on), F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn(
+        "_bucket",
+        F.floor(F.unix_micros(F.col(f"{ts}{suffix}").cast("timestamp")) / win_us),
+    )
+    l_b = left.withColumn(
+        "_bucket", F.explode(F.array(bucket - 1, bucket))
+    )
+    joined = l_b.join(r_b, [on, "_bucket"])
+    r_us = F.unix_micros(F.col(f"{ts}{suffix}").cast("timestamp"))
+    l_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    return joined.filter(
+        (r_us <= l_us) & (r_us >= l_us - win_us)
+    ).drop("_bucket")

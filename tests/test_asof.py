@@ -1,0 +1,61 @@
+"""As-of and time-range join operators vs hand expectations: '<='
+boundary semantics, no-prior-match drop, window boundaries."""
+
+import datetime as dt
+
+from table_ocr_spark.operators.asof import asof_join, time_range_join
+
+T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, m(10)),   # matches click at 10 (equal ts -> '<=')
+            (1, 101, m(45)),   # matches click at 30
+            (1, 102, m(5)),    # no prior click -> dropped (inner as-of)
+            (2, 200, m(20)),   # matches user 2's click at 0
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, m(10)),
+            (1, 901, m(30)),
+            (2, 902, m(0)),
+            (3, 903, m(0)),    # other key: never leaks
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _frames(spark)
+    got = {r["event_id"]: r for r in asof_join(left, right, on="user_id").collect()}
+    assert set(got) == {100, 101, 200}  # 102 dropped: no prior click
+    assert got[100]["event_id_right"] == 900 and got[100]["ts_right"] == m(10)
+    assert got[101]["event_id_right"] == 901 and got[101]["ts_right"] == m(30)
+    assert got[200]["event_id_right"] == 902
+
+
+def test_time_range_join_boundaries(spark):
+    left, right = _frames(spark)
+    got = time_range_join(
+        left, right, on="user_id", window_seconds=1800
+    ).collect()
+    pairs = {(r["event_id"], r["event_id_right"]) for r in got}
+    # purchase@45 window [15,45] -> click@30 only;
+    # purchase@10 window [-20,10] -> click@10 (inclusive upper bound);
+    # purchase@20 (user2) window [-10,20] -> click@0 (exactly -20min in? 0 >= 20-30 ✓)
+    assert pairs == {(101, 901), (100, 900), (200, 902)}
+
+
+def test_asof_never_cartesian(spark):
+    left, right = _frames(spark)
+    plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Window" in plan
