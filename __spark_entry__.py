@@ -501,6 +501,36 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(withpii)
 
 
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass producing
+    per-(day, type), per-day, and grand-total aggregates via ROLLUP
+    grouping sets (Catalyst expands to a single shuffle with partial
+    aggregation — no N-pass re-scan)."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day_ts")
+    return (
+        ev.select(day, "event_type", "value")
+        .rollup("day_ts", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (count / exact-integer sums /
+    mean / sample stddev / interpolated median)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("stddev_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("median_chars"),
+    )
+
+
 def q_salted_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.functions.sqlfuncs import salted_agg
 
@@ -726,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "range_join_events": q_range_join_events,
+        "multires_rollup": q_multires_rollup,
+        "corpus_summary": q_corpus_summary,
         "salted_host_agg": q_salted_host_agg,
         "markdown_table_parse": q_markdown_table_parse,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -1173,6 +1205,21 @@ def oracle_sql() -> dict[str, str]:
       WHERE list_dot_product(a.vec, b.vec) /
             (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
             >= 0.99
+    """
+
+    sql["multires_rollup"] = """
+      SELECT date_trunc('day', ts) AS day_ts, event_type,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY ROLLUP(day_ts, event_type)
+    """
+
+    sql["corpus_summary"] = """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             round(avg(n_chars), 6) AS avg_chars,
+             round(stddev_samp(n_chars), 6) AS stddev_chars,
+             round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+      FROM documents GROUP BY lang
     """
 
     sql["asof_click_before_purchase"] = """
