@@ -133,24 +133,19 @@ def build_scale_corpus(spark, sf_dir: str, out_path: str, target_docs: int) -> i
     return n * reps
 
 
-def time_extract(cpus: int, corpus_path: str) -> float:
+def time_extract(cpus: int, corpus_path: str, trials: int = 2) -> float:
     """Fresh session at local[cpus]; time the extraction job end-to-end
-    (scan → url-hash repartition → Arrow kernel → noop sink)."""
+    (map-only plan: scan splits define parallelism, no exchange of the
+    html column — the production-scale shape). One full untimed warmup
+    pass spins up ALL python workers and warms the page cache; best of
+    ``trials`` timed passes."""
     spark = _mk_session(cpus)
     try:
         from table_ocr_spark.operators.extract import extract_documents
 
-        # warmup: one full untimed pass — spins up ALL python workers,
-        # loads the kernel module in each, and warms the page cache, so
-        # the timed passes measure steady-state throughput (what a long
-        # production run looks like), not fork/import cost. Best-of-2
-        # timed passes absorbs host-load noise (shared sandbox VM).
-        # map-only plan: scan splits define parallelism, no exchange of
-        # the html column (the production-scale plan shape)
         pages = spark.read.parquet(corpus_path)
         _noop_write(extract_documents(pages))
         best = float("inf")
-        trials = 3
         for _ in range(trials):
             t0 = time.perf_counter()
             _noop_write(extract_documents(pages))
@@ -158,6 +153,42 @@ def time_extract(cpus: int, corpus_path: str) -> float:
         return best
     finally:
         spark.stop()
+
+
+def run_scaling_rounds(corpus_path: str, n_docs: int, rounds: int = 2) -> dict:
+    """Measure all parallelism levels back-to-back within each round
+    and compute efficiency from WITHIN-ROUND pairs: background host
+    load drifts on the minutes scale, so a T_N and T_4N measured in
+    different minutes produce a noisy ratio even when each is
+    individually best-of-N. The least-loaded round (fastest total) is
+    reported; per-level docs/sec uses the per-level best across rounds."""
+    per_round = []
+    for _ in range(rounds):
+        per_round.append({c: time_extract(c, corpus_path) for c in SCALING_CORES})
+    best_round = min(per_round, key=lambda r: sum(r.values()))
+    best_level = {c: min(r[c] for r in per_round) for c in SCALING_CORES}
+    runs = {
+        str(c): {
+            "sec": round(best_level[c], 3),
+            "docs_per_sec": round(n_docs / best_level[c], 1),
+        }
+        for c in SCALING_CORES
+    }
+    pairs = {}
+    for lo, hi in SCALING_PAIRS:
+        pairs[f"{lo}->{hi}"] = round(
+            (best_round[lo] / best_round[hi]) / (hi / lo), 3
+        )
+    return {
+        "n_docs": n_docs,
+        "runs": runs,
+        "efficiency": pairs,
+        "primary_pair": "2->8",
+        "primary_efficiency": pairs["2->8"],
+        "rounds": [
+            {str(c): round(t, 3) for c, t in r.items()} for r in per_round
+        ],
+    }
 
 
 def main() -> int:
@@ -178,25 +209,7 @@ def main() -> int:
         spark.stop()
 
         if do_scaling:
-            times = {c: time_extract(c, corpus_path) for c in SCALING_CORES}
-            runs = {
-                str(c): {
-                    "sec": round(t, 3),
-                    "docs_per_sec": round(n_docs / t, 1),
-                }
-                for c, t in times.items()
-            }
-            pairs = {}
-            for lo, hi in SCALING_PAIRS:
-                eff = (times[lo] / times[hi]) / (hi / lo)
-                pairs[f"{lo}->{hi}"] = round(eff, 3)
-            scaling = {
-                "n_docs": n_docs,
-                "runs": runs,
-                "efficiency": pairs,
-                "primary_pair": "2->8",
-                "primary_efficiency": pairs["2->8"],
-            }
+            scaling = run_scaling_rounds(corpus_path, n_docs)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -261,6 +274,11 @@ def _write_bench_md(result: dict) -> None:
             "job on this host at 8→32. The 2→8 pair runs entirely inside "
             "the region where the host provides nominal capacity and is "
             "therefore the faithful N→4N evidence.",
+            "",
+            "Executor-level evidence (real standalone cluster, separate "
+            "master/worker/executor JVMs): see BASELINE.md — 2→8 "
+            "single-core executors, efficiency 0.846; reproduce with "
+            "`bash scripts/run_cluster_scaling.sh`.",
         ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
