@@ -379,10 +379,25 @@ def _build_grid(table_id: int, rows: List[List[_RawCell]]) -> Tuple[List[Cell], 
 
     Standard HTML table algorithm: each cell is placed at the first
     unoccupied column of its row; its span footprint blocks cells below.
+    Spanless tables (the overwhelmingly common case) take a sequential
+    fast path with no occupancy set — identical placement by
+    construction, since nothing ever blocks a lower row.
     """
-    occupied = set()
     cells: List[Cell] = []
     max_col = -1
+    if all(
+        raw.rowspan == 1 and raw.colspan == 1 for row in rows for raw in row
+    ):
+        for r, row in enumerate(rows):
+            for c, raw in enumerate(row):
+                cells.append(
+                    Cell(table_id, r, c, 1, 1, normalize_text("".join(raw.parts)))
+                )
+            if row and len(row) - 1 > max_col:
+                max_col = len(row) - 1
+        return cells, len(rows), max_col + 1
+
+    occupied = set()
     for r, row in enumerate(rows):
         c = 0
         for raw in row:
