@@ -518,6 +518,29 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets over (event_type, weekday)."""
+    ev = _read(spark, sf_dir, "events")
+    wd = F.dayofweek("ts").cast("long").alias("weekday")
+    return (
+        ev.select("event_type", wd, "value")
+        .cube("event_type", "weekday")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_clickers_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT — ``subtract``, not the multiset
+    ``exceptAll``): users who click but never make a big purchase."""
+    ev = _read(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    big_buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95)
+    ).select("user_id")
+    return clickers.distinct().subtract(big_buyers)
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics (count / exact-integer sums /
     mean / sample stddev / interpolated median)."""
@@ -757,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "range_join_events": q_range_join_events,
         "multires_rollup": q_multires_rollup,
+        "cube_events": q_cube_events,
+        "clickers_no_purchase": q_clickers_no_purchase,
         "corpus_summary": q_corpus_summary,
         "salted_host_agg": q_salted_host_agg,
         "markdown_table_parse": q_markdown_table_parse,
@@ -1211,6 +1236,19 @@ def oracle_sql() -> dict[str, str]:
       SELECT date_trunc('day', ts) AS day_ts, event_type,
              count(*) AS n_events, round(sum(value), 4) AS sum_value
       FROM events GROUP BY ROLLUP(day_ts, event_type)
+    """
+
+    # DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 -> +1
+    sql["cube_events"] = """
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+             count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY CUBE(event_type, weekday)
+    """
+
+    sql["clickers_no_purchase"] = """
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
     """
 
     sql["corpus_summary"] = """
