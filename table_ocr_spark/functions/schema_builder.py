@@ -122,6 +122,7 @@ def encode_results_payload(
     url_col: str = "url",
     page_col: str = "page",
     sample_col: str = "sample",
+    domain: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Inverse of :func:`decode_table_payload` — re-serialize typed rows
     into the reference's persisted result structure
@@ -134,6 +135,17 @@ def encode_results_payload(
     ``num_pages`` — the exact shape the reference writes, minus the
     run-metadata scalars (project/prompt/timestamp), which join in from
     the catalog/lineage tables.
+
+    The arrays are DENSE: a (page, sample) slot whose payload decoded to
+    zero rows (malformed JSON, empty table) still occupies its position,
+    as an empty-table payload ``{"table": []}`` — otherwise later pages/
+    samples silently shift to wrong array indices and ``num_pages``
+    undercounts. By default the slot domain is the per-url
+    ``[min..max]`` span of observed pages × samples; pass ``domain``
+    (a ``(url, page, sample)`` DataFrame, e.g. built from the request
+    manifest) when trailing slots may be missing entirely — whole pages
+    at the end whose every sample failed are unknowable from the
+    decoded rows alone.
     """
     row_struct = F.struct(
         F.col("row_index"), *[F.col(f.name) for f in fields]
@@ -154,6 +166,26 @@ def encode_results_payload(
             ).alias("_payload"),
         )
     )
+    if domain is None:
+        bounds = decoded.groupBy(url_col).agg(
+            F.min(page_col).alias("_p0"),
+            F.max(page_col).alias("_p1"),
+            F.min(sample_col).alias("_s0"),
+            F.max(sample_col).alias("_s1"),
+        )
+        domain = bounds.select(
+            url_col,
+            F.explode(F.sequence("_p0", "_p1")).alias(page_col),
+            "_s0",
+            "_s1",
+        ).select(
+            url_col,
+            page_col,
+            F.explode(F.sequence("_s0", "_s1")).alias(sample_col),
+        )
+    per_sample = domain.join(
+        per_sample, [url_col, page_col, sample_col], "left"
+    ).withColumn("_payload", F.coalesce("_payload", F.lit('{"table": []}')))
     per_page = (
         per_sample.groupBy(url_col, page_col)
         .agg(

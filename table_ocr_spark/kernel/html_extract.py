@@ -134,7 +134,11 @@ def _parse_spans(attrs: str) -> Tuple[int, int]:
     or non-integer values default to 1, clamped to [1, MAX_SPAN].
     Parsed lazily — only td/th tags ever pay this cost."""
     rs = cs = 1
-    if attrs and ("span" in attrs or "SPAN" in attrs or "Span" in attrs):
+    # lowercase before the cheap substring gate: HTML attribute names
+    # are case-insensitive (rowSPan=3 is valid) and the regex itself is
+    # IGNORECASE — a case-sensitive gate silently dropped mixed-case
+    # spans and misplaced every cell below them
+    if attrs and "span" in attrs.lower():
         for m in _SPAN_ATTR_RE.finditer(attrs):
             v = m.group(2)
             if v[:1] in "\"'":
@@ -317,15 +321,25 @@ class _Extractor:
 # (not inside script/style raw text), tag names lowercased, stray '<'
 # left as text, self-closing tags delivered as a start event only.
 
+# Attrs scanning is LINEAR by construction: the three alternatives are
+# disjoint on their first character ('"', "'", or neither), so every
+# position has exactly one parse and the engine never explores an
+# exponential backtrack tree (the old `[^>]` alternative also matched
+# quote chars — 20 unbalanced quote pairs in a truncated tag took >10 s;
+# crawl HTML is untrusted and frequently cut mid-tag, so that was a
+# one-page executor-core hang). An unbalanced trailing quote falls into
+# the `["'][^>]*` tail (consume to the tag close), and `(?:>|$)` treats
+# EOF as the close so a doc truncated mid-tag can't trigger the O(n^2)
+# fail-and-pop cascade either.
 _TAG_RE = re.compile(
     r"<(?:"
     r"!--.*?(?:-->|$)"                      # comment
     r"|!\[CDATA\[.*?(?:\]\]>|$)"            # CDATA (treated as markup noise)
     r"|![^>]*>?"                            # doctype / declaration
     r"|\?[^>]*>?"                           # processing instruction
-    r"|/\s*(?P<ctag>[a-zA-Z][^\s>]*)\s*[^>]*>"   # end tag
-    r"|(?P<tag>[a-zA-Z][^\t\n\r\f />]*)"         # start tag name
-    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*)>"  # attrs (quote-aware)
+    r"|/\s*(?P<ctag>[a-zA-Z][^\s>]*)[^>]*(?:>|$)"  # end tag
+    r"|(?P<tag>[a-zA-Z][^\t\n\r\f />]*)"           # start tag name
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*(?:[\"'][^>]*)?)(?:>|$)"
     r")",
     re.DOTALL,
 )

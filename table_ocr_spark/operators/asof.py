@@ -53,25 +53,31 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged
-    for c in right_cols:
-        src = F.when(F.col("_side") == 0, F.col(c))
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(src, ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn(
-        f"{ts}{suffix}",
-        F.last(
-            F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True
-        ).over(w),
+    # ONE struct carries ts + all payload columns of the matched right
+    # row together. Per-column F.last(col, ignorenulls=True) would skip
+    # a NULL payload value in the matched row and smear in the value
+    # from an EARLIER right row — output mixing two right rows, which
+    # diverges from DuckDB ASOF JOIN (the pinned semantics: the matched
+    # row is carried wholly, NULLs included). The struct itself is only
+    # NULL on left rows, so ignorenulls finds the latest right ROW, and
+    # all fields unpack from that same row. Also one Window projection
+    # instead of len(right_cols)+1, keeping the analyzed plan flat for
+    # wide right sides.
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col(ts).alias("_ts"), *[F.col(c) for c in right_cols]),
     )
-    out_cols = [c for c in left.columns] + [f"{ts}{suffix}"] + [
-        f"{c}{suffix}" for c in right_cols
-    ]
+    carried = merged.withColumn(
+        "_match", F.last(payload, ignorenulls=True).over(w)
+    )
     return (
         carried.filter(F.col("_side") == 1)
-        .filter(F.col(f"{ts}{suffix}").isNotNull())  # inner as-of
-        .select(*out_cols)
+        .filter(F.col("_match").isNotNull())  # inner as-of
+        .select(
+            *left.columns,
+            F.col("_match._ts").alias(f"{ts}{suffix}"),
+            *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
     )
 
 

@@ -67,12 +67,19 @@ class CatalogStore:
         return os.path.join(self.root, catalog)
 
     def read(self, catalog: str) -> DataFrame:
-        """read-all (``storage.py:41-44``); empty catalog -> empty df."""
+        """read-all (``storage.py:41-44``); a catalog that has never
+        been written reads as empty. Only the path-missing error is
+        translated to empty — a CORRUPT parquet file must surface, not
+        masquerade as an empty catalog (silent data loss)."""
+        from pyspark.errors import AnalysisException
+
         path = self._path(catalog)
         try:
             return self.spark.read.schema(_SCHEMAS[catalog]).parquet(path)
-        except Exception:
-            return self.spark.createDataFrame([], _SCHEMAS[catalog])
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return self.spark.createDataFrame([], _SCHEMAS[catalog])
+            raise
 
     def get(self, catalog: str, name: str) -> Optional[dict]:
         """name lookup (``storage.py:46-52``)."""
@@ -90,18 +97,23 @@ class CatalogStore:
         merged = incoming.unionByName(
             existing.join(incoming.select("name"), "name", "left_anti")
         ).dropDuplicates(["name"])
-        # write to a fresh versioned dir then repoint would give snapshot
-        # isolation; plain overwrite is adequate for O(10)-row catalogs
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(self._path(catalog))
-        merged.unpersist()
+        self._rewrite(catalog, merged)
 
     def delete(self, catalog: str, name: str) -> None:
         """≙ ``storage.py:112-123``."""
-        kept = self.read(catalog).filter(F.col("name") != name)
-        kept.cache().count()
-        kept.write.mode("overwrite").parquet(self._path(catalog))
-        kept.unpersist()
+        self._rewrite(catalog, self.read(catalog).filter(F.col("name") != name))
+
+    def _rewrite(self, catalog: str, df: DataFrame) -> None:
+        """Overwrite the catalog with rows derived FROM the same path.
+        cache() + overwrite is not safe for that: cache eviction or an
+        executor loss mid-write recomputes from already-deleted files.
+        Catalogs are O(10) rows by contract, so the robust move is to
+        materialize them on the driver and write from a literal
+        DataFrame with no lineage back to the path. (Under Iceberg this
+        whole method is a MERGE INTO snapshot commit.)"""
+        rows = df.collect()
+        out = self.spark.createDataFrame(rows, _SCHEMAS[catalog])
+        out.write.mode("overwrite").parquet(self._path(catalog))
 
 
 def resolve_projects(store: CatalogStore) -> DataFrame:

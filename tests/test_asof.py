@@ -59,3 +59,26 @@ def test_asof_never_cartesian(spark):
     left, right = _frames(spark)
     plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Window" in plan
+
+
+def test_asof_null_payload_from_matched_row_not_smeared(spark):
+    # ADVICE (round 1): per-column last(ignorenulls) carried a non-NULL
+    # value from an EARLIER right row when the matched row's payload
+    # column was NULL — mixing two right rows. DuckDB ASOF JOIN returns
+    # the matched row wholly, NULL included; so must we.
+    left = spark.createDataFrame(
+        [(1, m(40))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, m(10), "early", 7),
+            (1, m(30), None, None),  # the as-of match: payload is NULL
+        ],
+        "user_id long, ts timestamp, tag string, v long",
+    )
+    rows = asof_join(left, right, on="user_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ts_right"] == m(30)
+    assert r["tag_right"] is None       # not "early"
+    assert r["v_right"] is None         # not 7

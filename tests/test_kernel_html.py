@@ -153,3 +153,49 @@ class TestRobustness:
     def test_determinism(self):
         html = "<article><p>stable output</p></article>".encode()
         assert extract_html(html).text == extract_html(html).text
+
+    def test_pathological_quote_attrs_linear_time(self):
+        # ADVICE (round 1): the old attrs pattern backtracked
+        # exponentially on an unterminated tag with repeated quotes
+        # (16 pairs = 0.7 s, 20 pairs > 10 s). Crawl HTML is untrusted
+        # and frequently truncated mid-tag; one page must never hang an
+        # executor core. 40 pairs must now parse in well under a second.
+        import time
+
+        html = '<a href=' + '"x"y' * 40  # unterminated tag, 40 quote pairs
+        t0 = time.perf_counter()
+        extract_html(html)
+        assert time.perf_counter() - t0 < 0.5
+
+        # same shape embedded in a real doc: content still extracted
+        doc = (
+            "<article><p>before the bad tag, long enough to keep</p></article>"
+            + html
+        )
+        r = extract_html(doc)
+        assert "before the bad tag" in r.text
+
+    def test_truncated_mid_tag_no_blowup(self):
+        import time
+
+        for bad in (
+            "<div class=" + "'a'b" * 30,          # unbalanced single quotes
+            "</div   " + "x" * 5000,              # end tag, '>' never comes
+            "<div " + " " * 5000 + "q='",         # whitespace run then open quote
+        ):
+            t0 = time.perf_counter()
+            extract_html("<article><p>kept text long enough to pass</p></article>" + bad)
+            assert time.perf_counter() - t0 < 0.5
+
+    def test_mixed_case_span_attrs(self):
+        # ADVICE (round 1): rowSPan=3 silently became span 1 because the
+        # substring gate was case-sensitive while the regex was not
+        html = (
+            "<table><tr><td rowSPan=2>a</td><td>b</td></tr>"
+            "<tr><td>c</td></tr></table>"
+        )
+        r = extract_html(html)
+        spans = {(c.row, c.col): (c.rowspan, c.colspan) for c in r.cells}
+        assert spans[(0, 0)] == (2, 1)
+        # cell 'c' is pushed to col 1 by the rowspan occupancy
+        assert (1, 1) in spans

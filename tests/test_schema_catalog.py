@@ -133,3 +133,69 @@ def test_encode_decode_roundtrip(spark):
         "url", "page", "sample", "row_index", "name", "jahr"
     ).collect()}
     assert a == b
+
+
+def test_catalog_corrupt_file_surfaces_not_silent_empty(spark, tmp_path):
+    # ADVICE (round 1): read() used to swallow EVERY exception as an
+    # empty catalog, masking corruption as silent data loss. Only the
+    # never-written (path-missing) case may read as empty.
+    import os
+
+    import pytest
+
+    store = CatalogStore(spark, str(tmp_path / "cat"))
+    assert store.read("prompts").count() == 0  # missing path -> empty
+
+    os.makedirs(str(tmp_path / "cat" / "prompts"), exist_ok=True)
+    with open(str(tmp_path / "cat" / "prompts" / "part-0.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        store.read("prompts").count()
+
+
+def test_catalog_upsert_has_no_lineage_back_to_path(spark, tmp_path):
+    # repeated upsert/delete over the SAME path must not depend on a
+    # cached plan that reads the files being overwritten
+    store = CatalogStore(spark, str(tmp_path / "cat"))
+    for i in range(3):
+        store.upsert("prompts", [{"name": f"p{i}", "text": f"t{i}", "created_at": None}])
+    assert store.read("prompts").count() == 3
+    store.delete("prompts", "p1")
+    got = {r["name"] for r in store.read("prompts").collect()}
+    assert got == {"p0", "p2"}
+
+
+def test_encode_results_payload_dense_slots(spark):
+    # ADVICE (round 1): a (page, sample) slot with zero decoded rows
+    # used to vanish, shifting later slots to wrong array positions.
+    # Dense shape: the gap occupies its position as '{"table": []}'.
+    import json
+
+    from table_ocr_spark.functions.schema_builder import encode_results_payload
+
+    fields = [SchemaField("name", "STRING")]
+    # u1 has pages 1..3 but page 2 decoded nothing; page 3 sample 1 only
+    rows = [
+        ("u1", 1, 1, 0, "a"), ("u1", 1, 2, 0, "b"),
+        ("u1", 3, 1, 0, "c"),
+    ]
+    decoded = spark.createDataFrame(
+        rows, "url string, page int, sample int, row_index int, name string"
+    )
+    got = encode_results_payload(decoded, fields).collect()[0]
+    assert got["num_pages"] == 3
+    res = got["results"]
+    assert len(res) == 3 and all(len(p) == 2 for p in res)
+    assert json.loads(res[1][0]) == {"table": []}          # page 2 empty
+    assert json.loads(res[1][1]) == {"table": []}
+    assert json.loads(res[2][0])["table"][0]["name"] == "c"  # page 3 NOT shifted
+    assert json.loads(res[2][1]) == {"table": []}            # missing sample slot
+
+    # explicit domain: trailing page 4 missing entirely from decoded rows
+    domain = spark.createDataFrame(
+        [("u1", p, s) for p in (1, 2, 3, 4) for s in (1, 2)],
+        "url string, page int, sample int",
+    )
+    got4 = encode_results_payload(decoded, fields, domain=domain).collect()[0]
+    assert got4["num_pages"] == 4
+    assert json.loads(got4["results"][3][1]) == {"table": []}
