@@ -52,22 +52,46 @@ def normalized_text(col: Column) -> Column:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    key: str = "hash",
 ) -> DataFrame:
     """Exact duplicate clustering: every doc mapped to the canonical
     (min id) doc of its normalized-text group, plus the group size.
-    One shuffle on the normalized text (map-side partial agg applies);
-    at crawl scale group on xxhash64(norm) instead of the full string
-    to keep shuffle rows narrow (same clusters, cheaper exchange).
+
+    ``key="hash"`` (default, the crawl-scale path): the groupBy and the
+    join back are keyed on a 192-bit composite —
+    ``(xxhash64(norm), md5(norm))`` — 40 bytes/row through both
+    exchanges instead of the full normalized document text (which
+    roughly doubled exchange bytes for the stage). The two hashes are
+    independent algorithms, so a wrong merge needs a simultaneous
+    64-bit AND 128-bit collision on the same pair: at 10^12 docs the
+    expected number of colliding PAIRS is n^2/2^193 ≈ 2^-113 — not a
+    realistic failure mode (the single-hash xxhash64 variant alone
+    WOULD collide at that scale: ~2^15 expected pairs, hence the
+    second hash as the collision check). ``key="text"`` keeps the
+    full-string grouping for byte-paranoid audits; both paths produce
+    identical clusters.
     """
+    if key not in ("hash", "text"):
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
     norm = normalized_text(F.col(text_col)).alias("_norm")
     with_norm = df.select(F.col(id_col), norm)
-    groups = with_norm.groupBy("_norm").agg(
+    if key == "hash":
+        keyed = with_norm.select(
+            F.col(id_col),
+            F.xxhash64("_norm").alias("_h64"),
+            F.md5("_norm").alias("_h128"),
+        )
+        group_cols = ["_h64", "_h128"]
+    else:
+        keyed = with_norm
+        group_cols = ["_norm"]
+    groups = keyed.groupBy(*group_cols).agg(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
     return (
-        with_norm.join(groups, "_norm")
+        keyed.join(groups, group_cols)
         .select(
             F.col(id_col),
             "canonical_id",

@@ -61,69 +61,56 @@ _PA_CELL = pa.struct(
 )
 
 
-def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """Arrow-batch kernel driver. Runs on executors; imports the kernel
-    once per Python worker (module-level cache — the reference's lazy
-    client pattern, ``table_ocr/core.py:44-64``)."""
-    from table_ocr_spark.kernel.html_extract import extract_html
+def _kernel_batches(kernel: str, passthrough: tuple = ()):
+    """Factory for the Arrow-batch kernel driver (runs on executors;
+    imports the kernel once per Python worker — the reference's lazy
+    client pattern, ``table_ocr/core.py:44-64``). ``passthrough``
+    columns are copied from the input batch to the output batch
+    ZERO-COPY (same Arrow arrays) — extra columns ride through the
+    map-only kernel stage for free instead of a corpus × corpus
+    re-join by url afterwards."""
 
-    for batch in batches:
-        urls = batch.column("url")
-        htmls = batch.column("html").to_pylist()
-        texts: List[str] = []
-        cells_col: List[List[dict]] = []
-        n_tables: List[int] = []
-        for h in htmls:
-            if h is None:
-                texts.append("")
-                cells_col.append([])
-                n_tables.append(0)
-                continue
-            r = extract_html(h)
-            texts.append(r.text)
-            cells_col.append(r.cells_as_dicts())
-            n_tables.append(r.n_tables)
-        yield pa.RecordBatch.from_arrays(
-            [
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if kernel == "html":
+            from table_ocr_spark.kernel.html_extract import extract_html as extract
+        else:
+            from table_ocr_spark.kernel.layout import extract_pdf as extract
+
+        for batch in batches:
+            urls = batch.column("url")
+            payloads = batch.column("html").to_pylist()
+            texts: List[str] = []
+            cells_col: List[List[dict]] = []
+            n_tables: List[int] = []
+            for p in payloads:
+                if p is None:
+                    texts.append("")
+                    cells_col.append([])
+                    n_tables.append(0)
+                    continue
+                r = extract(p)
+                texts.append(r.text)
+                cells_col.append(r.cells_as_dicts())
+                n_tables.append(r.n_tables)
+            arrays = [
                 urls,
                 pa.array(texts, pa.string()),
                 pa.array(cells_col, pa.list_(_PA_CELL)),
                 pa.array(n_tables, pa.int32()),
-            ],
-            names=["url", "extracted_text", "cells", "n_tables"],
-        )
+            ]
+            names = ["url", "extracted_text", "cells", "n_tables"]
+            for c in passthrough:
+                arrays.append(batch.column(c))
+                names.append(c)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return gen
 
 
-def _extract_pdf_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """Arrow-batch driver for the PDF layout kernel (same contract as
-    :func:`_extract_arrow_batches`, different parser)."""
-    from table_ocr_spark.kernel.layout import extract_pdf
-
-    for batch in batches:
-        urls = batch.column("url")
-        payloads = batch.column("html").to_pylist()
-        texts: List[str] = []
-        cells_col: List[List[dict]] = []
-        n_tables: List[int] = []
-        for p in payloads:
-            if p is None:
-                texts.append("")
-                cells_col.append([])
-                n_tables.append(0)
-                continue
-            r = extract_pdf(p)
-            texts.append(r.text)
-            cells_col.append(r.cells_as_dicts())
-            n_tables.append(r.n_tables)
-        yield pa.RecordBatch.from_arrays(
-            [
-                urls,
-                pa.array(texts, pa.string()),
-                pa.array(cells_col, pa.list_(_PA_CELL)),
-                pa.array(n_tables, pa.int32()),
-            ],
-            names=["url", "extracted_text", "cells", "n_tables"],
-        )
+# no-passthrough instances (streaming/incremental.py plugs the html one
+# into its own mapInArrow call)
+_extract_arrow_batches = _kernel_batches("html")
+_extract_pdf_arrow_batches = _kernel_batches("pdf")
 
 
 def extract_pdf_documents(
@@ -172,13 +159,16 @@ def hot_hosts(
     counts = (
         df.groupBy(host_of(F.col(url_col)).alias("_host"))
         .agg(F.count(F.lit(1)).alias("_n"))
-        .cache()
+        .cache()  # two actions below; unpersisted before return (no leak)
     )
-    total = counts.agg(F.sum("_n")).first()[0] or 0
-    if total == 0:
-        return []
-    rows = counts.filter(F.col("_n") > total * hot_share).collect()
-    return [r["_host"] for r in rows]
+    try:
+        total = counts.agg(F.sum("_n")).first()[0] or 0
+        if total == 0:
+            return []
+        rows = counts.filter(F.col("_n") > total * hot_share).collect()
+        return [r["_host"] for r in rows]
+    finally:
+        counts.unpersist()
 
 
 def skew_aware_repartition(
@@ -216,13 +206,15 @@ def extract_documents(
     cells, n_tables [, keep_columns...])``.
 
     The heavy ``html`` column is confined to the scan→kernel segment of
-    the plan; extra columns to carry through are re-joined cheaply by
-    url AFTER extraction only if requested (they'd otherwise ride along
-    the Arrow exchange for free — for the common case we just select
-    them in).
+    the plan; ``keep_columns`` ride THROUGH the Arrow kernel stage as
+    zero-copy passthrough arrays — never a post-hoc join of two
+    corpus-sized tables by url (the previous shape: a full shuffle join
+    just to recover columns the map stage already had in hand).
     """
-    cols = ["url", "html"]
-    df = pages.select(*cols)
+    keep = tuple(
+        c for c in (keep_columns or []) if c not in ("url", "html")
+    )
+    df = pages.select("url", "html", *keep)
     # Extraction is map-only: by default the scan's split planning
     # (spark.sql.files.maxPartitionBytes) levels partitions and the
     # html NEVER crosses a shuffle — at 100 TB an exchange of the raw
@@ -231,11 +223,10 @@ def extract_documents(
     # when the sink wants url-aligned buckets).
     if num_partitions is not None:
         df = salted_repartition(df, "url", num_partitions)
-    out = df.mapInArrow(_extract_arrow_batches, EXTRACT_SCHEMA)
-    if keep_columns:
-        extra = pages.select("url", *keep_columns)
-        out = out.join(extra, "url", "left")
-    return out
+    schema = T.StructType(
+        list(EXTRACT_SCHEMA.fields) + [pages.schema[c] for c in keep]
+    )
+    return df.mapInArrow(_kernel_batches("html", keep), schema)
 
 
 @F.pandas_udf(T.StringType())

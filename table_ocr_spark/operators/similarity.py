@@ -15,6 +15,8 @@ uses, so oracle doubles agree). Scores are rounded to 6 dp in outputs.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -151,13 +153,19 @@ def hyperplane_near_dup_pairs(
     (1.0) for true duplicates, whose signatures are identical."""
     base = _with_vec(emb, vec_col)
     sig = base.select(
-        "vec_id", "vec", _hyperplane_sig_udf(HP_BITS)(F.col("vec")).alias("_sig")
+        "vec_id", _hyperplane_sig_udf(HP_BITS)(F.col("vec")).alias("_sig")
     )
     mask = (1 << HP_BAND_BITS) - 1
     n_bands = HP_BITS // HP_BAND_BITS
+    # Band rows and the candidate self-join carry ONLY (vec_id, band,
+    # bkey) — 24 bytes/row. The previous shape exploded the full vector
+    # 8x through the exchange and shuffled two vector copies per
+    # candidate BEFORE dedup; at crawl scale that exchange dominates the
+    # whole job. Vectors re-join ONCE per deduped pair for the exact
+    # verification — the same narrow-candidates-then-rejoin shape as
+    # MinHash's _pair_jaccard (operators/dedup.py).
     banded = sig.select(
         "vec_id",
-        "vec",
         F.explode(
             F.array(*[
                 F.struct(
@@ -172,18 +180,21 @@ def hyperplane_near_dup_pairs(
                 for i in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("vec_id", "vec", "bb.band", "bb.bkey")
-    a = banded.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("_va"), "band", "bkey")
-    b = banded.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("_vb"), "band", "bkey")
+    ).select("vec_id", "bb.band", "bb.bkey")
+    a = banded.select(F.col("vec_id").alias("id_a"), "band", "bkey")
+    b = banded.select(F.col("vec_id").alias("id_b"), "band", "bkey")
     cand = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("_va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("_vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     sim = cosine(F.col("_va"), F.col("_vb"))
     return (
-        cand.filter(sim >= threshold)
+        pairs.filter(sim >= threshold)
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
     )
 
@@ -192,13 +203,40 @@ def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
+    max_cell_size: Optional[int] = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b,
     cosine >= threshold), blocked by the coarse ``label`` cell: true
     near-dups of a vector land in its own cell, so the join is
     label-equi rather than all-pairs (same pruning argument as IVF).
+
+    Within a cell the comparison IS all-pairs — quadratic in the cell.
+    Zipfian label distributions put a whole corpus slice in one cell
+    and turn one reducer quadratic, so ``max_cell_size`` guards the
+    plan: cells above the cap fail fast with the offending labels
+    (a bounded collect — one count per label, filtered to violators)
+    instead of silently hanging a 4-hour stage. For corpora whose cells
+    can't be bounded, use :func:`hyperplane_near_dup_pairs` — the
+    label-free LSH path whose candidate count is ~linear. Pass ``None``
+    to skip the check (e.g. inside tests with known-small cells).
     """
     base = _with_vec(emb, vec_col)
+    if max_cell_size is not None:
+        hot = (
+            base.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cell_size)
+            .limit(20)
+            .collect()
+        )
+        if hot:
+            detail = ", ".join(f"{r['label']}={r['_n']}" for r in hot)
+            raise ValueError(
+                f"cosine_near_dup_pairs: label cell(s) exceed "
+                f"max_cell_size={max_cell_size} ({detail}); all-pairs "
+                f"within such a cell is quadratic — raise the cap "
+                f"consciously or use hyperplane_near_dup_pairs"
+            )
     a = base.select(
         F.col("vec_id").alias("id_a"), F.col("vec").alias("_va"), "label"
     )

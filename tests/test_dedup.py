@@ -93,3 +93,44 @@ def test_dedup_plans_are_equi_joins(spark, docs):
     plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_hash_and_text_paths_agree(spark):
+    from table_ocr_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),      # dup of 1 after normalization
+            (3, "different text"),
+            (4, "HELLO WORLD  "),    # dup of 1
+            (5, "different  TEXT"),  # dup of 3
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        (1, 1, 3, False), (2, 1, 3, True), (4, 1, 3, True),
+        (3, 3, 2, False), (5, 3, 2, True),
+    }
+    for key in ("hash", "text"):
+        got = {
+            (r["doc_id"], r["canonical_id"], r["n_copies"], r["is_dup"])
+            for r in exact_dedup(df, key=key).collect()
+        }
+        assert got == want, key
+
+    import pytest
+    with pytest.raises(ValueError):
+        exact_dedup(df, key="bogus")
+
+
+def test_exact_dedup_hash_path_shuffles_narrow_keys(spark):
+    from table_ocr_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    plan = exact_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    # the exchanges must be keyed on the hash columns, not _norm
+    assert "_h64" in plan and "_h128" in plan
+    import re
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "_norm" not in m.group(1), m.group(0)

@@ -120,3 +120,36 @@ def test_null_html_yields_empty(spark):
     )
     rows = {r["url"]: r["extracted_text"] for r in extract_documents(df).collect()}
     assert rows["u1"] == "" and rows["u2"] == "ok fine"
+
+
+def test_keep_columns_ride_through_kernel_no_join(spark, corpus):
+    # keep_columns must pass through the Arrow kernel stage zero-copy —
+    # NOT a post-hoc corpus x corpus join by url (round-1 verdict #5)
+    path, _, _, _ = corpus
+    pages = spark.read.parquet(path)
+    out = extract_documents(pages, keep_columns=["warc_ts", "lang"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan  # still map-only
+
+    # multiset compare: the corpus contains re-crawled urls, so the
+    # same url appears with several warc_ts values
+    import collections
+
+    rows = collections.Counter(
+        (r["url"], r["lang"], r["warc_ts"])
+        for r in out.select("url", "lang", "warc_ts").collect()
+    )
+    want = collections.Counter(
+        (r["url"], r["lang"], r["warc_ts"])
+        for r in pages.select("url", "lang", "warc_ts").collect()
+    )
+    assert rows == want
+
+    # extraction output itself unaffected by the passthrough
+    base = sorted(
+        (r["url"], r["extracted_text"])
+        for r in extract_documents(pages).collect()
+    )
+    got = sorted((r["url"], r["extracted_text"]) for r in out.collect())
+    assert got == base

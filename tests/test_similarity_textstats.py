@@ -164,3 +164,41 @@ def test_hyperplane_lsh_finds_exact_dups(spark, emb):
     # exact duplicates have identical signatures -> always candidates
     assert got[(0, 100)] == 1.0
     assert got[(4, 101)] == 1.0
+
+
+def test_cosine_near_dup_cell_cap_guard(spark):
+    from table_ocr_spark.operators.similarity import cosine_near_dup_pairs
+
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(6)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    with pytest.raises(ValueError, match="max_cell_size"):
+        cosine_near_dup_pairs(emb, max_cell_size=3).collect()
+    # cap off or high enough: runs
+    assert cosine_near_dup_pairs(emb, max_cell_size=None).count() == 15
+    assert cosine_near_dup_pairs(emb, max_cell_size=10).count() == 15
+
+
+def test_hyperplane_band_join_carries_ids_only(spark):
+    from table_ocr_spark.operators.similarity import hyperplane_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 * i, 1.0], i % 2) for i in range(8)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    df = hyperplane_near_dup_pairs(emb, threshold=0.999)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the band-bucket exchanges must NOT carry the vector column: the
+    # full vec may only appear in the verification re-join (round-1
+    # verdict #1 — 8x vector duplication through the band shuffle)
+    import re
+    band_exchanges = [
+        m.group(0) for m in re.finditer(r"Exchange hashpartitioning\([^\n]*", plan)
+        if "band" in m.group(0) and "bkey" in m.group(0)
+    ]
+    assert band_exchanges, plan
+    for ex in band_exchanges:
+        assert "vec" not in ex.replace("vec_id", "id"), ex
