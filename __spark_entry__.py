@@ -671,6 +671,31 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-range slice on TRUE multi-page documents — the reference's
+    actual slice axis (``table_ocr/core.py:187-192``: pages
+    ``start_page..max_pages`` per PDF), not a timestamp stand-in: doc i
+    carries 1+(i%4) pages, pages 1..2 are sliced BEFORE extraction (the
+    filter runs ahead of the html projection and the kernel — skipped
+    pages are never even materialized), and ``page`` rides through the
+    Arrow kernel as a passthrough column (no re-join)."""
+    from table_ocr_spark.operators.docpages import (
+        doc_id_from_url,
+        documents_as_multipage,
+        page_range_slice,
+    )
+    from table_ocr_spark.operators.extract import extract_documents
+
+    pages = documents_as_multipage(_read_par(spark, sf_dir, "documents"))
+    sliced = page_range_slice(pages, 1, 2)
+    out = extract_documents(sliced, keep_columns=["page"])
+    return out.select(
+        doc_id_from_url(F.col("url")).alias("doc_id"),
+        F.col("page").cast("long").alias("page"),
+        "extracted_text",
+    )
+
+
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -789,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "results_payload_decode": q_results_payload_decode,
         "token_counts": q_token_counts,
         "pdf_extract": q_pdf_extract,
+        "page_range_extract": q_page_range_extract,
     }
 
 
@@ -1066,6 +1092,19 @@ def oracle_sql() -> dict[str, str]:
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         AND event_type = 'purchase'
+    """
+
+    # closed-form multipage construction (docpages.documents_as_multipage):
+    # doc i has pages 0..(i % 4); page body extracts to 'p{page} {text}'
+    sql["page_range_extract"] = """
+      SELECT doc_id, page,
+             'p' || CAST(page AS VARCHAR) || ' ' || text AS extracted_text
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) AS page
+        FROM documents
+      )
+      WHERE page BETWEEN 1 AND 2
     """
 
     sql["run_counter"] = (

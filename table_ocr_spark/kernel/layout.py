@@ -34,7 +34,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass
 from statistics import median
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from table_ocr_spark.kernel.html_extract import Cell, ExtractionResult
 from table_ocr_spark.kernel.textops import normalize_text
@@ -46,6 +46,54 @@ BLOCK_GAP = 1.8       # gap > BLOCK_GAP * median line height -> new block
 COL_TOL = 6.0         # x0 quantization tolerance for column bins
 MIN_TABLE_LINES = 2
 MIN_TABLE_COLS = 2
+
+
+@dataclass(frozen=True)
+class PageConfig:
+    """Config-driven page transforms ahead of segmentation — the
+    analogue of the reference's pre-OCR image pipeline
+    (``table_ocr/core.py:163,197-205``, ``config.py:29-33``: grayscale
+    conversion + ``crop_sides`` trimming page-edge bleed from scanned
+    registers). For a span-based page, cropping = dropping spans whose
+    center falls outside the kept region; ``grayscale`` has no
+    geometric effect on spans and is threaded into the real-PDF render
+    call instead (fitz pixmap colorspace), where it halves raster
+    bytes.
+
+    ``crop_*`` are fractions of the page extent (0.05 = trim 5% off
+    that side), matching the reference's side-crop semantics."""
+
+    crop_left: float = 0.0
+    crop_right: float = 0.0
+    crop_top: float = 0.0
+    crop_bottom: float = 0.0
+    grayscale: bool = False
+
+
+def crop_spans(spans: List["Span"], cfg: PageConfig) -> List["Span"]:
+    """Drop spans whose CENTER lies in a cropped margin. Page extent is
+    the span bounding box (FAKEPDF pages carry no page rect); an empty
+    page or zero crop passes through untouched."""
+    if not spans or not (
+        cfg.crop_left or cfg.crop_right or cfg.crop_top or cfg.crop_bottom
+    ):
+        return spans
+    x_lo = min(s.x0 for s in spans)
+    x_hi = max(s.x1 for s in spans)
+    y_lo = min(s.y0 for s in spans)
+    y_hi = max(s.y1 for s in spans)
+    w = x_hi - x_lo
+    h = y_hi - y_lo
+    keep_x0 = x_lo + cfg.crop_left * w
+    keep_x1 = x_hi - cfg.crop_right * w
+    keep_y0 = y_lo + cfg.crop_top * h
+    keep_y1 = y_hi - cfg.crop_bottom * h
+    return [
+        s
+        for s in spans
+        if keep_x0 <= (s.x0 + s.x1) / 2.0 <= keep_x1
+        and keep_y0 <= s.yc <= keep_y1
+    ]
 
 
 @dataclass
@@ -84,7 +132,9 @@ def parse_pdf_payload(payload: bytes) -> List[List[Span]]:
             [Span(s["x0"], s["y0"], s["x1"], s["y1"], s["text"]) for s in p["spans"]]
             for p in doc
         ]
-    try:  # pragma: no cover - fitz absent in this container
+    # real branch: covered by tests/test_real_codecs.py wherever PyMuPDF
+    # is installed (pytest.importorskip); absent in this container
+    try:
         import fitz
 
         out: List[List[Span]] = []
@@ -220,13 +270,20 @@ def segment_page(spans: List[Span], table_id_base: int = 0):
     return texts, cells, tid - table_id_base
 
 
-def extract_pdf(payload: bytes) -> ExtractionResult:
+def extract_pdf(
+    payload: bytes, config: Optional[PageConfig] = None
+) -> ExtractionResult:
     """Whole-document extraction: pages concatenated in order, table
-    ids global across pages (mirrors ``extract_html``'s contract)."""
+    ids global across pages (mirrors ``extract_html``'s contract).
+    ``config`` applies the reference's pre-segmentation page transforms
+    (side crops; ``grayscale`` is raster-only and takes effect where
+    pages are rendered, not on the span geometry)."""
     texts: List[str] = []
     cells: List[Cell] = []
     n_tables = 0
     for spans in parse_pdf_payload(bytes(payload)):
+        if config is not None:
+            spans = crop_spans(spans, config)
         t, c, n = segment_page(spans, table_id_base=n_tables)
         texts.extend(t)
         cells.extend(c)

@@ -86,6 +86,57 @@ def doc_id_from_url(url_col) -> F.Column:
     return F.regexp_extract(url_col, r"^doc:(\d+)$", 1).cast("long")
 
 
+# multi-page documents: page body closes the article immediately (no
+# tables on inner pages — the table fixture lives in the single-page
+# wrap above)
+_PAGE_POST = "</p></article></body></html>"
+
+MULTIPAGE_MOD = 4  # doc i has 1 + (i % MULTIPAGE_MOD) pages
+
+
+def documents_as_multipage(docs: DataFrame) -> DataFrame:
+    """documents -> one row per (url, page): doc ``i`` has
+    ``1 + (i % MULTIPAGE_MOD)`` pages numbered from 0, each a full HTML
+    page whose article body is ``"p{page} {text}"`` (closed form, so
+    extraction has an exact oracle). This is the reference's actual
+    document shape — N rasterized pages per PDF, sliced by
+    ``start_page..max_pages`` (``table_ocr/core.py:187-192``) — which
+    the single-page wrap above doesn't model.
+
+    Page explosion is ``explode(sequence(...))`` — pure JVM, and the
+    heavy html string is only constructed for rows that SURVIVE any
+    later page filter (Catalyst computes projections after filters), so
+    slicing pages before extraction costs nothing per skipped page.
+    """
+    paged = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("doc_id") % MULTIPAGE_MOD)
+        ).alias("page"),
+    )
+    html_str = F.concat(
+        F.lit(_PRE),
+        F.lit("p"),
+        F.col("page").cast("string"),
+        F.lit(" "),
+        F.col("text"),
+        F.lit(_PAGE_POST),
+    )
+    return paged.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("page"),
+        html_str.cast("binary").alias("html"),
+    )
+
+
+def page_range_slice(pages: DataFrame, start_page: int, end_page: int) -> DataFrame:
+    """The reference's page-range predicate (``core.py:187-192``:
+    ``start_page .. start_page+max_pages``) as a pushable filter —
+    apply BEFORE extraction so skipped pages never reach the kernel."""
+    return pages.filter(F.col("page").between(start_page, end_page))
+
+
 def documents_as_fake_pdfs(docs: DataFrame) -> DataFrame:
     """documents -> (url, payload) FAKEPDF pages: the text flowed as
     proportional spans (8 px/char, 6 px word gap, 8 words/line) plus a

@@ -61,7 +61,7 @@ _PA_CELL = pa.struct(
 )
 
 
-def _kernel_batches(kernel: str, passthrough: tuple = ()):
+def _kernel_batches(kernel: str, passthrough: tuple = (), pdf_config=None):
     """Factory for the Arrow-batch kernel driver (runs on executors;
     imports the kernel once per Python worker — the reference's lazy
     client pattern, ``table_ocr/core.py:44-64``). ``passthrough``
@@ -74,7 +74,13 @@ def _kernel_batches(kernel: str, passthrough: tuple = ()):
         if kernel == "html":
             from table_ocr_spark.kernel.html_extract import extract_html as extract
         else:
-            from table_ocr_spark.kernel.layout import extract_pdf as extract
+            from table_ocr_spark.kernel.layout import extract_pdf
+
+            if pdf_config is not None:
+                def extract(p, _cfg=pdf_config):
+                    return extract_pdf(p, _cfg)
+            else:
+                extract = extract_pdf
 
         for batch in batches:
             urls = batch.column("url")
@@ -117,14 +123,21 @@ def extract_pdf_documents(
     pages: DataFrame,
     num_partitions: Optional[int] = None,
     payload_col: str = "payload",
+    page_config=None,
 ) -> DataFrame:
     """PDF-layout twin of :func:`extract_documents`: ``(url, payload)``
     → ``(url, extracted_text, cells, n_tables)`` via the geometry
-    segmentation kernel (kernel/layout.py). Map-only by default."""
+    segmentation kernel (kernel/layout.py). Map-only by default.
+    ``page_config`` (:class:`~table_ocr_spark.kernel.layout.PageConfig`)
+    applies the reference's pre-segmentation page transforms — side
+    crops for page-edge bleed, grayscale for rendered pages
+    (``table_ocr/core.py:197-205``, ``config.py:29-33``)."""
     df = pages.select("url", F.col(payload_col).alias("html"))
     if num_partitions is not None:
         df = salted_repartition(df, "url", num_partitions)
-    return df.mapInArrow(_extract_pdf_arrow_batches, EXTRACT_SCHEMA)
+    return df.mapInArrow(
+        _kernel_batches("pdf", pdf_config=page_config), EXTRACT_SCHEMA
+    )
 
 
 def host_of(url_col) -> F.Column:

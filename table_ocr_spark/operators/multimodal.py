@@ -51,17 +51,21 @@ def _decode_image(payload: bytes):
         w, h = struct.unpack("<HH", payload[7:11])
         (mean,) = struct.unpack("<f", payload[11:15])
         return w, h, float(mean)
+    # real branch: covered by tests/test_real_codecs.py wherever PIL is
+    # installed (pytest.importorskip); absent in this container
     try:
-        from PIL import Image  # pragma: no cover - not in container
+        from PIL import Image
         import io
-
-        img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, 0.0
-    except ImportError as e:  # pragma: no cover
+    except ImportError as e:
         raise NotImplementedError(
             "image decode requires PIL/cv2 (not available in this container); "
             "use FAKEIMG payloads in tests"
         ) from e
+    img = Image.open(io.BytesIO(payload))
+    hist = img.convert("L").histogram()
+    n = sum(hist) or 1
+    mean = sum(i * c for i, c in enumerate(hist)) / n
+    return img.width, img.height, float(mean)
 
 
 def image_metadata(images: DataFrame) -> DataFrame:
@@ -149,20 +153,34 @@ def sample_frames(videos: DataFrame, every_nth: int = 2) -> DataFrame:
             rows = []
             for url, payload in zip(pdf["url"], pdf["payload"]):
                 b = bytes(payload)
-                if not b.startswith(_FAKE_VIDEO_MAGIC):
+                if b.startswith(_FAKE_VIDEO_MAGIC):
+                    (n,) = struct.unpack("<H", b[7:9])
+                    off = 9
+                    for i in range(n):
+                        (ln,) = struct.unpack("<I", b[off : off + 4])
+                        off += 4
+                        frame = b[off : off + ln]
+                        off += ln
+                        if i % every_nth == 0:
+                            rows.append((url, i, frame))
+                    continue
+                # real branch (tests/test_real_codecs.py via importorskip;
+                # pyav absent in this container): frame payload contract
+                # is the raw first-plane bytes (luma for yuv, gray for
+                # gray8) — no PIL round-trip inside the hot kernel
+                try:
+                    import io
+
+                    import av
+                except ImportError as e:
                     raise NotImplementedError(
                         "video decode requires pyav/ffmpeg (absent in this "
                         "container); use FAKEVID payloads in tests"
-                    )
-                (n,) = struct.unpack("<H", b[7:9])
-                off = 9
-                for i in range(n):
-                    (ln,) = struct.unpack("<I", b[off : off + 4])
-                    off += 4
-                    frame = b[off : off + ln]
-                    off += ln
-                    if i % every_nth == 0:
-                        rows.append((url, i, frame))
+                    ) from e
+                with av.open(io.BytesIO(b)) as container:
+                    for i, frame in enumerate(container.decode(video=0)):
+                        if i % every_nth == 0:
+                            rows.append((url, i, bytes(frame.planes[0])))
             yield pd.DataFrame(rows, columns=["url", "frame_idx", "frame"])
 
     return videos.select("url", "payload").mapInPandas(kernel, FRAME_SCHEMA)

@@ -153,3 +153,30 @@ def test_keep_columns_ride_through_kernel_no_join(spark, corpus):
     )
     got = sorted((r["url"], r["extracted_text"]) for r in out.collect())
     assert got == base
+
+
+def test_multipage_page_range_slice(spark):
+    from table_ocr_spark.operators.docpages import (
+        documents_as_multipage,
+        page_range_slice,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}", "en", "crawl", 6) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pages = documents_as_multipage(docs)
+    # doc i has 1 + i%4 pages
+    counts = {r["url"]: r["n"] for r in
+              pages.groupBy("url").count().withColumnRenamed("count", "n").collect()}
+    assert counts["doc:0"] == 1 and counts["doc:3"] == 4 and counts["doc:5"] == 2
+
+    sliced = page_range_slice(pages, 1, 2)
+    out = extract_documents(sliced, keep_columns=["page"]).collect()
+    got = {(r["url"], r["page"]): r["extracted_text"] for r in out}
+    # doc:0 has only page 0 -> absent; doc:3 contributes pages 1,2
+    assert ("doc:0", 0) not in got and ("doc:0", 1) not in got
+    assert got[("doc:3", 1)] == "p1 body 3"
+    assert got[("doc:3", 2)] == "p2 body 3"
+    assert ("doc:3", 3) not in got  # sliced away
+    assert got[("doc:5", 1)] == "p1 body 5"

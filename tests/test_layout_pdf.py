@@ -102,3 +102,53 @@ def test_spark_pdf_pipeline(spark):
 def test_unknown_payload_raises():
     with pytest.raises(NotImplementedError):
         parse_pdf_payload(b"%PDF-1.7 not really")
+
+
+def test_page_config_crop_removes_edge_bleed():
+    # the reference's crop_sides (table_ocr/core.py:197-205): page-edge
+    # bleed from the neighboring scanned page shows up as a thin text
+    # column at the extreme margin; cropping 10% off that side removes
+    # it before segmentation
+    from table_ocr_spark.kernel.layout import PageConfig
+
+    body = para_spans(PARA, x=20, y=20)
+    # bleed column: tall thin strip at far right (x ~ 600)
+    bleed = [sp(600, 20 + i * 12, "|", w=6) for i in range(4)]
+    payload = encode_fake_pdf([body + bleed])
+
+    uncropped = extract_pdf(payload)
+    assert "|" in uncropped.text
+
+    cropped = extract_pdf(payload, PageConfig(crop_right=0.10))
+    assert "|" not in cropped.text
+    assert "alpha beta gamma" in cropped.text  # body intact
+
+    # top crop removes a running header
+    header = [sp(20, 0, "PAGE 17 OF THE REGISTER", h=8)]
+    payload2 = encode_fake_pdf([header + [dict(s, y0=s["y0"] + 60, y1=s["y1"] + 60) for s in body]])
+    r2 = extract_pdf(payload2, PageConfig(crop_top=0.15))
+    assert "REGISTER" not in r2.text
+    assert "alpha" in r2.text
+
+
+def test_page_config_zero_is_identity():
+    from table_ocr_spark.kernel.layout import PageConfig, crop_spans
+
+    spans = [Span(**s) for s in para_spans(PARA)]
+    assert crop_spans(spans, PageConfig()) is spans
+    assert extract_pdf(encode_fake_pdf([para_spans(PARA)])).text == extract_pdf(
+        encode_fake_pdf([para_spans(PARA)]), PageConfig()
+    ).text
+
+
+def test_spark_pdf_pipeline_with_page_config(spark):
+    from table_ocr_spark.kernel.layout import PageConfig
+    from table_ocr_spark.operators.extract import extract_pdf_documents
+
+    bleed = [sp(600, 20 + i * 12, "|", w=6) for i in range(4)]
+    rows = [("p1", bytearray(encode_fake_pdf([para_spans(PARA) + bleed])))]
+    pdfs = spark.createDataFrame(rows, "url string, payload binary")
+    out = extract_pdf_documents(
+        pdfs, page_config=PageConfig(crop_right=0.10)
+    ).collect()
+    assert len(out) == 1 and "|" not in out[0]["extracted_text"]

@@ -37,3 +37,42 @@ def test_csv_and_jsonl_roundtrip(spark, tmp_path):
     write_jsonl(df, str(tmp_path / "jl"))
     back2 = spark.read.json(str(tmp_path / "jl"))
     assert back2.count() == 2
+
+
+def test_iceberg_vs_parquet_branch_selection(spark, tmp_path):
+    # SURVEY §7.3.5 / round-1 verdict #10: both branches' SELECTION
+    # logic is exercised — the parquet fallback end-to-end, and the
+    # iceberg: prefix routing (which in this container must fail inside
+    # the Iceberg source, proving the branch was actually taken).
+    import pytest
+
+    from table_ocr_spark.sources.pages_source import (
+        PAGES_SCHEMA,
+        _iceberg_available,
+        read_pages,
+        write_extracted,
+    )
+
+    # this container ships no Iceberg runtime: detection must say so
+    assert _iceberg_available(spark) is False
+
+    df = spark.createDataFrame(
+        [("u1", None, bytearray(b"<p>x</p>"), "x", "en")], PAGES_SCHEMA
+    )
+    path = str(tmp_path / "pages_pq")
+    write_extracted(df, path, mode="overwrite")
+    got = read_pages(spark, path)
+    # parquet reads force nullable=True, so compare names + types
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in PAGES_SCHEMA.fields
+    ]
+    assert got.count() == 1
+
+    with pytest.raises(Exception) as ei:
+        read_pages(spark, "iceberg:db.pages").count()
+    # the failure must come from the iceberg source lookup, not from
+    # a parquet path misroute
+    assert "iceberg" in str(ei.value).lower()
+
+    with pytest.raises(Exception):
+        write_extracted(df, "iceberg:db.pages")
