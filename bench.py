@@ -89,9 +89,23 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em
 
     qs = em.queries()
-    # warmup: JVM + python workers + parquet footer cache
+    # warmup: JVM + python workers + parquet footer cache. The python
+    # warmup runs one mapInArrow AND one pandas-UDF stage across all
+    # partitions so the full-width python worker pool (both runner
+    # kinds) is forked before anything is timed — otherwise the first
+    # python-stage query pays ~2s of worker spin-up even at best-of-2.
+    from pyspark.sql import functions as _F
+
     spark.range(1000).selectExpr("sum(id)").collect()
     _noop_write(qs["doc_stats"](spark, sf_dir))
+
+    _warm = _F.pandas_udf(lambda v: v, "long")
+    wdf = spark.range(0, 3200, 1, 32)
+    _noop_write(wdf.select(_warm("id").alias("id")))
+    _noop_write(
+        wdf.mapInArrow(lambda it: it, "id long")
+    )
+    _noop_write(qs["pdf_extract"](spark, sf_dir))  # materialize payload corpus
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
