@@ -144,6 +144,51 @@ def shingle_sets(
     return toked.select("id", _shingle_udf(k)(F.col("_toks")).alias("shingles"))
 
 
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne; A*h + B stays under 2^64
+
+
+def _minhash_coeffs(num_hashes: int):
+    """Pinned affine-mix coefficients (no RNG state — identical on
+    every executor and run): A odd in [1, 2^31), B in [0, 2^61)."""
+    import numpy as np
+
+    i = np.arange(num_hashes, dtype=np.uint64)
+    a = (i * np.uint64(2654435761) + np.uint64(1)) % np.uint64(1 << 31) | np.uint64(1)
+    b = (i * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(MINHASH_PRIME)
+    return a.reshape(-1, 1), b.reshape(-1, 1)
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """shingle array -> array of num_hashes min-hash values. One crc32
+    per shingle (C speed), then the whole (num_hashes x n) affine family
+    `(A*crc + B) mod (2^61-1)` as one numpy broadcast + per-row min —
+    no per-hash JVM expression evaluation (see minhash_lsh_pairs)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(shingle_lists):  # type: ignore[no-untyped-def]
+        import numpy as np
+        from zlib import crc32
+
+        A, B = _minhash_coeffs(num_hashes)
+        P = np.uint64(MINHASH_PRIME)
+        out = []
+        for shingles in shingle_lists:
+            n = len(shingles)
+            if n == 0:
+                out.append(None)
+                continue
+            h = np.fromiter(
+                (crc32(s.encode("utf-8")) for s in shingles), np.uint64, n
+            )
+            mins = ((A * h[None, :] + B) % P).min(axis=1)
+            out.append(mins.astype(np.int64))
+        return pd.Series(out)
+
+    return udf
+
+
 def _pair_jaccard(cand: DataFrame, sets_df: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs (id_a < id_b) via array
     intersection on the (small) candidate set."""
@@ -224,27 +269,40 @@ def minhash_lsh_pairs(
     the shuffle is on band buckets, NOT on raw shingles — this is the
     path that survives 10^12 documents.
     """
-    from table_ocr_spark.functions.sqlfuncs import band_keys
-
     # cached: reused by the signature scan AND both sides of the
     # verification join (otherwise tokenize+shingle runs 3x)
     sets_df = shingle_sets(df, text_col, id_col, k).filter(
         F.size("shingles") > 0
     ).cache()
-    # signatures via explode + codegen'd hash aggregate, NOT 32
-    # higher-order array folds: Spark HOF lambdas run interpreted, so
-    # num_hashes transforms over the shingle array are ~20x slower than
-    # num_hashes min() aggregates over exploded rows (identical result —
-    # min over the same hashed values).
-    ex = sets_df.select("id", F.explode("shingles").alias("sh"))
-    sig = ex.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
-    bands = band_keys(sig_cols, rows_per_band)
+    # signatures in ONE Arrow-batched numpy kernel over the shingle
+    # array — this replaced two earlier shapes, each measured:
+    #   (a) num_hashes interpreted HOF folds: ~20x slower than (b);
+    #   (b) explode + num_hashes codegen'd xxhash64-min aggregates:
+    #       correct shuffle profile, but evaluates num_hashes * n_shingles
+    #       (~100M at sf0.1) JVM hash expressions — ~28 s of executor CPU
+    #       for a 3.9 s query; the signature stage WAS the query.
+    #   (c) this kernel: one crc32 per shingle (zlib, C) + a
+    #       (num_hashes x n_shingles) numpy affine-mix min — ~1 s of
+    #       CPU total at the same scale. Map-only either way; banding
+    #       needs any deterministic hash family, not xxhash64 parity
+    #       (the output is exact-Jaccard VERIFIED, so the oracle never
+    #       sees signatures).
+    # cached: the banded frame feeds BOTH sides of the candidate
+    # self-join; without it the tokenize -> shingle -> signature chain
+    # runs twice (sig rows are narrow: id + num_hashes longs)
+    sig = sets_df.select(
+        "id", _minhash_sig_udf(num_hashes)(F.col("shingles")).alias("_sigs")
+    ).cache()
+    bands = [
+        F.xxhash64(
+            F.lit(b),
+            *[
+                F.element_at("_sigs", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(num_hashes // rows_per_band)
+    ]
     banded = sig.select(
         "id",
         F.explode(
@@ -269,44 +327,68 @@ def minhash_lsh_pairs(
     )
 
 
+# Engine-portable token value (no xxhash, so the DuckDB oracle can
+# recompute it): val(w) = ((31*len(w) + codepoint(w[0])) * MIX) mod 2^32
+# — the fingerprint-style base (< 2^11) scrambled by a multiplicative
+# mix so ALL 32 signature bits carry signal.
 SIMHASH_MIX = 2654435761  # Knuth multiplicative constant
 SIMHASH_VAL_MOD = 1 << 32
 
 
-def _token_val(w: Column) -> Column:
-    """Engine-portable token hash (no xxhash, so the DuckDB oracle can
-    recompute it): the fingerprint-style base value scrambled by a
-    multiplicative mix so ALL 32 signature bits carry signal — the raw
-    base value is < 2^11, which would leave the high simhash bits
-    constant and collapse the signature space."""
-    base = F.length(w).cast("long") * 31 + F.ascii(F.substring(w, 1, 1)).cast("long")
-    return (base * F.lit(SIMHASH_MIX)) % F.lit(SIMHASH_VAL_MOD)
+def _simhash_sig_udf():
+    """token array -> 32-bit simhash, one Arrow batch at a time.
+
+    Bit-for-bit pinned to the oracle SQL (`__spark_entry__._simhash_sig_sql`):
+    val(w) = ((31*len(w) + codepoint(w[0])) * SIMHASH_MIX) mod 2^32;
+    bit b set iff sum over tokens (with multiplicity) of
+    (2*bit_b(val) - 1) >= 0; zero tokens -> every sum is 0 -> all bits
+    set. Python ``ord`` == DuckDB/Spark ``ascii`` (Unicode codepoint).
+
+    Replaces explode + SIMHASH_BITS codegen'd sum-aggregates, which
+    evaluated 32 shift/and/mul expressions per token row (~100M at
+    sf0.1: 30-97 s of executor CPU measured, THE cost of the query);
+    here the same sums are one (n_tokens x 32) numpy broadcast per
+    document — ~1 s of CPU total at the same scale. Map-only either
+    way; per-doc signature rows are what shuffles afterwards."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def udf(token_lists):  # type: ignore[no-untyped-def]
+        import numpy as np
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        full = (1 << SIMHASH_BITS) - 1
+        mix = np.uint64(SIMHASH_MIX)
+        mod = np.uint64(SIMHASH_VAL_MOD)
+        out = []
+        for toks in token_lists:
+            n = len(toks)
+            if n == 0:
+                out.append(full)  # all sums 0 -> every bit set
+                continue
+            base = np.fromiter(
+                ((31 * len(w) + ord(w[0])) for w in toks), np.uint64, n
+            )
+            v = (base * mix) % mod
+            bits = (v[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 32)
+            sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out.append(int(((sums >= 0).astype(np.uint64) << shifts).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return udf
 
 
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document over the token stream (with
     multiplicity). bit b of the signature is set iff the sum over
-    tokens of (2*bit_b(val(tok)) - 1) is >= 0. Map-only, codegen'd."""
-    # explode + codegen'd sum aggregates instead of SIMHASH_BITS
-    # interpreted array folds (bit sums are order-insensitive, so the
-    # rewrite is exact); docs with zero tokens get sum 0 per bit -> all
-    # bits set, same as the fold's 0-init result.
-    ids = df.select(F.col(id_col).alias("id"))
-    ex = df.select(
+    tokens of (2*bit_b(val(tok)) - 1) is >= 0. Map-only; tokenization
+    stays JVM-side (pinned split), the bit sums run in the Arrow numpy
+    kernel (see :func:`_simhash_sig_udf` for the measured tradeoff)."""
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.transform(tokens(F.col(text_col)), _token_val)).alias("v"),
+        _simhash_sig_udf()(tokens(F.col(text_col))).alias("simhash"),
     )
-    sums = ex.groupBy("id").agg(
-        *[
-            F.sum(F.shiftright("v", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    sig = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        contrib = F.coalesce(F.col(f"s{b}"), F.lit(0))
-        sig = sig + F.when(contrib >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return ids.join(sums, "id", "left").select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -320,7 +402,9 @@ def simhash_pairs(
     at least one identical band (pigeonhole), so banding loses nothing.
     The shuffle is on 4 band buckets per doc, never all-pairs.
     """
-    sig = simhash16(df, text_col, id_col)
+    # cached: both sides of the band self-join read it; uncached, the
+    # tokenize + signature kernel would run twice (rows: id + 1 long)
+    sig = simhash16(df, text_col, id_col).cache()
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sig.select(

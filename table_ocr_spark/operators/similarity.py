@@ -181,6 +181,9 @@ def hyperplane_near_dup_pairs(
             ])
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bkey")
+    # cached: both sides of the band self-join read it; uncached, the
+    # signature matmul UDF would run twice over every embedding
+    banded = banded.cache()
     a = banded.select(F.col("vec_id").alias("id_a"), "band", "bkey")
     b = banded.select(F.col("vec_id").alias("id_b"), "band", "bkey")
     cand = (
