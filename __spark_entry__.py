@@ -697,6 +697,30 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urlnorm.py) against closed-form
+    ground truth: dirty urls are constructed per document (mixed-case
+    scheme/host, default port, tracking params, unsorted query,
+    fragment, trailing slash) and the oracle emits the EXPECTED clean
+    string directly — the operator is tested against construction, not
+    against a DuckDB twin of itself."""
+    from table_ocr_spark.operators.urlnorm import canonical_url
+
+    docs = _read(spark, sf_dir, "documents")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m3 = (F.col("doc_id") % 3).cast("string")
+    did = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit("HTTPS://WWW.Site-"), m7, F.lit(".COM:443/"),
+        F.col("lang"), F.lit("/item/"), did,
+        F.lit("/?ref=rss&utm_source=feed&b="), m3,
+        F.lit("&a=1#sec-"), did,
+    )
+    return docs.select(
+        "doc_id", canonical_url(dirty).alias("url")
+    )
+
+
 def q_page_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-range slice on TRUE multi-page documents — the reference's
     actual slice axis (``table_ocr/core.py:187-192``: pages
@@ -841,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "pdf_extract": q_pdf_extract,
         "page_range_extract": q_page_range_extract,
+        "url_canonicalize": q_url_canonicalize,
     }
 
 
@@ -1118,6 +1143,18 @@ def oracle_sql() -> dict[str, str]:
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         AND event_type = 'purchase'
+    """
+
+    # closed-form EXPECTED canonical url (host/scheme lowered, :443
+    # stripped, fragment + utm_source dropped, params sorted, trailing
+    # slash stripped) — ground truth by construction, not a twin of the
+    # canonicalizer
+    sql["url_canonicalize"] = """
+      SELECT doc_id,
+             'https://www.site-' || CAST(doc_id % 7 AS VARCHAR) || '.com/' ||
+             lang || '/item/' || CAST(doc_id AS VARCHAR) ||
+             '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) || '&ref=rss' AS url
+      FROM documents
     """
 
     # closed-form multipage construction (docpages.documents_as_multipage):
