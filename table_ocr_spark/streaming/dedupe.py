@@ -1,0 +1,64 @@
+"""Streaming deduplication for the crawl-ingest path.
+
+A continuously-arriving pages stream re-delivers urls (re-crawls,
+at-least-once upstream delivery). Batch-side identity is
+``latest_capture`` / ``exact_dedup``; the streaming twin must bound its
+state or it grows with the full url history. Two pinned operators:
+
+* :func:`dedup_stream_exact` — ``dropDuplicatesWithinWatermark`` on the
+  key: an event arriving within the watermark horizon of a previously
+  seen key is dropped; state for keys older than the watermark is
+  evicted, so state size is O(keys per horizon), not O(all urls ever).
+  (Plain ``dropDuplicates`` on a stream never evicts — unusable at
+  crawl scale; this is the survivable shape.)
+* :func:`dedup_stream_content` — the same, keyed by content hash
+  (``xxhash64`` of the pinned dedup normalization from
+  ``operators.dedup.normalized_text``) — the streaming analogue of
+  exact_dedup's hash path: byte-duplicate documents from DIFFERENT urls
+  within the horizon are dropped.
+
+Both are append-mode-safe transformations: apply them between
+``readStream`` and any sink; they compose with the incremental
+extraction stream (the dedup runs BEFORE the Arrow kernel, so duplicate
+html never reaches extraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream_exact(
+    pages: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop re-deliveries of the same ``key`` within the watermark
+    horizon. State: one entry per distinct key per horizon, evicted as
+    the watermark advances."""
+    return pages.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
+def dedup_stream_content(
+    pages: DataFrame,
+    text_col: str = "text",
+    ts: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop byte-duplicate documents (same pinned-normalized text, any
+    url) within the watermark horizon. The state key is the 64-bit
+    content hash, never the text itself — state rows stay narrow."""
+    from table_ocr_spark.operators.dedup import normalized_text
+
+    hashed = pages.withColumn(
+        "_content_key", F.xxhash64(normalized_text(F.col(text_col)))
+    )
+    return (
+        hashed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_content_key"])
+        .drop("_content_key")
+    )

@@ -148,3 +148,48 @@ def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
     expect = {(r["hour_ts"], r["event_type"]): r["n"] for r in batch}
     for k, v in got.items():
         assert expect[k] == v
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from table_ocr_spark.streaming.dedupe import (
+        dedup_stream_content,
+        dedup_stream_exact,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    rows = [
+        ("u1", t0, "same text body"),
+        ("u1", t0 + dt.timedelta(minutes=5), "same text body"),   # re-delivery
+        ("u2", t0 + dt.timedelta(minutes=1), "same  TEXT body"),  # content dup of u1
+        ("u3", t0 + dt.timedelta(minutes=2), "unique body"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "p"))
+
+    schema = "url string, warc_ts timestamp, text string"
+
+    def run(transform, name):
+        stream = spark.readStream.schema(schema).parquet(str(src / "p"))
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"select * from {name}").collect()
+
+    by_url = run(lambda s: dedup_stream_exact(s), "dd_exact")
+    assert sorted(r["url"] for r in by_url) == ["u1", "u2", "u3"]
+
+    by_content = run(lambda s: dedup_stream_content(s), "dd_content")
+    # u2's text normalizes to u1's; only one of {u1,u2} survives + u3
+    urls = sorted(r["url"] for r in by_content)
+    assert len(urls) == 2 and "u3" in urls and ("u1" in urls or "u2" in urls)
