@@ -101,26 +101,29 @@ def exact_dedup(
     )
 
 
+def _mk_shingles(t: list, k: int) -> list:
+    """Distinct k-word shingles in first-occurrence order (the pinned
+    definition shared by the oracle SQL)."""
+    n = len(t)
+    if n < k:
+        return []
+    seen = set()
+    out = []
+    for i in range(n - k + 1):
+        s = " ".join(t[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
 def _shingle_udf(k: int):
     import pandas as pd
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def udf(toks):  # type: ignore[no-untyped-def]
-        def mk(t):
-            n = len(t)
-            if n < k:
-                return []
-            seen = set()
-            out = []
-            for i in range(n - k + 1):
-                s = " ".join(t[i : i + k])
-                if s not in seen:
-                    seen.add(s)
-                    out.append(s)
-            return out
-
-        return pd.Series([mk(list(t)) for t in toks])
+        return pd.Series([_mk_shingles(list(t), k) for t in toks])
 
     return udf
 
@@ -158,33 +161,40 @@ def _minhash_coeffs(num_hashes: int):
     return a.reshape(-1, 1), b.reshape(-1, 1)
 
 
-def _minhash_sig_udf(num_hashes: int):
-    """shingle array -> array of num_hashes min-hash values. One crc32
-    per shingle (C speed), then the whole (num_hashes x n) affine family
+def _shingle_sig_udf(k: int, num_hashes: int):
+    """token array -> (shingles, minhash signature) in ONE Arrow pass.
+
+    Shingle construction and the signature share a kernel so the
+    (large) shingle arrays cross the JVM↔Python boundary once — a
+    separate signature UDF re-serialized ~60 MB of shingle strings at
+    sf0.1 for ~1 s of numpy work. Signature: one crc32 per shingle
+    (zlib, C speed), then the whole (num_hashes x n) affine family
     `(A*crc + B) mod (2^61-1)` as one numpy broadcast + per-row min —
     no per-hash JVM expression evaluation (see minhash_lsh_pairs)."""
     import pandas as pd
-    from pyspark.sql import types as T
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def udf(shingle_lists):  # type: ignore[no-untyped-def]
+    @F.pandas_udf(
+        "shingles array<string>, sigs array<long>"
+    )
+    def udf(toks):  # type: ignore[no-untyped-def]
         import numpy as np
         from zlib import crc32
 
         A, B = _minhash_coeffs(num_hashes)
         P = np.uint64(MINHASH_PRIME)
-        out = []
-        for shingles in shingle_lists:
-            n = len(shingles)
-            if n == 0:
-                out.append(None)
+        sh_col = []
+        sig_col = []
+        for t in toks:
+            sh = _mk_shingles(list(t), k)
+            sh_col.append(sh)
+            if not sh:
+                sig_col.append(None)
                 continue
             h = np.fromiter(
-                (crc32(s.encode("utf-8")) for s in shingles), np.uint64, n
+                (crc32(s.encode("utf-8")) for s in sh), np.uint64, len(sh)
             )
-            mins = ((A * h[None, :] + B) % P).min(axis=1)
-            out.append(mins.astype(np.int64))
-        return pd.Series(out)
+            sig_col.append(((A * h[None, :] + B) % P).min(axis=1).astype(np.int64))
+        return pd.DataFrame({"shingles": sh_col, "sigs": sig_col})
 
     return udf
 
@@ -269,30 +279,34 @@ def minhash_lsh_pairs(
     the shuffle is on band buckets, NOT on raw shingles — this is the
     path that survives 10^12 documents.
     """
-    # cached: reused by the signature scan AND both sides of the
-    # verification join (otherwise tokenize+shingle runs 3x)
-    sets_df = shingle_sets(df, text_col, id_col, k).filter(
-        F.size("shingles") > 0
-    ).cache()
-    # signatures in ONE Arrow-batched numpy kernel over the shingle
-    # array — this replaced two earlier shapes, each measured:
+    # ONE Arrow kernel produces shingles AND signatures; the cached
+    # frame is read by the band explode and both _pair_jaccard sides,
+    # so tokenize+shingle+sign runs exactly once. Signature shapes
+    # measured along the way:
     #   (a) num_hashes interpreted HOF folds: ~20x slower than (b);
     #   (b) explode + num_hashes codegen'd xxhash64-min aggregates:
     #       correct shuffle profile, but evaluates num_hashes * n_shingles
-    #       (~100M at sf0.1) JVM hash expressions — ~28 s of executor CPU
-    #       for a 3.9 s query; the signature stage WAS the query.
-    #   (c) this kernel: one crc32 per shingle (zlib, C) + a
-    #       (num_hashes x n_shingles) numpy affine-mix min — ~1 s of
-    #       CPU total at the same scale. Map-only either way; banding
-    #       needs any deterministic hash family, not xxhash64 parity
-    #       (the output is exact-Jaccard VERIFIED, so the oracle never
-    #       sees signatures).
-    # cached: the banded frame feeds BOTH sides of the candidate
-    # self-join; without it the tokenize -> shingle -> signature chain
-    # runs twice (sig rows are narrow: id + num_hashes longs)
-    sig = sets_df.select(
-        "id", _minhash_sig_udf(num_hashes)(F.col("shingles")).alias("_sigs")
-    ).cache()
+    #       (~100M at sf0.1) JVM hash expressions — ~28 s of executor
+    #       CPU for a ~4 s query; the signature stage WAS the query;
+    #   (c) numpy kernel (this): ~1 s of CPU at the same scale. Banding
+    #       needs any deterministic hash family, not xxhash64 parity —
+    #       the output is exact-Jaccard VERIFIED, so the oracle never
+    #       sees signatures.
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    sets_df = (
+        toked.select(
+            "id", _shingle_sig_udf(k, num_hashes)(F.col("_toks")).alias("_s")
+        )
+        .select(
+            "id",
+            F.col("_s.shingles").alias("shingles"),
+            F.col("_s.sigs").alias("_sigs"),
+        )
+        .filter(F.size("shingles") > 0)
+        .cache()
+    )
     bands = [
         F.xxhash64(
             F.lit(b),
@@ -303,7 +317,7 @@ def minhash_lsh_pairs(
         )
         for b in range(num_hashes // rows_per_band)
     ]
-    banded = sig.select(
+    banded = sets_df.select(
         "id",
         F.explode(
             F.array(*[
