@@ -49,3 +49,50 @@ def test_latest_capture_canonical(spark):
     assert len(out) == 2
     assert by_canon["https://a.example/doc"]["text"] == "new"
     assert by_canon["https://a.example/other"]["text"] == "other"
+
+
+def test_canonical_url_idempotent_and_deterministic(spark):
+    # canonical(canonical(u)) == canonical(u): a non-idempotent
+    # canonicalizer assigns a re-crawled (already-clean) url a different
+    # key than its first crawl, silently splitting dedup groups.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    host = st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,12}", fullmatch=True)
+    path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,3}/?", fullmatch=True)
+    params = st.lists(
+        st.from_regex(r"[a-z_]{1,8}(=[A-Za-z0-9]{0,6})?", fullmatch=True),
+        max_size=4,
+    )
+    urls = st.builds(
+        lambda s, h, p, q, frag: (
+            s + "://" + h + p
+            + ("?" + "&".join(q) if q else "")
+            + ("#" + frag if frag else "")
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+        host,
+        path,
+        params,
+        st.sampled_from(["", "top", "s 1"]),
+    )
+
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=8, unique=True))
+    def chk(batch):
+        collected.append(batch)
+
+    chk()
+    flat = sorted({u for b in collected for u in b})
+    df = spark.createDataFrame([(u,) for u in flat], "url string")
+    once = [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    df2 = spark.createDataFrame([(c,) for c in once], "url string")
+    twice = [
+        r["c"] for r in df2.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    for u, a, b in zip(flat, once, twice):
+        assert a == b, f"not idempotent for {u!r}: {a!r} -> {b!r}"
