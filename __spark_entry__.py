@@ -697,6 +697,52 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT = 0.1
+DECON_K = 5
+DECON_BENCH_MOD = 50
+DECON_T = 0.2
+PACK_CAPACITY = 2048
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-stratified sampling (operators/sampling):
+    membership = md5-prefix threshold per stratum, reproducible from
+    the recipe alone — the oracle recomputes the SAME md5 comparison,
+    so the check is exact row membership, not statistics."""
+    from table_ocr_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, SAMPLE_FRACTIONS, strata_col="lang", key="doc_id",
+        default_fraction=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate): corpus docs
+    scored by k-shingle overlap against a benchmark set (every 50th
+    doc) — benchmark members score 1.0 by construction, the rest by
+    genuine shared shingles."""
+    from table_ocr_spark.operators.decontaminate import contamination_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return contamination_stats(docs, bench, k=DECON_K, threshold=DECON_T)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing): global exclusive prefix
+    sum of token counts in doc order via the two-phase distributed
+    prefix sum (bucket partials + broadcast bases), vs the oracle's
+    plain global window cumsum. bucket_width 64 forces many buckets at
+    oracle SF so the cross-bucket stitching is actually exercised."""
+    from table_ocr_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=PACK_CAPACITY, bucket_width=64)
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (operators/urlnorm.py) against closed-form
     ground truth: dirty urls are constructed per document (mixed-case
@@ -866,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "page_range_extract": q_page_range_extract,
         "url_canonicalize": q_url_canonicalize,
+        "stratified_sample": q_stratified_sample,
+        "decontamination": q_decontamination,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1143,6 +1192,57 @@ def oracle_sql() -> dict[str, str]:
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         AND event_type = 'purchase'
+    """
+
+    # same md5-prefix membership rule as operators/sampling (md5 hex is
+    # lowercase in both engines, so string comparison is portable)
+    from table_ocr_spark.operators.sampling import _threshold_hex
+
+    _thr_case = " ".join(
+        f"WHEN '{s}' THEN '{_threshold_hex(f)}'"
+        for s, f in SAMPLE_FRACTIONS.items()
+    )
+    sql["stratified_sample"] = f"""
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) <
+            CASE lang {_thr_case} ELSE '{_threshold_hex(SAMPLE_DEFAULT)}' END
+    """
+
+    _sh5 = (
+        "list_distinct(list_transform(generate_series(1, len(t)-4), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+    )
+    sql["decontamination"] = f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+      sets AS (SELECT doc_id, {_sh5} AS shingles FROM t),
+      bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM sets
+                WHERE doc_id % {DECON_BENCH_MOD} = 0),
+      ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sets),
+      hits AS (SELECT doc_id, count(*) AS h FROM ex
+               WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id)
+      SELECT s.doc_id,
+             CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+             CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated,
+             round(CAST(coalesce(h.h, 0) AS DOUBLE)
+                   / greatest(len(s.shingles), 1), 6) AS contaminated_frac,
+             (len(s.shingles) > 0 AND
+              CAST(coalesce(h.h, 0) AS DOUBLE)
+              / greatest(len(s.shingles), 1) >= {DECON_T}) AS is_contaminated
+      FROM sets s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+
+    # oracle = the naive single-window global cumsum (fine at oracle SF;
+    # the operator's two-phase prefix sum must agree exactly)
+    sql["pack_sequences"] = f"""
+      WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+      c AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS so
+            FROM t)
+      SELECT doc_id, n AS n_tokens, so AS start_offset,
+             CAST(floor(so / {float(PACK_CAPACITY)}) AS BIGINT) AS seq_id
+      FROM c
     """
 
     # closed-form EXPECTED canonical url (host/scheme lowered, :443

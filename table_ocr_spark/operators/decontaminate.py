@@ -1,0 +1,68 @@
+"""Benchmark decontamination — n-gram overlap between the training
+corpus and an evaluation/benchmark set (the GPT-3-style 13-gram rule:
+a training document sharing enough long n-grams with a benchmark doc
+leaks the benchmark into training).
+
+Plan shape at 10^12 docs: the benchmark side is tiny relative to the
+corpus, so its DISTINCT shingles form the small side; corpus shingles
+left-semi-join against it, then one count per doc. The corpus side
+shuffles only (doc_id, shingle-hit) pairs that actually match — with a
+clean corpus that is ~zero rows; the full shingle stream never crosses
+an exchange unmatched (semi-join prunes at the join). Shingle
+construction reuses the pinned ``_mk_shingles`` definition (same as the
+dedup oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.dedup import shingle_sets
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per corpus document: total distinct k-shingles, how many also
+    occur anywhere in the benchmark set, the overlap fraction, and the
+    ``is_contaminated`` flag (fraction >= threshold; docs with fewer
+    than k tokens have zero shingles and are never flagged)."""
+    corpus_sets = shingle_sets(corpus, text_col, id_col, k)
+    bench_shingles = (
+        shingle_sets(benchmark, text_col, id_col, k)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    ex = corpus_sets.select(
+        "id", F.size("shingles").alias("_n"), F.explode_outer("shingles").alias("sh")
+    )
+    hits = (
+        ex.join(bench_shingles, "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    sizes = corpus_sets.select(
+        "id", F.size("shingles").cast("long").alias("n_shingles")
+    )
+    frac = F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1))
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.round(frac, 6).alias("contaminated_frac"),
+            ((F.col("n_shingles") > 0) & (frac >= threshold)).alias("is_contaminated"),
+        )
+    )

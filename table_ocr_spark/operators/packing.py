@@ -1,0 +1,104 @@
+"""Sequence packing — lay the corpus out as one token stream and cut it
+into fixed-capacity training sequences.
+
+LLM pretraining consumes documents concatenated in a pinned order and
+split into context-window-sized sequences; the pipeline needs, per
+document, its global ``start_offset`` in that stream and the
+``seq_id`` it starts in. That is an EXCLUSIVE PREFIX SUM of token
+counts in document order — the textbook "window over the whole table"
+trap: ``Window.orderBy(id)`` with no partition key executes on ONE
+task and dies at any real scale.
+
+Scale shape (two-phase distributed prefix sum):
+
+1. bucket documents by ``floor(id / bucket_width)``;
+2. per-bucket totals (one tiny row per bucket) → driver-side running
+   sum → broadcast back as per-bucket base offsets (n/bucket_width
+   rows: at 10^12 docs and width 10^6 that is 10^6 rows of 16 bytes —
+   a safe bounded collect, the same O(buckets) argument as lineage);
+3. within-bucket exclusive cumsum via a window PARTITIONED by bucket —
+   fully parallel;
+4. ``start_offset = bucket_base + within_bucket_cumsum``.
+
+The oracle reproduces it with a plain global-window cumsum (fine at
+oracle SF). Token count = the pinned whitespace tokenization shared
+with doc_stats.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.textstats import tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: Optional[str] = None,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Per document: ``n_tokens``, global ``start_offset`` (exclusive
+    prefix sum over ascending ``id_col``), and ``seq_id`` =
+    ``floor(start_offset / capacity)``. ``weight_col`` overrides the
+    token count (e.g. a precomputed BPE length)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    weight = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.size(tokens(F.col(text_col))).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        weight.alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_width).alias("_bucket"),
+    )
+
+    totals = (
+        base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total")).collect()
+    )
+    running = 0
+    bases = []
+    for row in sorted(totals, key=lambda r: r["_bucket"]):
+        bases.append((row["_bucket"], running))
+        running += row["_total"]
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(bases, "_bucket long, _base long")
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    out = local.join(F.broadcast(base_df), "_bucket")
+    start = F.col("_base") + F.col("_local")
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / capacity).cast("long").alias("seq_id"),
+    )
+
+
+def packing_summary(packed: DataFrame, capacity: int) -> DataFrame:
+    """Per training sequence: how many documents start in it and how
+    many tokens those documents contribute (> capacity means the last
+    document straddles into the next sequence — the standard
+    concat-then-split layout, not bin packing)."""
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .orderBy("seq_id")
+    )

@@ -1,0 +1,71 @@
+"""Deterministic corpus sampling — the reproducibility primitive of a
+training-data pipeline.
+
+``df.sample()`` is seed-dependent per partitioning and non-reproducible
+across runs/engines; a training mix must be re-derivable years later
+from the recipe alone. Pinned rule: a row is in the ``fraction`` sample
+iff the first 16 hex chars of ``md5(key)`` compare lexicographically
+below the fraction's hex threshold. md5 hex is lowercase in both Spark
+and DuckDB, so the oracle reproduces membership EXACTLY (xxhash64 would
+be JVM-only), and membership is stable under repartitioning, engine,
+and scale — a row's fate depends only on its key.
+
+Map-only (no shuffle, no RNG state); stratified variant keys the
+threshold off a strata column via a tiny broadcast map.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_BITS = 64  # compare on 16 hex chars = 64 bits of md5
+
+
+def _threshold_hex(fraction: float) -> str:
+    """fraction in [0,1] -> 16-char lowercase hex threshold such that
+    P[md5_prefix < threshold] == fraction (up to 2^-64)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    t = int(fraction * (1 << _HEX_BITS))
+    t = min(t, (1 << _HEX_BITS) - 1) if fraction < 1.0 else (1 << _HEX_BITS)
+    # fraction == 1.0 -> threshold above every prefix ('g' > any hex char)
+    return "g" * 16 if fraction >= 1.0 else format(t, "016x")
+
+
+def _hash_prefix(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, 16)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key: str = "doc_id"
+) -> DataFrame:
+    """The ``fraction`` sample of ``df``, reproducible from (key,
+    fraction) alone. Same rows on every run, partitioning, and engine."""
+    return df.filter(_hash_prefix(F.col(key)) < F.lit(_threshold_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the language-mix knob of a
+    training recipe): stratum ``s`` keeps ``fractions[s]`` of its rows;
+    strata absent from the map keep ``default_fraction``. The
+    stratum→threshold map rides as a literal MapType expression —
+    no join, still map-only."""
+    pairs = []
+    for s, frac in fractions.items():
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(_threshold_hex(frac)))
+    thresholds = F.create_map(*pairs) if pairs else F.lit(None)
+    thr = F.coalesce(
+        thresholds[F.col(strata_col)] if pairs else F.lit(None),
+        F.lit(_threshold_hex(default_fraction)),
+    )
+    return df.filter(_hash_prefix(F.col(key)) < thr)

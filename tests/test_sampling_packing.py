@@ -1,0 +1,115 @@
+"""Training-data layout operators: deterministic sampling (exact
+reproducibility + nesting), decontamination overlap, and the two-phase
+distributed prefix sum for sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.decontaminate import contamination_stats
+from table_ocr_spark.operators.packing import pack_sequences, packing_summary
+from table_ocr_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 31 + j) % 97}" for j in range(10 + i % 23)),
+         ["en", "de", "fr"][i % 3])
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_deterministic_sample_reproducible_and_nested(spark, docs):
+    a1 = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+    a2 = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+    assert a1 == a2  # identical on every run
+
+    # repartitioning must not change membership
+    a3 = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), 0.3).collect()
+    }
+    assert a1 == a3
+
+    # md5-threshold rule => samples NEST: frac 0.1 ⊂ 0.3 ⊂ 0.7
+    s01 = {r["doc_id"] for r in deterministic_sample(docs, 0.1).collect()}
+    s07 = {r["doc_id"] for r in deterministic_sample(docs, 0.7).collect()}
+    assert s01 <= a1 <= s07
+
+    # fraction approximately honored (binomial tolerance)
+    assert 0.2 < len(a1) / 600 < 0.4
+    assert len(deterministic_sample(docs, 0.0).collect()) == 0
+    assert len(deterministic_sample(docs, 1.0).collect()) == 600
+
+
+def test_stratified_sample_per_stratum(spark, docs):
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, default_fraction=0.5
+    ).collect()
+    langs = {r["lang"] for r in out}
+    n_en = sum(1 for r in out if r["lang"] == "en")
+    n_fr = sum(1 for r in out if r["lang"] == "fr")
+    assert "de" not in langs
+    assert n_en == 200          # full stratum
+    assert 60 < n_fr < 140      # ~0.5 of 200 via default
+
+
+def test_contamination_benchmark_is_fully_contaminated(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = contamination_stats(docs, bench, k=3, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 600
+    for i in range(0, 600, 10):
+        assert rows[i]["contaminated_frac"] == 1.0 and rows[i]["is_contaminated"]
+    # a doc sharing no shingles with the benchmark scores 0
+    assert all(r["n_contaminated"] <= r["n_shingles"] for r in rows.values())
+
+
+def test_contamination_short_docs_never_flagged(spark):
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "a much longer document body here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           contamination_stats(docs, docs, k=5, threshold=0.0).collect()}
+    assert out[1]["n_shingles"] == 0 and not out[1]["is_contaminated"]
+    assert out[2]["is_contaminated"]  # self-benchmark, has shingles
+
+
+def test_pack_sequences_matches_naive_and_bucket_invariant(spark, docs):
+    cap = 256
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["seq_id"])
+        for r in pack_sequences(docs, cap, bucket_width=7).collect()
+    }
+    # naive reference: python cumsum in id order
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"),
+        ).collect()
+    }
+    run = 0
+    for i in sorted(toks):
+        assert got[i] == (toks[i], run, run // cap), i
+        run += toks[i]
+
+    # bucket_width is an implementation knob, never a semantics knob
+    got_big = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["seq_id"])
+        for r in pack_sequences(docs, cap, bucket_width=4096).collect()
+    }
+    assert got == got_big
+
+    summ = packing_summary(pack_sequences(docs, cap, bucket_width=7), cap)
+    srows = summ.collect()
+    assert sum(r["n_docs"] for r in srows) == 600
+    assert srows[0]["seq_id"] == 0
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
