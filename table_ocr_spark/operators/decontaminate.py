@@ -38,31 +38,30 @@ def contamination_stats(
         shingle_sets(benchmark, text_col, id_col, k)
         .select(F.explode("shingles").alias("sh"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
+    # ONE pass over the corpus shingle stream: explode_outer keeps
+    # zero-shingle docs (null sh never matches -> 0 hits), the tagged
+    # left join marks benchmark membership, and a single map-side-
+    # combining aggregate produces sizes + hit counts together (a
+    # semi-join-then-regroup shape re-ran the shingle UDF for the
+    # separate sizes branch). Spark's runtime Bloom-filter join
+    # handles a benchmark too large to broadcast.
     ex = corpus_sets.select(
-        "id", F.size("shingles").alias("_n"), F.explode_outer("shingles").alias("sh")
+        "id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.explode_outer("shingles").alias("sh"),
     )
-    hits = (
-        ex.join(bench_shingles, "sh", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-    )
-    sizes = corpus_sets.select(
-        "id", F.size("shingles").cast("long").alias("n_shingles")
+    per_doc = (
+        ex.join(bench_shingles, "sh", "left")
+        .groupBy("id", "n_shingles")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"))
     )
     frac = F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1))
-    return (
-        sizes.join(hits, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_shingles",
-            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
-        )
-        .select(
-            id_col,
-            "n_shingles",
-            "n_contaminated",
-            F.round(frac, 6).alias("contaminated_frac"),
-            ((F.col("n_shingles") > 0) & (frac >= threshold)).alias("is_contaminated"),
-        )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_contaminated",
+        F.round(frac, 6).alias("contaminated_frac"),
+        ((F.col("n_shingles") > 0) & (frac >= threshold)).alias("is_contaminated"),
     )
