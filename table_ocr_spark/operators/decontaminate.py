@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from table_ocr_spark.operators.dedup import shingle_sets
+from table_ocr_spark.operators.dedup import _shingle_udf, shingle_sets
+from table_ocr_spark.operators.textstats import tokens
 
 
 def contamination_stats(
@@ -28,14 +29,20 @@ def contamination_stats(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.2,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """Per corpus document: total distinct k-shingles, how many also
     occur anywhere in the benchmark set, the overlap fraction, and the
     ``is_contaminated`` flag (fraction >= threshold; docs with fewer
-    than k tokens have zero shingles and are never flagged)."""
+    than k tokens have zero shingles and are never flagged). The
+    benchmark frame only needs its text column (``bench_text_col``,
+    default = ``text_col``) — its id plays no role in the overlap."""
+    bench_text_col = bench_text_col or text_col
     corpus_sets = shingle_sets(corpus, text_col, id_col, k)
     bench_shingles = (
-        shingle_sets(benchmark, text_col, id_col, k)
+        benchmark.select(
+            _shingle_udf(k)(tokens(F.col(bench_text_col))).alias("shingles")
+        )
         .select(F.explode("shingles").alias("sh"))
         .distinct()
         .withColumn("_hit", F.lit(1))

@@ -14,6 +14,12 @@ whole pipeline is one lazy plan until the report forces it):
 6. MinHash+LSH near-dup removal at the given Jaccard threshold
    (pair loser = lexicographically larger url; exact-verified)
 7. PII redaction (emails/phones → typed placeholders)
+8. (optional) benchmark decontamination — drop docs whose k-shingle
+   overlap with a benchmark set crosses the threshold
+9. (optional) deterministic down-sampling — md5-threshold membership,
+   reproducible from the recipe alone
+10. (optional) sequence packing — per-doc global start_offset + seq_id
+    via the two-phase distributed prefix sum (needs a numeric doc key)
 
 At 10^12 docs every stage is either map-only or a hash-partitioned
 equi-join/aggregation; nothing is quadratic and nothing collects to
@@ -40,16 +46,24 @@ class CorpusReport:
     n_after_exact_dedup: int
     n_after_near_dedup: int
     n_had_pii: int
+    n_contaminated: int = 0
+    n_after_sample: int = -1  # -1: stage skipped
 
 
 def build_training_corpus(
     pages: DataFrame,
     minhash_threshold: float = 0.8,
     shingle_k: int = 3,
+    benchmark: DataFrame | None = None,
+    contamination_threshold: float = 0.2,
+    sample_fraction: float | None = None,
 ) -> tuple[DataFrame, CorpusReport]:
     """pages(url, warc_ts, html, ...) → (corpus(url, text, n_emails,
     n_phones), per-stage counts). The returned DataFrame is unevaluated;
-    the report runs one count per stage (cache-backed)."""
+    the report runs one count per stage (cache-backed). Pass
+    ``benchmark`` (a (doc_id-or-any, text) frame) to drop contaminated
+    docs, and ``sample_fraction`` for a deterministic final
+    down-sample."""
     n_input = pages.count()
 
     deduped_pages = latest_capture(pages) if "warc_ts" in pages.columns else pages
@@ -84,6 +98,27 @@ def build_training_corpus(
     corpus = clean.select(
         "url", F.col("redacted_text").alias("text"), "n_emails", "n_phones"
     )
+
+    n_contaminated = 0
+    if benchmark is not None:
+        from table_ocr_spark.operators.decontaminate import contamination_stats
+
+        stats = contamination_stats(
+            corpus, benchmark, text_col="text", id_col="url",
+            threshold=contamination_threshold,
+        )
+        dirty = stats.filter(F.col("is_contaminated")).select("url")
+        corpus = corpus.join(dirty, "url", "left_anti").cache()
+        n_contaminated = n_near - corpus.count() + 0
+        # (count forces the cache; contaminated = removed rows)
+
+    n_after_sample = -1
+    if sample_fraction is not None:
+        from table_ocr_spark.operators.sampling import deterministic_sample
+
+        corpus = deterministic_sample(corpus, sample_fraction, key="url")
+        n_after_sample = corpus.count()
+
     return corpus, CorpusReport(
         n_input=n_input,
         n_extracted=n_extracted,
@@ -91,4 +126,6 @@ def build_training_corpus(
         n_after_exact_dedup=n_exact,
         n_after_near_dedup=n_near,
         n_had_pii=n_pii,
+        n_contaminated=n_contaminated,
+        n_after_sample=n_after_sample,
     )

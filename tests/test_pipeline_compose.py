@@ -61,3 +61,31 @@ def test_training_corpus_pipeline(spark, tmp_path):
 
     assert rep.n_had_pii == 1
     assert rep.n_after_near_dedup <= rep.n_after_exact_dedup
+
+
+def test_training_corpus_optional_stages(spark, tmp_path):
+    pq = str(tmp_path / "pages2.parquet")
+    write_pages_parquet(pq, n_docs=50, seed=33, dup_frac=0.0)
+    pages = spark.read.parquet(pq)
+
+    # benchmark = the text of a few known pages -> those get dropped
+    bench = (
+        pages.limit(3)
+        .select(F.col("url").alias("doc_id"), "text")
+    )
+    corpus, rep = build_training_corpus(
+        pages, benchmark=bench, contamination_threshold=0.5,
+        sample_fraction=0.6,
+    )
+    urls = {r["url"] for r in corpus.collect()}
+    assert rep.n_contaminated >= 1          # benchmark members removed
+    assert rep.n_after_sample == len(urls)
+    assert rep.n_after_sample < rep.n_after_near_dedup
+
+    # deterministic: the same recipe returns the same corpus
+    corpus2, rep2 = build_training_corpus(
+        pages, benchmark=bench, contamination_threshold=0.5,
+        sample_fraction=0.6,
+    )
+    assert {r["url"] for r in corpus2.collect()} == urls
+    assert rep2.n_after_sample == rep.n_after_sample
