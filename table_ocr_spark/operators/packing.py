@@ -89,6 +89,33 @@ def pack_sequences(
     )
 
 
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    seqs_per_shard: int = 1024,
+) -> None:
+    """Materialize the packed layout as loader-ready shards:
+    ``shard = floor(seq_id / seqs_per_shard)``, one parquet directory
+    per shard (``shard=K/``), rows inside each shard stored in
+    ``start_offset`` order so a training loader streams each shard
+    sequentially with zero sorting. One hash repartition on the shard
+    key co-locates a shard's rows in one task → one sorted file per
+    shard directory; shard count is n_seqs/seqs_per_shard, so the
+    write parallelism scales with the corpus."""
+    if seqs_per_shard <= 0:
+        raise ValueError(f"seqs_per_shard must be positive, got {seqs_per_shard}")
+    with_shard = packed.withColumn(
+        "shard", F.floor(F.col("seq_id") / seqs_per_shard).cast("long")
+    )
+    (
+        with_shard.repartition("shard")
+        .sortWithinPartitions("start_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def packing_summary(packed: DataFrame, capacity: int) -> DataFrame:
     """Per training sequence: how many documents start in it and how
     many tokens those documents contribute (> capacity means the last

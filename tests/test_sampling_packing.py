@@ -113,3 +113,31 @@ def test_pack_sequences_matches_naive_and_bucket_invariant(spark, docs):
 
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_write_training_shards_order_and_assignment(spark, docs, tmp_path):
+    from table_ocr_spark.operators.packing import write_training_shards
+
+    cap = 256
+    packed = pack_sequences(docs, cap, bucket_width=64)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out, seqs_per_shard=4)
+
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert len(rows) == 600
+    for r in rows:
+        assert r["shard"] == r["seq_id"] // 4
+
+    # within each physical file, rows are stored in start_offset order
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for shard_dir in glob.glob(out + "/shard=*"):
+        for f in glob.glob(shard_dir + "/*.parquet"):
+            offs = pq.read_table(f, columns=["start_offset"])["start_offset"].to_pylist()
+            assert offs == sorted(offs), f
+
+    with pytest.raises(ValueError):
+        write_training_shards(packed, out, seqs_per_shard=0)
