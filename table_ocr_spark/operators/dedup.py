@@ -101,6 +101,46 @@ def exact_dedup(
     )
 
 
+def exact_dedup_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_cols=None,
+) -> DataFrame:
+    """Certify the hash-keyed dedup on THIS corpus: re-group by the
+    same composite key and count DISTINCT normalized texts per group —
+    any row in the output is a real collision (two different texts
+    merged into one cluster). Expected empty; run it when a merge
+    would be catastrophic (e.g. before deleting 'duplicate' originals).
+
+    This is deliberately the WIDE path (the full normalized text
+    crosses the exchange for the distinct count) — it is an audit you
+    run once per corpus build, not a step of the hot pipeline.
+    ``key_cols`` overrides the key expressions (tests use a weak key to
+    prove the audit actually catches merges)."""
+    norm = normalized_text(F.col(text_col))
+    if key_cols is None:
+        keyed = df.select(
+            norm.alias("_norm"),
+            F.xxhash64(norm).alias("_h64"),
+            F.md5(norm).alias("_h128"),
+        )
+        group_cols = ["_h64", "_h128"]
+    else:
+        # key expressions are evaluated against the ORIGINAL frame, so
+        # they may reference any of its columns
+        keyed = df.select(norm.alias("_norm"), *key_cols)
+        group_cols = [c for c in keyed.columns if c != "_norm"]
+    return (
+        keyed.groupBy(*group_cols)
+        .agg(
+            F.countDistinct("_norm").alias("n_distinct_texts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_distinct_texts") > 1)
+    )
+
+
 def _mk_shingles(t: list, k: int) -> list:
     """Distinct k-word shingles in first-occurrence order (the pinned
     definition shared by the oracle SQL)."""

@@ -134,3 +134,23 @@ def test_exact_dedup_hash_path_shuffles_narrow_keys(spark):
     import re
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "_norm" not in m.group(1), m.group(0)
+
+
+def test_exact_dedup_audit_catches_weak_key_merges(spark):
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.dedup import exact_dedup_audit, normalized_text
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "wxyz"), (3, "abcd"), (4, "hello there")],
+        "doc_id long, text string",
+    )
+    # the real 192-bit key: no collisions on any realistic corpus
+    assert exact_dedup_audit(df).count() == 0
+
+    # a deliberately weak key (text length) merges 'abcd' and 'wxyz';
+    # the audit must surface exactly that group
+    weak = [F.length(normalized_text(F.col("text"))).alias("_len")]
+    bad = exact_dedup_audit(df, key_cols=weak).collect()
+    assert len(bad) == 1
+    assert bad[0]["n_distinct_texts"] == 2 and bad[0]["n_rows"] == 3
