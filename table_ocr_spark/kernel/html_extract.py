@@ -37,6 +37,13 @@ documented; the reference has no deterministic extractor to match):
 * Ditto marks (``"``, ``″``, ``''``, ``-"-`` — config.py:50) in a cell
   resolve to the nearest non-ditto cell text above in the same column
   of the same table.
+* Truncated documents (crawl HTML is frequently cut mid-tag): a
+  trailing fragment that ends inside a tag is DROPPED entirely —
+  browser-like eof-in-tag handling — never flushed into the text (a
+  trailing ``<td`` must not mint a phantom cell). An unterminated
+  quoted attribute value is recovered at the next ``>`` (the tag is
+  kept, the value truncated) when a ``>`` exists, else the whole
+  fragment falls under the drop rule.
 """
 
 from __future__ import annotations
@@ -353,6 +360,7 @@ def _feed(html: str, ex: _Extractor) -> None:
     pos = 0
     n = len(html)
     find = _TAG_RE.search
+    ends_gt = html.endswith(">")
     while pos < n:
         m = find(html, pos)
         if m is None:
@@ -365,6 +373,13 @@ def _feed(html: str, ex: _Extractor) -> None:
             data = html[pos:start]
             ex.handle_data(unescape(data) if "&" in data else data)
         pos = m.end()
+        if pos == n and not ends_gt:
+            # document truncated mid-tag: the fragment is DROPPED, no
+            # event (pinned eof-in-tag semantics, browser-like — a
+            # trailing "<td" must not mint a phantom cell and markup
+            # junk must not leak into extracted text; the stdlib
+            # parser would flush it as data instead)
+            break
         tag = m.group("tag")
         if tag is not None:
             tag = tag.lower()

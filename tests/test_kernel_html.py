@@ -199,3 +199,27 @@ class TestRobustness:
         assert spans[(0, 0)] == (2, 1)
         # cell 'c' is pushed to col 1 by the rowspan occupancy
         assert (1, 1) in spans
+
+    def test_truncated_tail_dropped_not_leaked(self):
+        # pinned eof-in-tag semantics: fragment dropped, never text
+        base = "<article><p>kept body text of this page</p></article>"
+        for tail in ("<a", "<a href=", "<a href='x", "<td", "</div",
+                     "<!--unterminated comment", "<table><tr><td"):
+            r = extract_html(base + tail)
+            assert r.text == "kept body text of this page", tail
+            assert "<" not in r.text and "href" not in r.text, tail
+
+        # a trailing truncated <td> must not mint a phantom cell
+        doc = (
+            "<table><tr><td>a</td><td>b</td></tr>"
+            "<tr><td>c</td><td>d</td></tr></table><table><tr><td"
+        )
+        r = extract_html(doc)
+        assert len(r.cells) == 4 and r.n_tables == 1
+
+    def test_unterminated_quote_recovers_at_gt(self):
+        # quote never closes but a '>' exists: tag kept, value truncated
+        r = extract_html('<article><p>before</p></article><p a="x>after words</p>')
+        assert "after words" in r.text or r.text == "before"
+        # deterministic either way:
+        assert extract_html('<p a="x>y</p>').text == extract_html('<p a="x>y</p>').text
