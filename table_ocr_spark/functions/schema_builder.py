@@ -75,14 +75,35 @@ def build_payload_schema(fields: Sequence[SchemaField]) -> T.StructType:
     )
 
 
+# python str.strip() whitespace (str.isspace set) as a Java regex
+# class — Spark's trim() strips ASCII SPACES ONLY and Java's $ matches
+# before a trailing newline, both of which silently diverged from the
+# python kernel on '\n'-padded payloads (found by differential fuzz)
+_PY_WS = (
+    "[ \\t\\n\\x0B\\f\\r\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
+
+def _py_strip(col: Column) -> Column:
+    return F.regexp_replace(col, f"^{_PY_WS}+|{_PY_WS}+$", "")
+
+
 def strip_fences_col(col: Column) -> Column:
-    """F1 as a codegen'd expression: strip a leading ```` ```lang ````
-    fence and a trailing ```` ``` ```` (JVM twin of
-    ``kernel.textops.strip_json_codeblock``)."""
-    s = F.trim(col)
-    s = F.regexp_replace(s, r"^```[A-Za-z0-9_-]*\n?", "")
-    s = F.regexp_replace(s, r"```$", "")
-    return F.trim(s)
+    """F1 as a codegen'd expression — the JVM twin of
+    ``kernel.textops.strip_json_codeblock``, byte-for-byte (locked by a
+    differential fuzz test): python-equivalent whitespace strip, the
+    fence LINE cut through the first newline when one exists (else the
+    bare fence prefix), and the trailing fence matched with ``\\z``
+    (Java ``$`` would also fire before a final newline, where the
+    python twin does not)."""
+    s = _py_strip(col)
+    has_nl_fence = s.rlike("^```[^\\n]*\\n")
+    s = F.when(
+        has_nl_fence, F.regexp_replace(s, "^```[^\\n]*\\n", "")
+    ).otherwise(F.regexp_replace(s, "^```[A-Za-z0-9_-]*", ""))
+    s = F.regexp_replace(s, "```\\z", "")
+    return _py_strip(s)
 
 
 def decode_table_payload(
