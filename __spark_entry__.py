@@ -705,6 +705,15 @@ DECON_T = 0.2
 PACK_CAPACITY = 2048
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (operators/textstats): mean
+    -ln p(token) under the corpus's own unigram distribution — the
+    order-0 version of CCNet's LM filtering, exactly SQL-reproducible."""
+    from table_ocr_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic language-stratified sampling (operators/sampling):
     membership = md5-prefix threshold per stratum, reproducible from
@@ -915,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "pack_sequences": q_pack_sequences,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1192,6 +1202,21 @@ def oracle_sql() -> dict[str, str]:
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         AND event_type = 'purchase'
+    """
+
+    sql["unigram_logprob"] = f"""
+      WITH ex AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+      counts AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+      total AS (SELECT sum(c) AS t FROM counts),
+      scored AS (
+        SELECT e.id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln(CAST(c.c AS DOUBLE) / total.t)), 6) AS avg_neg_logprob
+        FROM ex e JOIN counts c USING (tok), total
+        GROUP BY e.id)
+      SELECT id AS doc_id, n_tokens, avg_neg_logprob FROM scored
+      UNION ALL
+      SELECT doc_id, CAST(0 AS BIGINT), 0.0 FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM scored)
     """
 
     # same md5-prefix membership rule as operators/sampling (md5 hex is

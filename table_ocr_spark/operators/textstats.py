@@ -251,3 +251,53 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         lambda acc, v: (acc * 131 + v) % FP_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score: per document, the
+    mean negative log-probability of its tokens under the CORPUS's own
+    unigram distribution (p(tok) = corpus_count(tok) / corpus_tokens).
+    High score = rare vocabulary (gibberish, boilerplate soup, wrong
+    language); low = common prose — the standard LM-filtering signal
+    with the LM reduced to order-0, so it stays exactly
+    SQL-reproducible.
+
+    Plan shape (new in this surface): a corpus-GLOBAL statistic joined
+    back to the stream. Token counts: one explode + map-side-combining
+    aggregate (shuffle rows = |vocab|, not corpus tokens). The count
+    table re-joins the exploded stream by token — a hash equi-join
+    whose build side is the vocabulary (Zipf-bounded, ~millions at
+    crawl scale, never corpus-sized); per-doc mean then aggregates by
+    id. Every token has corpus count >= 1 (self-scored), so no OOV
+    smoothing branch is needed.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_t"))
+    scored = (
+        ex.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(-F.log(F.col("_c") / F.col("_t"))).alias("_s"),
+        )
+    )
+    out = scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round("_s", 6).alias("avg_neg_logprob"),
+    )
+    # zero-token docs: defined score 0.0 (no evidence, never filtered)
+    empties = df.select(F.col(id_col)).join(
+        out.select(id_col), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0.0).alias("avg_neg_logprob"),
+    )
+    return out.unionByName(empties)

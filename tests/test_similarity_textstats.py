@@ -202,3 +202,24 @@ def test_hyperplane_band_join_carries_ids_only(spark):
     assert band_exchanges, plan
     for ex in band_exchanges:
         assert "vec" not in ex.replace("vec_id", "id"), ex
+
+
+def test_unigram_logprob_hand_values(spark):
+    import math
+
+    from table_ocr_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3, b=1, c=1, total=5
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    p = {"a": 3 / 5, "b": 1 / 5, "c": 1 / 5}
+    want1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    want2 = -(math.log(p["a"]) + math.log(p["c"])) / 2
+    assert got[1]["n_tokens"] == 3 and abs(got[1]["avg_neg_logprob"] - want1) < 1e-6
+    assert got[2]["n_tokens"] == 2 and abs(got[2]["avg_neg_logprob"] - want2) < 1e-6
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_neg_logprob"] == 0.0
+    # rarer vocabulary scores higher
+    assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"] * 0.9
