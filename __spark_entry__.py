@@ -705,6 +705,16 @@ DECON_T = 0.2
 PACK_CAPACITY = 2048
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (operators/dedup.duplicate_span_stats,
+    the Lee-et-al. axis): per doc, tokens covered by corpus-repeated
+    5-grams, merged into maximal spans via gaps-and-islands — run over
+    the planted-duplicate corpus so real spans exist."""
+    from table_ocr_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_dup_corpus(spark, sf_dir), k=5)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score (operators/textstats): mean
     -ln p(token) under the corpus's own unigram distribution — the
@@ -925,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pack_sequences": q_pack_sequences,
         "unigram_logprob": q_unigram_logprob,
+        "dup_span_stats": q_dup_span_stats,
     }
 
 
@@ -1202,6 +1213,44 @@ def oracle_sql() -> dict[str, str]:
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         AND event_type = 'purchase'
+    """
+
+    # gaps-and-islands span merge, k=5: parallel unnests zip gram with
+    # its 1-based index (pos = i-1); intervals [pos, pos+4] merge when
+    # overlapping or contiguous
+    sql["dup_span_stats"] = f"""
+      WITH corpus AS ({_DUP_CORPUS_SQL}),
+      t AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+      g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   list_transform(generate_series(1, len(t)-4),
+                     i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+                     AS grams
+            FROM t),
+      ex AS (SELECT doc_id,
+                    CAST(unnest(generate_series(1, len(grams))) - 1 AS BIGINT) AS pos,
+                    unnest(grams) AS gram
+             FROM g),
+      hot AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) >= 2),
+      d AS (SELECT doc_id, pos FROM ex WHERE gram IN (SELECT gram FROM hot)),
+      m AS (SELECT doc_id, pos,
+                   max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM d),
+      isl AS (SELECT doc_id, pos,
+                     sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM m),
+      sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+             FROM isl GROUP BY doc_id, island),
+      agg AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens,
+                     CAST(count(*) AS BIGINT) AS n_spans
+              FROM sp GROUP BY doc_id)
+      SELECT g.doc_id, g.n_tokens,
+             coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+             round(CAST(coalesce(a.n_dup_tokens, 0) AS DOUBLE)
+                   / greatest(g.n_tokens, 1), 6) AS dup_frac,
+             coalesce(a.n_spans, 0) AS n_spans
+      FROM g LEFT JOIN agg a USING (doc_id)
     """
 
     sql["unigram_logprob"] = f"""

@@ -486,3 +486,101 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _gram_seq_udf(k: int):
+    """token array -> ORDERED, non-distinct k-gram list (one per start
+    position). Positional twin of the distinct shingle set — duplicated
+    SPANS need every occurrence, not the set. Same Arrow-batch
+    rationale as _shingle_udf (per-position interpreted HOFs are ~1000x
+    slower than this loop)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(toks):  # type: ignore[no-untyped-def]
+        out = []
+        for t in toks:
+            t = list(t)
+            n = len(t)
+            out.append(
+                [" ".join(t[i : i + k]) for i in range(n - k + 1)] if n >= k else []
+            )
+        return pd.Series(out)
+
+    return udf
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplication (the Lee-et-al. / RefinedWeb axis —
+    doc-level near-dup misses boilerplate PASSAGES shared across
+    otherwise-distinct pages): a token position is covered iff the
+    k-gram starting there occurs >= min_count times in the corpus;
+    covered ranges ``[pos, pos+k-1]`` merge when overlapping or
+    contiguous (gaps-and-islands over a per-doc window — never a k-way
+    position explode). Output per document: token count, covered token
+    count, covered fraction, merged span count.
+
+    Scale shape: gram instances shuffle once to count (map-side
+    combine), once back for the >=min_count join (hash equi-join on the
+    gram), and once per doc for the window — all hash-partitioned
+    equi-operations; nothing quadratic, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    base = toked.select(
+        "id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        _gram_seq_udf(k)(F.col("_toks")).alias("_grams"),
+    ).cache()  # read by the instance explode AND the final left join
+    ex = base.select("id", F.posexplode("_grams").alias("pos", "gram"))
+    hot = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    dup = ex.join(hot, "gram", "left_semi").select("id", "pos")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    spans = marked.groupBy("id", "_island").agg(
+        F.min("pos").alias("_s"), F.max(F.col("pos") + (k - 1)).alias("_e")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("n_dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    out = (
+        base.select("id", "n_tokens")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
+    return out

@@ -154,3 +154,38 @@ def test_exact_dedup_audit_catches_weak_key_merges(spark):
     bad = exact_dedup_audit(df, key_cols=weak).collect()
     assert len(bad) == 1
     assert bad[0]["n_distinct_texts"] == 2 and bad[0]["n_rows"] == 3
+
+
+def test_duplicate_span_stats_hand_case(spark):
+    from table_ocr_spark.operators.dedup import duplicate_span_stats
+
+    # k=3: docs 1 and 2 share the passage "p q r s" -> grams "p q r"
+    # and "q r s" (positions 2,3 in doc 1) merge into ONE span [2,5]
+    # (4 tokens); doc 3 shares nothing; doc 4 is too short for a gram
+    df = spark.createDataFrame(
+        [
+            (1, "a b p q r s x y"),
+            (2, "m n p q r s"),
+            (3, "totally different words here now"),
+            (4, "ab cd"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_span_stats(df, k=3).collect()}
+    assert got[1]["n_tokens"] == 8
+    assert got[1]["n_dup_tokens"] == 4 and got[1]["n_spans"] == 1
+    assert got[1]["dup_frac"] == 0.5
+    assert got[2]["n_dup_tokens"] == 4 and got[2]["n_spans"] == 1
+    assert got[3]["n_dup_tokens"] == 0 and got[3]["n_spans"] == 0
+    assert got[4]["n_tokens"] == 2 and got[4]["n_dup_tokens"] == 0
+
+    # two disjoint shared passages -> two spans
+    df2 = spark.createDataFrame(
+        [
+            (1, "p q r junk1 junk2 junk3 junk4 u v w"),
+            (2, "p q r other filler words here u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    g2 = {r["doc_id"]: r for r in duplicate_span_stats(df2, k=3).collect()}
+    assert g2[1]["n_spans"] == 2 and g2[1]["n_dup_tokens"] == 6
