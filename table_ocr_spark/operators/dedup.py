@@ -530,19 +530,24 @@ def duplicate_span_stats(
     Scale shape: gram instances shuffle once to count (map-side
     combine), once back for the >=min_count join (hash equi-join on the
     gram), and once per doc for the window — all hash-partitioned
-    equi-operations; nothing quadratic, nothing driver-side.
+    equi-operations; nothing quadratic, nothing driver-side. The heavy
+    gram frame has exactly ONE consumer, so nothing corpus-token-sized
+    is cached; the final left join re-derives only the narrow
+    (id, n_tokens) side (one extra JVM tokenize — recompute beats a
+    token-scale cache at crawl size).
     """
     from pyspark.sql import Window
 
-    toked = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
-    base = toked.select(
-        "id",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        _gram_seq_udf(k)(F.col("_toks")).alias("_grams"),
-    ).cache()  # read by the instance explode AND the final left join
-    ex = base.select("id", F.posexplode("_grams").alias("pos", "gram"))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            _gram_seq_udf(k)(tokens(F.col(text_col)))
+        ).alias("pos", "gram"),
+    )
     hot = (
         ex.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -569,8 +574,7 @@ def duplicate_span_stats(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
     )
     out = (
-        base.select("id", "n_tokens")
-        .join(per_doc, "id", "left")
+        sizes.join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "n_tokens",

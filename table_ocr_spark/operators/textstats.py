@@ -273,6 +273,9 @@ def unigram_logprob(
     id. Every token has corpus count >= 1 (self-scored), so no OOV
     smoothing branch is needed.
     """
+    # ex is consumed by the count aggregate AND the scoring join;
+    # recomputing the tokenize+explode (map-only) is deliberate — a
+    # corpus-token-sized cache would be the scale mistake here
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
