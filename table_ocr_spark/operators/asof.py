@@ -38,21 +38,14 @@ def asof_join(
     """Inner as-of join (left rows without any prior right row drop,
     matching DuckDB ``ASOF JOIN``). ``right_cols`` are the right-side
     payload columns to carry (default: all but key/ts)."""
-    right_cols = right_cols or [
-        c for c in right.columns if c not in (on, ts)
-    ]
+    if right_cols is None:  # explicit [] means 'carry only ts'
+        right_cols = [c for c in right.columns if c not in (on, ts)]
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(
         on, ts, *right_cols
     ).withColumn("_side", F.lit(0))
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    # right rows sort BEFORE left at equal ts (side 0 < 1) => '<=' semantics
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # ONE struct carries ts + all payload columns of the matched right
     # row together. Per-column F.last(col, ignorenulls=True) would skip
     # a NULL payload value in the matched row and smear in the value
@@ -66,6 +59,17 @@ def asof_join(
     payload = F.when(
         F.col("_side") == 0,
         F.struct(F.col(ts).alias("_ts"), *[F.col(c) for c in right_cols]),
+    )
+    # ordering is PINNED three-deep: right rows sort before left at
+    # equal ts (side 0 < 1 => '<=' semantics), and among right rows
+    # sharing (key, ts) the greatest payload struct wins — without the
+    # third key the matched row would depend on shuffle order
+    # (nondeterministic output). Left rows all carry a NULL payload, so
+    # the third key never reorders them relative to each other.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), payload.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(
         "_match", F.last(payload, ignorenulls=True).over(w)
@@ -93,7 +97,8 @@ def time_range_join(
     """All pairs with ``left.ts - window <= right.ts <= left.ts`` per
     key, via bucketed equi-join (bucket width = the window, so a left
     row's admissible range spans at most 2 buckets)."""
-    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    if right_cols is None:  # explicit [] means 'carry only ts'
+        right_cols = [c for c in right.columns if c not in (on, ts)]
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     win_us = window_seconds * 1_000_000
     bucket = F.floor(us / win_us)

@@ -35,7 +35,6 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from table_ocr_spark.functions.sqlfuncs import word_shingles
 from table_ocr_spark.operators.textstats import tokens
 
 SIMHASH_BITS = 32
@@ -47,8 +46,14 @@ SIMHASH_BAND_BITS = 8
 
 
 def normalized_text(col: Column) -> Column:
-    """Pinned dedup normalization (lower + whitespace collapse + trim)."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Pinned dedup normalization (lower + whitespace collapse + trim).
+    NULL text normalizes to the EMPTY string — otherwise NULL group
+    keys never survive the equi-join back and NULL-text rows silently
+    vanish from the dedup output (crawl corpora carry NULL text
+    routinely; they cluster with empty documents by design)."""
+    return F.coalesce(
+        F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), F.lit("")
+    )
 
 
 def exact_dedup(
@@ -163,7 +168,11 @@ def _shingle_udf(k: int):
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def udf(toks):  # type: ignore[no-untyped-def]
-        return pd.Series([_mk_shingles(list(t), k) for t in toks])
+        # NULL text -> tokens() yields a NULL array -> None here; treat
+        # as empty (crawl corpora routinely carry NULL text rows)
+        return pd.Series(
+            [_mk_shingles(list(t), k) if t is not None else [] for t in toks]
+        )
 
     return udf
 
@@ -225,7 +234,7 @@ def _shingle_sig_udf(k: int, num_hashes: int):
         sh_col = []
         sig_col = []
         for t in toks:
-            sh = _mk_shingles(list(t), k)
+            sh = _mk_shingles(list(t), k) if t is not None else []
             sh_col.append(sh)
             if not sh:
                 sig_col.append(None)
@@ -267,9 +276,13 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles -> self equi-join on shingle
     (id_a < id_b) -> count = |A∩B| -> join sizes -> filter. This is the
-    ground-truth path; ``max_shingle_df`` (drop shingles occurring in
-    more than N docs) bounds the join fanout at scale at the cost of a
-    slight recall change — leave None for oracle parity.
+    ground-truth path. ``max_shingle_df`` (drop shingles occurring in
+    more than N docs) bounds the join fanout at scale by computing the
+    Jaccard over the RARE-shingle universe — both the intersection AND
+    the set sizes use only surviving shingles, so the reported value is
+    self-consistent (sizes from the unfiltered sets would systematically
+    understate jaccard and silently drop true near-dups). Leave None
+    for oracle parity.
     """
     sets_df = shingle_sets(df, text_col, id_col, k).cache()
     exploded = sets_df.select("id", F.explode("shingles").alias("sh"))
@@ -289,7 +302,11 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sizes = sets_df.select("id", F.size("shingles").cast("long").alias("_n"))
+    if max_shingle_df is not None:
+        # sizes over the SAME rare universe as the intersection
+        sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
+    else:
+        sizes = sets_df.select("id", F.size("shingles").cast("long").alias("_n"))
     na = sizes.select(F.col("id").alias("id_a"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("_n").alias("_nb"))
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
@@ -417,7 +434,7 @@ def _simhash_sig_udf():
         mod = np.uint64(SIMHASH_VAL_MOD)
         out = []
         for toks in token_lists:
-            n = len(toks)
+            n = len(toks) if toks is not None else 0
             if n == 0:
                 out.append(full)  # all sums 0 -> every bit set
                 continue
@@ -483,8 +500,10 @@ def simhash_pairs(
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)  # BEFORE distinct: the
+        # band bucket emits pairs up to hamming 24; discarding them ahead
+        # of the exchange keeps the distinct shuffle near-output-sized
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -501,7 +520,7 @@ def _gram_seq_udf(k: int):
     def udf(toks):  # type: ignore[no-untyped-def]
         out = []
         for t in toks:
-            t = list(t)
+            t = list(t) if t is not None else []
             n = len(t)
             out.append(
                 [" ".join(t[i : i + k]) for i in range(n - k + 1)] if n >= k else []
@@ -540,7 +559,10 @@ def duplicate_span_stats(
 
     sizes = df.select(
         F.col(id_col).alias("id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        # size(NULL array) is NULL; pinned: NULL text -> 0 tokens
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
     ex = df.select(
         F.col(id_col).alias("id"),

@@ -41,12 +41,18 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     weight_col: Optional[str] = None,
-    bucket_width: int = 4096,
+    bucket_width: int = 1 << 20,
+    max_buckets: int = 4_000_000,
 ) -> DataFrame:
     """Per document: ``n_tokens``, global ``start_offset`` (exclusive
     prefix sum over ascending ``id_col``), and ``seq_id`` =
     ``floor(start_offset / capacity)``. ``weight_col`` overrides the
-    token count (e.g. a precomputed BPE length)."""
+    token count (e.g. a precomputed BPE length). The bounded-collect
+    safety argument is ENFORCED, not assumed: the per-bucket totals are
+    counted first and the job fails fast above ``max_buckets`` (at 4M
+    rows ≈ 64 MB of driver objects) with the fix spelled out — raise
+    ``bucket_width``. Default width 2^20 ids/bucket keeps 10^12 dense
+    ids under 10^6 buckets."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     weight = (
@@ -60,9 +66,15 @@ def pack_sequences(
         F.floor(F.col(id_col) / bucket_width).alias("_bucket"),
     )
 
-    totals = (
-        base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total")).collect()
-    )
+    totals_df = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    n_buckets = totals_df.count()
+    if n_buckets > max_buckets:
+        raise ValueError(
+            f"pack_sequences: {n_buckets} buckets exceed max_buckets="
+            f"{max_buckets}; raise bucket_width (currently {bucket_width}) "
+            f"so the per-bucket totals stay a bounded driver collect"
+        )
+    totals = totals_df.collect()
     running = 0
     bases = []
     for row in sorted(totals, key=lambda r: r["_bucket"]):
@@ -117,15 +129,19 @@ def write_training_shards(
 
 
 def packing_summary(packed: DataFrame, capacity: int) -> DataFrame:
-    """Per training sequence: how many documents start in it and how
-    many tokens those documents contribute (> capacity means the last
-    document straddles into the next sequence — the standard
-    concat-then-split layout, not bin packing)."""
+    """Per training sequence: how many documents start in it, how many
+    tokens those documents contribute, and whether the last document
+    straddles into the next sequence (``overflows`` — inherent to the
+    concat-then-split layout, not an error)."""
     return (
         packed.groupBy("seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("tokens_started"),
+            (
+                F.max(F.col("start_offset") + F.col("n_tokens"))
+                > (F.col("seq_id") + 1) * capacity
+            ).alias("overflows"),
         )
         .orderBy("seq_id")
     )

@@ -23,10 +23,13 @@ from pyspark.sql import functions as F
 from table_ocr_spark.functions.sqlfuncs import as_double_array, cosine
 
 
-def _with_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.select(
-        F.col("vec_id"), as_double_array(vec_col).alias("vec"), F.col("label")
-    )
+def _with_vec(
+    df: DataFrame, vec_col: str = "embedding", with_label: bool = True
+) -> DataFrame:
+    cols = [F.col("vec_id"), as_double_array(vec_col).alias("vec")]
+    if with_label:
+        cols.append(F.col("label"))
+    return df.select(*cols)
 
 
 def brute_force_topk(
@@ -128,14 +131,18 @@ def _hyperplane_sig_udf(bits: int):
     def udf(vecs):  # type: ignore[no-untyped-def]
         import numpy as np
 
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        W = _plane_matrix(bits, M.shape[1])
-        sig_bits = (M @ W.T) >= 0  # (n, bits)
-        weights = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
-        packed = (sig_bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
-        return pd.Series(packed.view(np.int64))
+        live = [(i, v) for i, v in enumerate(vecs) if v is not None and len(v)]
+        out = [None] * len(vecs)  # NULL vec -> NULL signature; null band
+        # keys never equi-join, so such rows yield no candidates
+        if live:
+            M = np.stack([np.asarray(v, dtype=np.float64) for _, v in live])
+            W = _plane_matrix(bits, M.shape[1])
+            sig_bits = (M @ W.T) >= 0  # (n, bits)
+            weights = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
+            packed = (sig_bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            for (i, _), p_ in zip(live, packed.view(np.int64)):
+                out[i] = int(p_)
+        return pd.Series(out, dtype="object")
 
     return udf
 
@@ -150,8 +157,9 @@ def hyperplane_near_dup_pairs(
     needed): candidates come from shared signature bands, survivors are
     verified exactly, so precision is 1.0; recall at cos >= 0.99
     (angle <= 8.1 deg) is 1 - (1-(1-θ/π)^4)^4 ≈ 1 - 8e-4, and exact
-    (1.0) for true duplicates, whose signatures are identical."""
-    base = _with_vec(emb, vec_col)
+    (1.0) for true duplicates, whose signatures are identical. The
+    input needs only (vec_id, vec_col) — genuinely label-free."""
+    base = _with_vec(emb, vec_col, with_label=False)
     sig = base.select(
         "vec_id", _hyperplane_sig_udf(HP_BITS)(F.col("vec")).alias("_sig")
     )

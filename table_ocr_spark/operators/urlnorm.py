@@ -20,7 +20,10 @@ Pinned canonicalization semantics (each step deliberate, in order):
 3. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), sort the
    surviving query params lexicographically, rejoin with ``&``; an
    emptied query drops its ``?``,
-4. strip one trailing slash from a non-root path,
+4. strip one trailing slash from a non-root path; a bare root path
+   ``/`` unifies with the EMPTY path (``http://a.com/`` ==
+   ``http://a.com`` per RFC 3986 §6.2.3 — the single most common
+   cosmetic re-crawl variant),
 5. a string with no ``scheme://`` prefix is returned unchanged (not a
    url — never guess).
 """
@@ -52,6 +55,7 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_replace(
         F.regexp_extract(rest, r"^([^?]*)", 1), r"([^/])/$", r"$1"
     )
+    path = F.when(path == "/", F.lit("")).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.sort_array(
         F.filter(

@@ -82,3 +82,28 @@ def test_asof_null_payload_from_matched_row_not_smeared(spark):
     assert r["ts_right"] == m(30)
     assert r["tag_right"] is None       # not "early"
     assert r["v_right"] is None         # not 7
+
+
+def test_asof_duplicate_ts_right_rows_deterministic(spark):
+    # among right rows sharing (key, ts) the greatest payload struct is
+    # the pinned winner — repartitioning must not change the match
+    left = spark.createDataFrame([(1, m(20))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, m(10), "a", 1), (1, m(10), "b", 2), (1, m(10), "b", 1)],
+        "user_id long, ts timestamp, tag string, v long",
+    )
+    expect = ("b", 2)  # greatest (ts, tag, v) struct
+    for reparted in (right, right.repartition(7), right.repartition(1)):
+        rows = asof_join(left, reparted, on="user_id").collect()
+        assert len(rows) == 1
+        assert (rows[0]["tag_right"], rows[0]["v_right"]) == expect
+
+
+def test_asof_empty_right_cols_carries_only_ts(spark):
+    left = spark.createDataFrame([(1, 9, m(20))], "user_id long, x long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, m(10), "payload")], "user_id long, ts timestamp, tag string"
+    )
+    out = asof_join(left, right, on="user_id", right_cols=[])
+    assert out.columns == ["user_id", "x", "ts", "ts_right"]
+    assert out.collect()[0]["ts_right"] == m(10)

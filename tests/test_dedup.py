@@ -189,3 +189,48 @@ def test_duplicate_span_stats_hand_case(spark):
     )
     g2 = {r["doc_id"]: r for r in duplicate_span_stats(df2, k=3).collect()}
     assert g2[1]["n_spans"] == 2 and g2[1]["n_dup_tokens"] == 6
+
+
+def test_null_text_rows_survive_all_dedup_operators(spark):
+    # crawl corpora routinely carry NULL text; no operator may crash
+    from table_ocr_spark.operators.dedup import (
+        duplicate_span_stats,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "shared words appear in both docs here"),
+         (2, "shared words appear in both docs here"),
+         (3, None),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    assert exact_dedup(df).count() == 4
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
+    assert {(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_pairs(df, threshold=0.5).collect()} == {(1, 2)}
+    sp = simhash_pairs(df, max_hamming=3).collect()  # must not raise
+    assert {(r["id_a"], r["id_b"]) for r in sp} >= {(1, 2)}
+    spans = {r["doc_id"]: r for r in duplicate_span_stats(df, k=3).collect()}
+    assert spans[3]["n_tokens"] == 0 and spans[3]["n_dup_tokens"] == 0
+    assert spans[1]["n_dup_tokens"] > 0
+
+
+def test_ngram_jaccard_max_shingle_df_self_consistent(spark):
+    from table_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    # docs 1,2 identical; the shared shingles all occur in >= 2 docs, so
+    # with max_shingle_df=1 everything is dropped -> no pairs; with
+    # max_shingle_df=2 the rare universe IS their full set -> jaccard 1.0
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=1).count() == 0
+    rows = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=2).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0

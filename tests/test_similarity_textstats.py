@@ -223,3 +223,16 @@ def test_unigram_logprob_hand_values(spark):
     assert got[3]["n_tokens"] == 0 and got[3]["avg_neg_logprob"] == 0.0
     # rarer vocabulary scores higher
     assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"] * 0.9
+
+
+def test_hyperplane_label_free_and_null_vec_safe(spark):
+    from table_ocr_spark.operators.similarity import hyperplane_near_dup_pairs
+
+    # no label column at all — the advertised label-free path
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             hyperplane_near_dup_pairs(emb, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}  # exact dup found; NULL vec row ignored

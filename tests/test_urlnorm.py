@@ -18,7 +18,7 @@ CASES = [
     ("https://a.example/p?utm_source=tw&q=1&fbclid=zz", "https://a.example/p?q=1"),
     ("https://a.example/p?utm_source=tw", "https://a.example/p"),  # query emptied
     ("https://a.example/p#frag", "https://a.example/p"),
-    ("https://a.example/", "https://a.example/"),  # root slash kept
+    ("https://a.example/", "https://a.example"),  # root slash == empty path
     ("https://a.example", "https://a.example"),
     ("not a url at all", "not a url at all"),  # unchanged: no scheme
     ("https://a.example/a/b/?x=1#f", "https://a.example/a/b?x=1"),
