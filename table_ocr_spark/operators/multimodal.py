@@ -75,6 +75,9 @@ def image_metadata(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf["payload"]):
+                if payload is None:  # NULL payload -> NULL metadata row
+                    rows.append((url, None, None, None, None))
+                    continue
                 b = bytes(payload)
                 w, h, mean = _decode_image(b)
                 rows.append((url, _sniff_mime(b), w, h, mean))
@@ -111,6 +114,9 @@ def resize_images(images: DataFrame, max_dim: int = 256) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf["payload"]):
+                if payload is None:  # NULL payload -> NULL output row
+                    rows.append((url, None, None, None))
+                    continue
                 b = bytes(payload)
                 w, h, mean = _decode_image(b)
                 scale = min(1.0, max_dim / max(w, h, 1))
@@ -152,6 +158,8 @@ def sample_frames(videos: DataFrame, every_nth: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf["payload"]):
+                if payload is None:  # NULL payload -> zero frames
+                    continue
                 b = bytes(payload)
                 if b.startswith(_FAKE_VIDEO_MAGIC):
                     (n,) = struct.unpack("<H", b[7:9])

@@ -54,3 +54,20 @@ def test_sample_frames_one_to_n(spark):
     )
     assert [r["frame_idx"] for r in got] == [0, 2, 4]
     assert bytes(got[1]["frame"]) == frames[2]
+
+
+def test_null_payloads_do_not_crash(spark):
+    from table_ocr_spark.operators.multimodal import (
+        image_metadata,
+        resize_images,
+        sample_frames,
+    )
+
+    imgs = spark.createDataFrame(
+        [("u1", None)], "url string, payload binary"
+    )
+    meta = image_metadata(imgs).collect()
+    assert len(meta) == 1 and meta[0]["mime"] is None
+    rs = resize_images(imgs).collect()
+    assert len(rs) == 1 and rs[0]["payload"] is None
+    assert sample_frames(imgs).count() == 0
