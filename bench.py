@@ -54,6 +54,24 @@ HEADLINE = [
     "results_payload_decode",
 ]
 
+# round-2 operators, timed once each AFTER the headline loop: keeps the
+# headline total comparable across rounds while giving the new surface
+# measured numbers (dedup_ngram_jaccard stays out — it is the documented
+# quadratic ground-truth shape, not a benchmark target)
+EXTENDED = [
+    "url_canonicalize",
+    "page_range_extract",
+    "stratified_sample",
+    "decontamination",
+    "pack_sequences",
+    "unigram_logprob",
+    "dup_span_stats",
+    "ann_ivf",
+    "embedding_near_dup",
+    "asof_click_before_purchase",
+    "range_join_events",
+]
+
 # N -> 4N pairs for the scaling criterion. (2, 8) is the primary pair:
 # a best-of-3 multiprocessing probe shows this VM delivers 2/4/8 procs
 # at ~100% of nominal but only ~23.7 effective cores at 32 procs (~74%)
@@ -122,7 +140,14 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
             # caches build memory pressure for later queries
             spark.catalog.clearCache()
         times[name] = round(best, 3)
-    return times
+
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.perf_counter()
+        _noop_write(qs[name](spark, sf_dir))
+        extended[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return times, extended
 
 
 def build_scale_corpus(spark, sf_dir: str, out_path: str, target_docs: int) -> int:
@@ -267,7 +292,7 @@ def main() -> int:
     scaling: dict = {}
     try:
         spark = _mk_session(cpus)
-        qtimes = run_headline(spark, sf_dir)
+        qtimes, extended = run_headline(spark, sf_dir)
         corpus_path = os.path.join(work, "pages")
         if do_scaling:
             n_docs = build_scale_corpus(spark, sf_dir, corpus_path, target_docs)
@@ -284,6 +309,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "extended_queries": extended,
         "sf": sf,
         "scaling": scaling,
     }
@@ -303,6 +329,19 @@ def _write_bench_md(result: dict) -> None:
     ]
     for k, v in result["queries"].items():
         lines.append(f"| {k} | {v} |")
+    ext = result.get("extended_queries") or {}
+    if ext:
+        lines += [
+            "",
+            "## Extended operators (round-2 surface; single timed pass,",
+            "not part of the headline total so that total stays",
+            "round-over-round comparable)",
+            "",
+            "| query | sec |",
+            "|---|---|",
+        ]
+        for k, v in ext.items():
+            lines.append(f"| {k} | {v} |")
     s = result.get("scaling") or {}
     if s:
         lines += [

@@ -67,14 +67,14 @@ def pack_sequences(
     )
 
     totals_df = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
-    n_buckets = totals_df.count()
-    if n_buckets > max_buckets:
+    # ONE action: limit bounds driver memory even when the guard fires
+    totals = totals_df.limit(max_buckets + 1).collect()
+    if len(totals) > max_buckets:
         raise ValueError(
-            f"pack_sequences: {n_buckets} buckets exceed max_buckets="
-            f"{max_buckets}; raise bucket_width (currently {bucket_width}) "
-            f"so the per-bucket totals stay a bounded driver collect"
+            f"pack_sequences: more than max_buckets={max_buckets} buckets; "
+            f"raise bucket_width (currently {bucket_width}) so the "
+            f"per-bucket totals stay a bounded driver collect"
         )
-    totals = totals_df.collect()
     running = 0
     bases = []
     for row in sorted(totals, key=lambda r: r["_bucket"]):
