@@ -381,7 +381,8 @@ def _write_bench_md(result: dict) -> None:
             "",
             "Executor-level evidence (real standalone cluster, separate "
             "master/worker/executor JVMs): see BASELINE.md — 2→8 "
-            "single-core executors, efficiency 0.846; reproduce with "
+            "single-core executors, efficiency 0.846 (round 1) / 0.824 "
+            "(round 2); reproduce with "
             "`bash scripts/run_cluster_scaling.sh`.",
         ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
