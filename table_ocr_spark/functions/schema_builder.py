@@ -164,9 +164,11 @@ def encode_results_payload(
     undercounts. By default the slot domain is the per-url
     ``[min..max]`` span of observed pages × samples; pass ``domain``
     (a ``(url, page, sample)`` DataFrame, e.g. built from the request
-    manifest) when trailing slots may be missing entirely — whole pages
-    at the end whose every sample failed are unknowable from the
-    decoded rows alone.
+    manifest) when LEADING or trailing slots may be missing entirely —
+    a first or last page whose every sample failed is unknowable from
+    the decoded rows alone (the producer's index base — 0 or 1 — is
+    not derivable either, which is why the default deliberately spans
+    only the observed range instead of assuming a zero origin).
     """
     row_struct = F.struct(
         F.col("row_index"), *[F.col(f.name) for f in fields]
@@ -183,7 +185,11 @@ def encode_results_payload(
                     F.transform(
                         "_rows", lambda r: r.dropFields("row_index")
                     ).alias("table")
-                )
+                ),
+                # keep null optional fields in the payload: the
+                # reference's Pydantic rows persist '"field": null'
+                # (ui/models.py:120-121); Spark's default drops the key
+                {"ignoreNullFields": "false"},
             ).alias("_payload"),
         )
     )

@@ -61,6 +61,8 @@ MAX_LINK_DENSITY = 0.35    # non-article blocks more linky than this are nav
 MIN_TABLE_ROWS = 2         # below → page-bleed artifact
 MIN_TABLE_COLS = 2
 MAX_SPAN = 1000            # defensive cap on rowspan/colspan
+MAX_GRID_CELLS = 2_000_000  # occupancy footprint budget per table
+                            # (beyond it cells place as 1x1)
 
 DITTO_MARKS = {'"', "″", "''", '-"-', "〃"}
 
@@ -131,8 +133,13 @@ class _TableCtx:
         self.nested = 0
 
 
+# the lookbehind is the attribute-NAME boundary: without it,
+# aria-colspan="2" / data-rowspan="5" (standard ARIA grid markup and
+# common JS table libraries) parse as real spans and shift every
+# subsequent cell in the grid
 _SPAN_ATTR_RE = re.compile(
-    r"(rowspan|colspan)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>/]*)", re.IGNORECASE
+    r"(?<![\w-])(rowspan|colspan)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>/]*)",
+    re.IGNORECASE,
 )
 
 
@@ -426,22 +433,36 @@ def _build_grid(table_id: int, rows: List[List[_RawCell]]) -> Tuple[List[Cell], 
                 max_col = len(row) - 1
         return cells, len(rows), max_col + 1
 
+    # Occupancy work is BUDGETED: the standard algorithm's footprint is
+    # O(sum of rowspan*colspan) and untrusted crawl HTML can declare a
+    # 1000-cell table of 1000x1000 spans (~10^9 set inserts — a one-page
+    # executor-core hang, the same failure class as the old regex
+    # backtracking). Rowspan is first clamped to the remaining rows
+    # (browser behavior); once the footprint budget is exhausted,
+    # remaining cells degrade deterministically to 1x1 placement.
     occupied = set()
+    budget = MAX_GRID_CELLS
+    n_rows = len(rows)
     for r, row in enumerate(rows):
         c = 0
         for raw in row:
             while (r, c) in occupied:
                 c += 1
             text = normalize_text("".join(raw.parts))
-            cells.append(Cell(table_id, r, c, raw.rowspan, raw.colspan, text))
-            for dr in range(raw.rowspan):
-                for dc in range(raw.colspan):
+            rs = min(raw.rowspan, n_rows - r)
+            cs = raw.colspan
+            if rs * cs > budget:
+                rs = cs = 1
+            budget -= rs * cs
+            cells.append(Cell(table_id, r, c, rs, cs, text))
+            for dr in range(rs):
+                for dc in range(cs):
                     occupied.add((r + dr, c + dc))
-            end = c + raw.colspan - 1
+            end = c + cs - 1
             if end > max_col:
                 max_col = end
-            c += raw.colspan
-    return cells, len(rows), max_col + 1
+            c += cs
+    return cells, n_rows, max_col + 1
 
 
 def _resolve_dittos(cells: List[Cell]) -> None:

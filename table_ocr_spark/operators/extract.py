@@ -141,8 +141,13 @@ def extract_pdf_documents(
 
 
 def host_of(url_col) -> F.Column:
-    """Host component of a url column (cheap regexp, codegen'd)."""
-    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
+    """Host component of a url column (cheap regexp, codegen'd). The
+    host ends at '/', '?', '#', or end-of-string — pathless homepage
+    urls and uppercase schemes are common in crawl data, and the old
+    trailing-'/' requirement mapped ALL of them to host '' (one
+    pseudo-host absorbing every host's homepages: exactly the
+    straggler-partition skew this helper exists to prevent)."""
+    return F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
 
 
 def salted_repartition(
@@ -227,6 +232,12 @@ def extract_documents(
     keep = tuple(
         c for c in (keep_columns or []) if c not in ("url", "html")
     )
+    clash = [c for c in keep if c in ("extracted_text", "cells", "n_tables")]
+    if clash:
+        raise ValueError(
+            f"keep_columns {clash} collide with the extraction output "
+            f"columns; rename them on the input first"
+        )
     df = pages.select("url", "html", *keep)
     # Extraction is map-only: by default the scan's split planning
     # (spark.sql.files.maxPartitionBytes) levels partitions and the
@@ -256,10 +267,15 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 def latest_capture(pages: DataFrame) -> DataFrame:
     """Latest capture per url (W3 pattern, SURVEY.md §2.5): dedup
-    re-crawled urls keeping max ``warc_ts``."""
+    re-crawled urls keeping max ``warc_ts``; equal-ts redeliveries
+    (at-least-once upstream) tie-break on the greatest html hash so
+    the survivor — and therefore downstream extracted text — is
+    byte-identical across runs and partitionings."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("url").orderBy(F.desc("warc_ts"))
+    w = W.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.xxhash64("html"))
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -35,8 +35,16 @@ LANG_ORDER = ["en", "de", "fr"]
 
 
 def tokens(col: Column) -> Column:
-    """Pinned tokenizer: split on \\s+, drop empty tokens."""
-    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    """Pinned tokenizer: split on \\s+, drop empty tokens. NULL text
+    tokenizes to the EMPTY array — pinned once HERE so every consumer
+    (stats, quality, lang-id, dedup kernels) agrees: without it a
+    NULL-text row yields all-NULL stats and a quality_pass that is
+    neither true nor false, silently vanishing from pass/fail
+    accounting (crawl corpora carry NULL text routinely)."""
+    return F.coalesce(
+        F.filter(F.split(col, r"\s+"), lambda w: w != ""),
+        F.array().cast("array<string>"),
+    )
 
 
 def stopword_hits(toks: Column, lang: str) -> Column:
@@ -58,7 +66,8 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     # split+filter once per reference against a raw expression
     toked = df.select(
         F.col(id_col),
-        F.col(text_col).alias("_t"),
+        # NULL text == empty text (same pin as tokens())
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
         tokens(F.col(text_col)).alias("_toks"),
     )
     toks = F.col("_toks")
@@ -128,7 +137,8 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     be auditable columns, not silent drops. Map-only, codegen'd."""
     toked = df.select(
         F.col(id_col),
-        F.col(text_col).alias("_t"),
+        # NULL text == empty text (same pin as tokens())
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
         tokens(F.col(text_col)).alias("_toks"),
     )
     n_tok = F.size("_toks").cast("long")

@@ -109,8 +109,8 @@ def build_training_corpus(
         )
         dirty = stats.filter(F.col("is_contaminated")).select("url")
         corpus = corpus.join(dirty, "url", "left_anti").cache()
-        n_contaminated = n_near - corpus.count() + 0
-        # (count forces the cache; contaminated = removed rows)
+        # the count also forces the cache; contaminated = removed rows
+        n_contaminated = n_near - corpus.count()
 
     n_after_sample = -1
     if sample_fraction is not None:

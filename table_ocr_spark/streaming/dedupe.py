@@ -11,11 +11,13 @@ state or it grows with the full url history. Two pinned operators:
   evicted, so state size is O(keys per horizon), not O(all urls ever).
   (Plain ``dropDuplicates`` on a stream never evicts — unusable at
   crawl scale; this is the survivable shape.)
-* :func:`dedup_stream_content` — the same, keyed by content hash
-  (``xxhash64`` of the pinned dedup normalization from
-  ``operators.dedup.normalized_text``) — the streaming analogue of
+* :func:`dedup_stream_content` — the same, keyed by the content
+  hash COMPOSITE ``(xxhash64, md5)`` of the pinned dedup normalization
+  (``operators.dedup.normalized_text``) — the streaming analogue of
   exact_dedup's hash path: byte-duplicate documents from DIFFERENT urls
-  within the horizon are dropped.
+  within the horizon are dropped. The 192-bit composite matters for the
+  same reason exact_dedup documents: a single 64-bit key WOULD collide
+  at crawl scale and silently drop non-duplicate documents.
 
 Both are append-mode-safe transformations: apply them between
 ``readStream`` and any sink; they compose with the incremental
@@ -50,15 +52,19 @@ def dedup_stream_content(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Drop byte-duplicate documents (same pinned-normalized text, any
-    url) within the watermark horizon. The state key is the 64-bit
-    content hash, never the text itself — state rows stay narrow."""
+    url) within the watermark horizon. The state key is the 192-bit
+    ``(xxhash64, md5)`` composite of the normalized text, never the
+    text itself — state rows stay narrow AND a cross-document collision
+    needs a simultaneous 64- and 128-bit collision (a single 64-bit key
+    would collide at crawl scale and silently drop real documents)."""
     from table_ocr_spark.operators.dedup import normalized_text
 
-    hashed = pages.withColumn(
-        "_content_key", F.xxhash64(normalized_text(F.col(text_col)))
+    norm = normalized_text(F.col(text_col))
+    hashed = pages.withColumn("_ck64", F.xxhash64(norm)).withColumn(
+        "_ck128", F.md5(norm)
     )
     return (
         hashed.withWatermark(ts, watermark)
-        .dropDuplicatesWithinWatermark(["_content_key"])
-        .drop("_content_key")
+        .dropDuplicatesWithinWatermark(["_ck64", "_ck128"])
+        .drop("_ck64", "_ck128")
     )

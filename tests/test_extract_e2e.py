@@ -180,3 +180,40 @@ def test_multipage_page_range_slice(spark):
     assert got[("doc:3", 2)] == "p2 body 3"
     assert ("doc:3", 3) not in got  # sliced away
     assert got[("doc:5", 1)] == "p1 body 5"
+
+
+def test_host_of_pathless_and_mixed_case(spark):
+    from table_ocr_spark.operators.extract import host_of
+
+    df = spark.createDataFrame(
+        [("https://example.com",), ("HTTP://Mixed.Example/x",),
+         ("https://a.example/p?q=1",), ("https://b.example?x=1",),
+         ("not a url",)],
+        "url string",
+    )
+    got = [r["h"] for r in df.select(host_of(F.col("url")).alias("h")).collect()]
+    assert got == ["example.com", "Mixed.Example", "a.example", "b.example", ""]
+
+
+def test_latest_capture_equal_ts_deterministic(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 5, 1)
+    rows = [("u", t, bytearray(b"<p>A</p>"), "", "en"),
+            ("u", t, bytearray(b"<p>B</p>"), "", "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    picks = set()
+    for df in (pages, pages.repartition(5), pages.repartition(1)):
+        out = latest_capture(df).collect()
+        assert len(out) == 1
+        picks.add(bytes(out[0]["html"]))
+    assert len(picks) == 1  # same survivor under any partitioning
+
+
+def test_keep_columns_collision_raises(spark, corpus):
+    path, *_ = corpus
+    pages = spark.read.parquet(path).withColumn("n_tables", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        extract_documents(pages, keep_columns=["n_tables"])

@@ -223,3 +223,27 @@ class TestRobustness:
         assert "after words" in r.text or r.text == "before"
         # deterministic either way:
         assert extract_html('<p a="x>y</p>').text == extract_html('<p a="x>y</p>').text
+
+    def test_adversarial_span_table_bounded(self):
+        # occupancy footprint budget: 200 cells x rowspan/colspan 1000
+        # declared over 200 rows must finish fast (untrusted HTML must
+        # never hang an executor core on the grid build)
+        import time
+
+        rows = "".join(
+            "<tr><td rowspan=1000 colspan=1000>x</td></tr>" for _ in range(200)
+        )
+        t0 = time.perf_counter()
+        r = extract_html("<table>" + rows + "</table>")
+        assert time.perf_counter() - t0 < 3.0
+        assert len(r.cells) == 200
+
+    def test_aria_and_data_span_attrs_ignored(self):
+        html = (
+            '<table><tr><td aria-colspan="3" data-rowspan="5">a</td>'
+            "<td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+        )
+        r = extract_html(html)
+        grid = {(c.row, c.col): (c.text, c.rowspan, c.colspan) for c in r.cells}
+        assert grid[(0, 0)] == ("a", 1, 1)  # aria-/data- are NOT spans
+        assert grid[(0, 1)][0] == "b" and grid[(1, 1)][0] == "d"

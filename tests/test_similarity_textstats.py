@@ -236,3 +236,25 @@ def test_hyperplane_label_free_and_null_vec_safe(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              hyperplane_near_dup_pairs(emb, threshold=0.99).collect()}
     assert pairs == {(1, 2)}  # exact dup found; NULL vec row ignored
+
+
+def test_textstats_null_text_pinned_zero_tokens(spark):
+    from table_ocr_spark.operators.textstats import (
+        gopher_quality,
+        lang_id,
+        token_stats,
+        unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat sat on the mat with a hat")],
+        "doc_id long, text string",
+    )
+    ts = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert ts[1]["n_tokens"] == 0 and ts[1]["quality_score"] is not None
+    gq = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert gq[1]["quality_pass"] is False  # fails length rule, not NULL
+    li = {r["doc_id"]: r for r in lang_id(df).collect()}
+    assert li[1]["lang_pred"] == "und" and li[2]["lang_pred"] == "en"
+    ul = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert ul[1]["n_tokens"] == 0 and ul[1]["avg_neg_logprob"] == 0.0
