@@ -1,9 +1,11 @@
 """Reusable JVM-side column expressions (no Python UDFs in here).
 
 Everything stays inside whole-stage codegen / higher-order functions:
-cosine similarity, word shingles, min-hash signatures, two-phase salted
-aggregation. These are the building blocks for the dedup / similarity /
-text-analysis operators (the training-data-pipeline surface).
+cosine similarity, pinned tokenization, two-phase salted aggregation.
+(The JVM-HOF shingle/minhash helpers that used to live here were dead
+code duplicating the pinned Arrow-kernel implementations in
+operators/dedup.py — two divergent "pinned" definitions invite oracle
+drift, so they were removed rather than kept as a trap.)
 """
 
 from __future__ import annotations
@@ -45,51 +47,6 @@ def words(col: str | Column) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda w: w != "")
 
 
-def word_shingles(words_col: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined). Empty when < k words."""
-    n = F.size(words_col)
-    idx = F.sequence(F.lit(0), n - k)  # inclusive; negative → CASE below
-    mk = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words_col, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
-
-
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> List[Column]:
-    """num_hashes independent min-hashes of a shingle set, via seeded
-    xxhash64 (seed mixed in as a literal column). JVM-side only.
-
-    NOTE: the per-seed lambda must be built by a factory with exactly
-    one parameter — a default-arg lambda (``lambda s, i=i``) would be
-    introspected by pyspark as a 2-arg (element, index) lambda and the
-    seed would silently become the array index.
-    """
-
-    def _hasher(seed: int):
-        def h(s: Column) -> Column:
-            return F.xxhash64(F.lit(seed), s)
-
-        return h
-
-    return [
-        F.array_min(F.transform(shingles, _hasher(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-
-
-def band_keys(sig_cols: Sequence[str], rows_per_band: int = 2) -> List[Column]:
-    """LSH band bucket keys: hash of each consecutive group of
-    ``rows_per_band`` signature components."""
-    out = []
-    for b in range(0, len(sig_cols), rows_per_band):
-        group = [F.col(c) for c in sig_cols[b : b + rows_per_band]]
-        out.append(F.xxhash64(F.lit(b), *group).alias(f"band_{b // rows_per_band}"))
-    return out
-
-
 def salted_agg(
     df: DataFrame,
     key: str,
@@ -114,7 +71,10 @@ def salted_agg(
         if kind == "sum":
             partial_aggs.append(F.sum(col).alias(f"_p_{name}"))
         elif kind == "count":
-            partial_aggs.append(F.count(F.lit(1)).alias(f"_p_{name}"))
+            # honor the supplied column: count(col) is the NON-NULL
+            # count (count(lit(1)) would silently count all rows even
+            # when the caller asked to count a nullable column)
+            partial_aggs.append(F.count(col).alias(f"_p_{name}"))
         else:
             raise ValueError(kind)
         final_aggs.append(F.sum(f"_p_{name}").alias(name))

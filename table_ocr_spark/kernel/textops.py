@@ -147,8 +147,13 @@ def parse_markdown_table(text: str) -> List[Dict[str, str]]:
             continue
         if _SEP_ROW.match(line):
             continue
-        inner = line.strip("|")
-        cells = [c.strip() for c in _CELL_SPLIT.split(inner.strip())]
+        # strip ONE delimiter pipe per side: strip("|") removes ALL
+        # of them, deleting a genuinely empty first/last cell (`||x|`)
+        # and shifting every value under the wrong header
+        inner = line[1:]
+        if inner.endswith("|"):
+            inner = inner[:-1]
+        cells = [c.strip() for c in _CELL_SPLIT.split(inner)]
         rows.append(cells)
     if not rows:
         return []

@@ -38,10 +38,29 @@ def _vote(
     ambiguous: bool,
 ) -> DataFrame:
     """Mode + agreement per column per group, deterministic tie-break."""
-    # unpivot value columns (stack keeps nulls; unpivot API may not)
+    # unpivot value columns (stack keeps nulls; unpivot API may not).
+    # Column names flow in from user table headers, so they are escaped
+    # for BOTH contexts they land in: the string literal (backslash +
+    # quote) and the backquoted identifier (backtick doubling) — an
+    # unescaped quote would be a ParseException or, crafted, a
+    # different expression.
+    def _lit(c: str) -> str:
+        return c.replace("\\", "\\\\").replace("'", "\\'")
+
+    bad = [c for c in value_cols if "`" in c]
+    if bad:
+        # a clear error at the API boundary beats an AnalysisException
+        # deep in the plan: backticks cannot be referenced unambiguously
+        # through the downstream F.col() pivots
+        raise ValueError(
+            f"value column names may not contain backticks: {bad}; "
+            f"rename them before voting"
+        )
     stack_expr = "stack({n}, {pairs}) as (_col, _val)".format(
         n=len(value_cols),
-        pairs=", ".join(f"'{c}', cast(`{c}` as string)" for c in value_cols),
+        pairs=", ".join(
+            f"'{_lit(c)}', cast(`{c}` as string)" for c in value_cols
+        ),
     )
     long = df.select(*keys, F.expr(stack_expr))
 

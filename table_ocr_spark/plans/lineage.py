@@ -65,6 +65,18 @@ def _lineage_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
+def _extracted_schema() -> T.StructType:
+    """Schema of the written data dir (extraction output + the bucket
+    partition column) — pinned so stats read-back never depends on
+    inference over possibly part-less directories."""
+    from table_ocr_spark.operators.extract import EXTRACT_SCHEMA
+
+    return T.StructType(
+        list(EXTRACT_SCHEMA.fields)
+        + [T.StructField("bucket", T.IntegerType())]
+    )
+
+
 def _data_path(out_dir: str) -> str:
     return os.path.join(out_dir, "data")
 
@@ -97,8 +109,32 @@ def run_pipeline(
     bucket) with lineage rows in ``{out_dir}/_lineage``. Restartable:
     call again with the same ``out_dir`` and only pending buckets run.
     """
+    # dynamic partition overwrite is scoped to THIS call: the prior
+    # session value is restored on exit, so unrelated writes keep the
+    # static-overwrite semantics they were written against
+    _prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    try:
+        return _run_pipeline_inner(
+            spark, pages, out_dir, run_id, num_buckets, wave_size,
+            fail_after_wave,
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _prev_mode)
+
+
+def _run_pipeline_inner(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int,
+    wave_size: int,
+    fail_after_wave: Optional[int],
+) -> RunReport:
     done = set(completed_buckets(spark, out_dir))
     pending = [b for b in range(num_buckets) if b not in done]
 
@@ -130,8 +166,11 @@ def run_pipeline(
             _data_path(out_dir)
         )
         # terminal lineage rows: rows_out + order-insensitive checksum
+        # schema-pinned read: a wave whose buckets hold zero urls
+        # writes only _SUCCESS, and schema INFERENCE on a part-less dir
+        # raises — with the explicit schema it reads as empty instead
         stats = (
-            spark.read.parquet(_data_path(out_dir))
+            spark.read.schema(_extracted_schema()).parquet(_data_path(out_dir))
             .filter(F.col("bucket").isin(wave))
             .groupBy("bucket")
             .agg(

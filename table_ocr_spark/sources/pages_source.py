@@ -46,7 +46,13 @@ def write_extracted(df: DataFrame, path_or_table: str, mode: str = "append") -> 
     monotonic run counter for free; the parquet fallback relies on the
     lineage table for idempotence (plans/lineage.py)."""
     if path_or_table.startswith("iceberg:"):
-        df.writeTo(path_or_table[len("iceberg:"):]).append()
+        writer = df.writeTo(path_or_table[len("iceberg:"):])
+        if mode == "append":
+            writer.append()
+        elif mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            raise ValueError(f"unsupported mode for iceberg: {mode!r}")
         return
     df.write.mode(mode).parquet(path_or_table)
 

@@ -57,6 +57,8 @@ def _make_fn(gap_us: int):
         ts = pd.concat(parts).sort_values() if parts else pd.Series([], dtype="datetime64[ns]")
         closed = []
         for t in ts:
+            if pd.isna(t):
+                continue  # null ts carries no order information: dropped
             us = t.value // 1000  # pandas ns -> us
             if start is None:
                 start, last, cnt = us, us, 1
@@ -64,7 +66,15 @@ def _make_fn(gap_us: int):
                 closed.append((user_id, start, last, cnt))
                 start, last, cnt = us, us, 1
             else:
-                last = us
+                # a LATE event (us <= last, possible across micro-batches
+                # — the stream carries no watermark) folds into the open
+                # session WITHOUT regressing `last` (which would corrupt
+                # the span and prematurely close on the next on-time
+                # event) and may extend the session start backwards
+                if us > last:
+                    last = us
+                if us < start:
+                    start = us
                 cnt += 1
         if start is not None:
             state.update((int(start), int(last), int(cnt)))

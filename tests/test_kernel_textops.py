@@ -134,3 +134,12 @@ def test_fence_strip_python_jvm_parity_fuzz(spark):
     jvm = [r["o"] for r in df.select(strip_fences_col(F.col("s")).alias("o")).collect()]
     for c, j in zip(cases, jvm):
         assert strip_json_codeblock(c) == j, repr(c)
+
+
+def test_markdown_empty_edge_cells_preserved():
+    # `||x|` = empty first cell; strip("|") used to delete it and shift
+    # every value under the wrong header
+    rows = parse_markdown_table("|k|v|\n|---|---|\n||x|")
+    assert rows == [{"k": "", "v": "x"}]
+    rows2 = parse_markdown_table("|k|v|\n|---|---|\n|x||")
+    assert rows2 == [{"k": "x", "v": ""}]

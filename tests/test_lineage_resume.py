@@ -73,3 +73,35 @@ def test_next_run_id(spark, pages_path, tmp_path):
     pages = spark.read.parquet(pages_path)
     run_pipeline(spark, pages, out, run_id="run1", num_buckets=4, wave_size=4)
     assert next_run_id(spark, out) == "run2"
+
+
+def test_empty_first_wave_sparse_corpus(spark, tmp_path):
+    # a fresh out_dir whose first wave holds zero urls used to crash the
+    # stats read-back with 'Unable to infer schema' (data dir containing
+    # only _SUCCESS); the schema-pinned read treats it as empty
+    from table_ocr_spark.api import get_run_state
+    from table_ocr_spark.datagen.pages import generate_pages
+
+    pages, _ = generate_pages(n_docs=12, seed=77)
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    # force a sparse bucket layout: many buckets, few docs
+    rep = run_pipeline(spark, df, str(tmp_path / "sparse"), num_buckets=64,
+                       wave_size=4)
+    assert rep.buckets_processed == 64
+    assert rep.rows_out == 12
+    state = get_run_state(spark, str(tmp_path / "sparse"), num_buckets=64)
+    assert state.state == "SUCCEEDED"
+
+
+def test_run_pipeline_restores_overwrite_mode(spark, tmp_path):
+    from table_ocr_spark.datagen.pages import generate_pages
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    pages, _ = generate_pages(n_docs=8, seed=3)
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    run_pipeline(spark, df, str(tmp_path / "mode"), num_buckets=4, wave_size=4)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev

@@ -193,3 +193,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # u2's text normalizes to u1's; only one of {u1,u2} survives + u3
     urls = sorted(r["url"] for r in by_content)
     assert len(urls) == 2 and "u3" in urls and ("u1" in urls or "u2" in urls)
+
+
+def test_streaming_sessionize_late_and_null_events(spark, tmp_path):
+    import datetime as dt
+
+    from table_ocr_spark.streaming.sessionize import streaming_sessionize
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write(name, rows):
+        _write_events(str(src / name), rows)
+
+    # batch 1: on-time event at 10:00; batch 2: LATE event at 09:50 and
+    # a null ts; batch 3: event at 10:45 (> 30min after 10:00) closes
+    write("a.parquet", [(1, t0)])
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    write("b.parquet", [(1, t0 - dt.timedelta(minutes=10)), (1, None)])
+    run_once()
+    write("c.parquet", [(1, t0 + dt.timedelta(minutes=45))])
+    run_once()
+
+    rows = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # late event extended the session BACKWARDS; last never regressed,
+    # so the 10:45 event correctly closed it; null ts dropped
+    assert r["session_start"] == t0 - dt.timedelta(minutes=10)
+    assert r["session_end"] == t0
+    assert r["n_events"] == 2

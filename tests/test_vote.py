@@ -102,3 +102,22 @@ def test_vote_nulls_votable(spark):
     out = sample_majority_vote(df, ["k"]).collect()
     assert out[0]["val"] is None
     assert out[0]["val_agreement"] == pytest.approx(2 / 3)
+
+
+def test_vote_column_names_with_quotes_and_backticks(spark):
+    # quotes in header names (routine in OCR'd tables) must work; a
+    # backtick gets a clear API-boundary error, not a ParseException
+    # deep in the plan
+    df = spark.createDataFrame(
+        [(1, 1, "x", "y"), (1, 2, "x", "y"), (1, 3, "x", "z")],
+        ["doc_id", "sample", "qty's", "n items"],
+    )
+    out = sample_majority_vote(df, group_by_cols=["doc_id"])
+    r = out.collect()[0]
+    assert r["qty's"] == "x" and r["n items"] == "y"
+
+    bad = spark.createDataFrame(
+        [(1, 1, "x")], ["doc_id", "sample", "a`b"]
+    )
+    with pytest.raises(ValueError, match="backtick"):
+        sample_majority_vote(bad, group_by_cols=["doc_id"]).collect()
