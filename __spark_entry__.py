@@ -667,11 +667,17 @@ def _fake_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from table_ocr_spark.operators.docpages import documents_as_fake_pdfs
 
-    key = os.path.abspath(sf_dir)
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
-    path = _FAKE_PDF_CACHE.setdefault(
-        key, os.path.join(tempfile.gettempdir(), f"tos_fakepdf_{tag}")
-    )
+    # cache key fingerprints the INPUT (path + documents.parquet mtime
+    # and size), so a regenerated testdata dir gets a fresh cache
+    # instead of stale payloads masquerading as the new corpus
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = src
+    tag = hashlib.md5(fp.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"tos_fakepdf_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pdfs = documents_as_fake_pdfs(_read_par(spark, sf_dir, "documents"))
         pdfs.write.mode("overwrite").parquet(path)
@@ -941,6 +947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
+#
+# NULL-semantics caveat: the driver's parquet tables carry no NULL text/
+# embeddings, so these SQL strings do not replicate the operators'
+# pinned NULL handling (tokens(NULL) -> [], normalized_text(NULL) -> '',
+# NULL vec -> no candidates). Those pins are covered by dedicated pytest
+# regressions (test_dedup / test_similarity_textstats /
+# test_multimodal); an oracle corpus WITH nulls would need COALESCE
+# mirrored into each affected SQL string.
 # ---------------------------------------------------------------------------
 
 _TOKS = r"list_filter(str_split_regex(text, '\s+'), w -> w <> '')"

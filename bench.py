@@ -96,14 +96,16 @@ def _mk_session(cpus: int):
         shuffle_partitions=max(cpus, 8),
         # the bench corpus html rows are ~1KB (vs ~100KB real crawl); at
         # the default 128MB split size the whole corpus collapses into
-        # 2-3 scan tasks and the shuffle-map side serializes. 8MB keeps
-        # the scan as parallel as the kernel stage, the same ratio a
+        # 2-3 scan tasks and the shuffle-map side serializes. 2MB keeps
+        # the scan as parallel as the kernel stage, roughly the ratio a
         # 128MB split gives real-sized documents.
         extra_conf={"spark.sql.files.maxPartitionBytes": "2m"},
     )
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as em
 
     qs = em.queries()
@@ -286,7 +288,10 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
     target_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "250000"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    import re as _re
+
+    _m = _re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
+    sf = float(_m.group(1)) if _m else 0.0
 
     work = tempfile.mkdtemp(prefix="tos_bench_")
     scaling: dict = {}
@@ -371,13 +376,13 @@ def _write_bench_md(result: dict) -> None:
             "north_rule).",
             "",
             "The 8→32 pair is additionally reported but is capped by the "
-            "sandbox VM itself: a pure-Python multiprocessing probe "
-            "(best-of-3, fixed per-proc work) delivers 2/4/8 procs at "
-            "~100% of nominal but only ~23.7 effective cores at 32 procs "
-            "(~74%), so ~0.74 is the ceiling for ANY perfectly-scaling "
-            "job on this host at 8→32. The 2→8 pair runs entirely inside "
-            "the region where the host provides nominal capacity and is "
-            "therefore the faithful N→4N evidence.",
+            "host itself: the in-band multiprocessing probes above "
+            f"measured {s.get('host_effective_cores_at_32', [])} effective "
+            "cores at 32 procs during these rounds (~24/32 even on an "
+            "unloaded VM), so ANY perfectly-scaling job reads below 1.0 "
+            "at 8→32 here. The 2→8 pair runs entirely inside the region "
+            "where the host provides nominal capacity and is therefore "
+            "the faithful N→4N evidence.",
             "",
             "Executor-level evidence (real standalone cluster, separate "
             "master/worker/executor JVMs): see BASELINE.md — 2→8 "

@@ -23,11 +23,16 @@ TABLES = [
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # a missing table only matters if an oracle references it —
+        # fail there, not at startup
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
     return con
 
 
@@ -75,6 +80,7 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # a typo'd query name must NOT yield a vacuous green gate
 
     import __spark_entry__ as entrymod
     from table_ocr_spark.session import get_spark
@@ -83,6 +89,11 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 2
 
     failed = []
     for name, fn in qs.items():

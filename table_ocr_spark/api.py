@@ -81,10 +81,22 @@ class RunState:
 
 
 def get_run_state(
-    spark: SparkSession, out_dir: str, num_buckets: int = 64
+    spark: SparkSession, out_dir: str, num_buckets: int | None = None
 ) -> RunState:
     """≙ ``get_job_state`` (``table_ocr/batch.py:204-218``): derive the
-    lifecycle state from the lineage table instead of a remote API."""
+    lifecycle state from the lineage table instead of a remote API.
+    The bucket total comes from the run's persisted metadata — a
+    caller-supplied ``num_buckets`` that disagrees with the run's real
+    bucketing would report SUCCEEDED early or RUNNING forever; the
+    parameter remains only as a fallback for runs predating the
+    metadata."""
+    from table_ocr_spark.plans.lineage import read_run_meta
+
+    persisted = read_run_meta(spark, out_dir)
+    if persisted is not None:
+        num_buckets = persisted
+    elif num_buckets is None:
+        num_buckets = 64
     done = completed_buckets(spark, out_dir)
     if not done:
         return RunState("PENDING", 0, num_buckets)

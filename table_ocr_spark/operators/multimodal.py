@@ -79,7 +79,13 @@ def image_metadata(images: DataFrame) -> DataFrame:
                     rows.append((url, None, None, None, None))
                     continue
                 b = bytes(payload)
-                w, h, mean = _decode_image(b)
+                try:
+                    w, h, mean = _decode_image(b)
+                except (struct.error, IndexError):
+                    # truncated/malformed payload: degrade per-row, same
+                    # pin as NULL — one bad row must not fail the stage
+                    rows.append((url, _sniff_mime(b), None, None, None))
+                    continue
                 rows.append((url, _sniff_mime(b), w, h, mean))
             yield pd.DataFrame(
                 rows, columns=["url", "mime", "width", "height", "gray_mean"]
@@ -118,7 +124,11 @@ def resize_images(images: DataFrame, max_dim: int = 256) -> DataFrame:
                     rows.append((url, None, None, None))
                     continue
                 b = bytes(payload)
-                w, h, mean = _decode_image(b)
+                try:
+                    w, h, mean = _decode_image(b)
+                except (struct.error, IndexError):
+                    rows.append((url, None, None, None))
+                    continue
                 scale = min(1.0, max_dim / max(w, h, 1))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 rows.append((url, _encode_fake(nw, nh, mean), nw, nh))
@@ -162,15 +172,18 @@ def sample_frames(videos: DataFrame, every_nth: int = 2) -> DataFrame:
                     continue
                 b = bytes(payload)
                 if b.startswith(_FAKE_VIDEO_MAGIC):
-                    (n,) = struct.unpack("<H", b[7:9])
-                    off = 9
-                    for i in range(n):
-                        (ln,) = struct.unpack("<I", b[off : off + 4])
-                        off += 4
-                        frame = b[off : off + ln]
-                        off += ln
-                        if i % every_nth == 0:
-                            rows.append((url, i, frame))
+                    try:
+                        (n,) = struct.unpack("<H", b[7:9])
+                        off = 9
+                        for i in range(n):
+                            (ln,) = struct.unpack("<I", b[off : off + 4])
+                            off += 4
+                            frame = b[off : off + ln]
+                            off += ln
+                            if i % every_nth == 0:
+                                rows.append((url, i, frame))
+                    except struct.error:
+                        pass  # truncated container: keep frames read so far
                     continue
                 # real branch (tests/test_real_codecs.py via importorskip;
                 # pyav absent in this container): frame payload contract

@@ -77,6 +77,23 @@ def _extracted_schema() -> T.StructType:
     )
 
 
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_meta")
+
+
+def read_run_meta(spark: SparkSession, out_dir: str) -> Optional[int]:
+    """The run's pinned ``num_buckets`` (written once on first run;
+    FS-agnostic tiny parquet). None when the run predates the metadata
+    or nothing has run yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(_meta_path(out_dir)).collect()
+    except AnalysisException:
+        return None
+    return int(rows[0]["num_buckets"]) if rows else None
+
+
 def _data_path(out_dir: str) -> str:
     return os.path.join(out_dir, "data")
 
@@ -135,6 +152,19 @@ def _run_pipeline_inner(
     wave_size: int,
     fail_after_wave: Optional[int],
 ) -> RunReport:
+    # num_buckets is PINNED to the run: resuming with a different
+    # bucketing would mis-route urls across the done/pending split
+    existing = read_run_meta(spark, out_dir)
+    if existing is None:
+        spark.createDataFrame(
+            [(num_buckets,)], "num_buckets int"
+        ).write.mode("ignore").parquet(_meta_path(out_dir))
+    elif existing != num_buckets:
+        raise ValueError(
+            f"out_dir was created with num_buckets={existing}; resuming "
+            f"with {num_buckets} would mis-route buckets"
+        )
+
     done = set(completed_buckets(spark, out_dir))
     pending = [b for b in range(num_buckets) if b not in done]
 

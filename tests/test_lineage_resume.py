@@ -105,3 +105,27 @@ def test_run_pipeline_restores_overwrite_mode(spark, tmp_path):
     )
     run_pipeline(spark, df, str(tmp_path / "mode"), num_buckets=4, wave_size=4)
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
+
+
+def test_run_meta_pins_num_buckets(spark, tmp_path):
+    import pytest
+
+    from table_ocr_spark.api import get_run_state
+    from table_ocr_spark.datagen.pages import generate_pages
+    from table_ocr_spark.plans.lineage import read_run_meta
+
+    pages, _ = generate_pages(n_docs=10, seed=9)
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    out = str(tmp_path / "meta_run")
+    run_pipeline(spark, df, out, num_buckets=8, wave_size=8)
+    assert read_run_meta(spark, out) == 8
+    # state derives from the persisted bucketing, not the caller guess
+    st = get_run_state(spark, out)  # no num_buckets passed
+    assert st.state == "SUCCEEDED" and st.buckets_total == 8
+    st_wrong = get_run_state(spark, out, num_buckets=128)
+    assert st_wrong.buckets_total == 8  # persisted meta wins
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        run_pipeline(spark, df, out, num_buckets=16, wave_size=8)

@@ -71,3 +71,28 @@ def test_null_payloads_do_not_crash(spark):
     rs = resize_images(imgs).collect()
     assert len(rs) == 1 and rs[0]["payload"] is None
     assert sample_frames(imgs).count() == 0
+
+
+def test_malformed_payloads_degrade_per_row(spark):
+    from table_ocr_spark.operators.multimodal import (
+        encode_fake_video,
+        image_metadata,
+        sample_frames,
+    )
+
+    imgs = spark.createDataFrame(
+        [("trunc", bytearray(b"FAKEIMG")),        # header only
+         ("ok", bytearray(b"FAKEIMG" + b"\x10\x00\x08\x00" + b"\x00\x00\x00\x00"))],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in image_metadata(imgs).collect()}
+    assert rows["trunc"]["width"] is None          # degraded, not crashed
+    assert rows["ok"]["width"] == 16
+
+    # FAKEVID declaring more frames than present: keeps what's readable
+    good_frame = b"FAKEIMG" + b"\x10\x00\x08\x00" + b"\x00\x00\x00\x00"
+    payload = bytearray(encode_fake_video([good_frame])[:-2])  # truncate
+    vids = spark.createDataFrame(
+        [("v", payload)], "url string, payload binary"
+    )
+    assert sample_frames(vids, every_nth=1).count() in (0, 1)  # no crash
