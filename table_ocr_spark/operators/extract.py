@@ -94,7 +94,20 @@ def _kernel_batches(kernel: str, passthrough: tuple = (), pdf_config=None):
                     cells_col.append([])
                     n_tables.append(0)
                     continue
-                r = extract(p)
+                try:
+                    r = extract(p)
+                except NotImplementedError:
+                    # missing CAPABILITY (e.g. real-PDF decode without
+                    # PyMuPDF) is a deployment error — surface it
+                    raise
+                except Exception:
+                    # a malformed payload (truncated FAKEPDF container,
+                    # corrupt spans) degrades to an empty row: one
+                    # poison document must not kill a 4-hour stage
+                    texts.append("")
+                    cells_col.append([])
+                    n_tables.append(0)
+                    continue
                 texts.append(r.text)
                 cells_col.append(r.cells_as_dicts())
                 n_tables.append(r.n_tables)

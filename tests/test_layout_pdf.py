@@ -152,3 +152,32 @@ def test_spark_pdf_pipeline_with_page_config(spark):
         pdfs, page_config=PageConfig(crop_right=0.10)
     ).collect()
     assert len(out) == 1 and "|" not in out[0]["extracted_text"]
+
+
+def test_corrupt_fakepdf_degrades_per_row_in_spark(spark):
+    # a malformed container must not fail the stage; a missing-capability
+    # payload (real PDF without PyMuPDF) must still surface clearly
+    from table_ocr_spark.operators.extract import extract_pdf_documents
+
+    good = encode_fake_pdf([para_spans(PARA)])
+    rows = [
+        ("good", bytearray(good)),
+        ("corrupt", bytearray(b"FAKEPDF{not valid json")),
+    ]
+    pdfs = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in extract_pdf_documents(pdfs).collect()}
+    assert got["good"]["extracted_text"] != ""
+    assert got["corrupt"]["extracted_text"] == ""
+    assert got["corrupt"]["n_tables"] == 0
+
+    try:
+        import fitz  # noqa: F401
+        has_fitz = True
+    except ImportError:
+        has_fitz = False
+    if not has_fitz:
+        real = spark.createDataFrame(
+            [("r", bytearray(b"%PDF-1.4 pretend"))], "url string, payload binary"
+        )
+        with pytest.raises(Exception, match="PyMuPDF|NotImplemented"):
+            extract_pdf_documents(real).collect()
