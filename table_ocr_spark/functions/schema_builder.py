@@ -144,6 +144,7 @@ def encode_results_payload(
     page_col: str = "page",
     sample_col: str = "sample",
     domain: Optional[DataFrame] = None,
+    max_span: int = 10_000,
 ) -> DataFrame:
     """Inverse of :func:`decode_table_payload` — re-serialize typed rows
     into the reference's persisted result structure
@@ -169,6 +170,15 @@ def encode_results_payload(
     the decoded rows alone (the producer's index base — 0 or 1 — is
     not derivable either, which is why the default deliberately spans
     only the observed range instead of assuming a zero origin).
+
+    ``max_span`` bounds the default densify domain: page and sample
+    indices come from UNTRUSTED decoded payloads, and one corrupt huge
+    index would make ``sequence(min..max)`` materialize millions of
+    filler slots (or exceed Spark's array-element limit and fail the
+    stage with no culprit named). A span wider than ``max_span`` fails
+    fast naming the offending url (distributed check — no extra driver
+    action). Real documents are thousands of pages at most; raise the
+    bound deliberately if yours are wider.
     """
     row_struct = F.struct(
         F.col("row_index"), *[F.col(f.name) for f in fields]
@@ -199,6 +209,33 @@ def encode_results_payload(
             F.max(page_col).alias("_p1"),
             F.min(sample_col).alias("_s0"),
             F.max(sample_col).alias("_s1"),
+        )
+        # span guard BEFORE the explode: the guard is woven into a
+        # column the sequence() actually consumes (_p0), so Catalyst
+        # cannot prune it away; raise_error names the offending url
+        span_bad = (
+            (F.col("_p1") - F.col("_p0") >= max_span)
+            | (F.col("_s1") - F.col("_s0") >= max_span)
+        )
+        guarded_p0 = F.when(
+            ~span_bad, F.col("_p0")
+        ).otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    "",
+                    F.lit(
+                        "encode_results_payload: page/sample index span "
+                        f"exceeds max_span={max_span} for url="
+                    ),
+                    F.col(url_col),
+                    F.lit(" (corrupt index in decoded payload? raise "
+                          "max_span only if the document is really "
+                          "this wide)"),
+                )
+            )
+        )
+        bounds = bounds.select(
+            url_col, guarded_p0.alias("_p0"), "_p1", "_s0", "_s1"
         )
         domain = bounds.select(
             url_col,

@@ -27,6 +27,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _orderable(dt) -> bool:
+    """True iff Spark can ORDER BY a column of this type (maps are the
+    unorderable case; arrays/structs inherit from their elements)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -37,7 +51,15 @@ def asof_join(
 ) -> DataFrame:
     """Inner as-of join (left rows without any prior right row drop,
     matching DuckDB ``ASOF JOIN``). ``right_cols`` are the right-side
-    payload columns to carry (default: all but key/ts)."""
+    payload columns to carry (default: all but key/ts).
+
+    Unorderable payload types (maps, and arrays/structs containing
+    maps) are carried in the matched-row struct but EXCLUDED from the
+    deterministic tie-break sort key — ordering by them would raise
+    AnalysisException. Consequence: two right rows sharing (key, ts)
+    AND identical on every orderable payload column but differing only
+    in a map column are tie-broken arbitrarily; all other ties stay
+    pinned."""
     if right_cols is None:  # explicit [] means 'carry only ts'
         right_cols = [c for c in right.columns if c not in (on, ts)]
     l_tag = left.withColumn("_side", F.lit(1))
@@ -62,13 +84,22 @@ def asof_join(
     )
     # ordering is PINNED three-deep: right rows sort before left at
     # equal ts (side 0 < 1 => '<=' semantics), and among right rows
-    # sharing (key, ts) the greatest payload struct wins — without the
-    # third key the matched row would depend on shuffle order
-    # (nondeterministic output). Left rows all carry a NULL payload, so
-    # the third key never reorders them relative to each other.
+    # sharing (key, ts) the greatest ORDERABLE-payload struct wins —
+    # without the third key the matched row would depend on shuffle
+    # order (nondeterministic output). Left rows all carry a NULL
+    # tie-break struct, so the third key never reorders them relative
+    # to each other. The tie-break struct contains only orderable
+    # columns (a map-typed payload column in ORDER BY raises
+    # AnalysisException); the carried payload struct keeps every column.
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    tie_cols = [c for c in right_cols if _orderable(rtypes[c])]
+    tiebreak = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col(ts).alias("_ts"), *[F.col(c) for c in tie_cols]),
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), payload.asc())
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), tiebreak.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(

@@ -4,13 +4,13 @@ a training document sharing enough long n-grams with a benchmark doc
 leaks the benchmark into training).
 
 Plan shape at 10^12 docs: the benchmark side is tiny relative to the
-corpus, so its DISTINCT shingles form the small side; corpus shingles
-left-semi-join against it, then one count per doc. The corpus side
-shuffles only (doc_id, shingle-hit) pairs that actually match — with a
-clean corpus that is ~zero rows; the full shingle stream never crosses
-an exchange unmatched (semi-join prunes at the join). Shingle
-construction reuses the pinned ``_mk_shingles`` definition (same as the
-dedup oracle SQL).
+corpus (eval sets are thousands-to-millions of docs, distinct-deduped
+here), so its shingles are BROADCAST — the membership test happens
+map-side inside the scan stage and the corpus shingle stream never
+crosses an exchange at all; the only shuffle is the per-doc count
+aggregate, map-side combined down to one row per document. Shingle
+construction reuses the pinned ``_mk_shingles`` definition (same as
+the dedup oracle SQL).
 """
 
 from __future__ import annotations
@@ -30,13 +30,25 @@ def contamination_stats(
     k: int = 5,
     threshold: float = 0.2,
     bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per corpus document: total distinct k-shingles, how many also
     occur anywhere in the benchmark set, the overlap fraction, and the
     ``is_contaminated`` flag (fraction >= threshold; docs with fewer
     than k tokens have zero shingles and are never flagged). The
     benchmark frame only needs its text column (``bench_text_col``,
-    default = ``text_col``) — its id plays no role in the overlap."""
+    default = ``text_col``) — its id plays no role in the overlap.
+
+    ``broadcast_bench`` (default True) pins the join strategy to a
+    broadcast-hash join: a left OUTER join cannot be pruned by a
+    semi-join or Bloom runtime filter (every corpus row must survive),
+    so if the benchmark side ever exceeded the auto-broadcast
+    threshold the whole corpus shingle stream would shuffle on the
+    shingle key, skewed on stop-shingles. Eval sets are tiny by
+    construction; forcing the broadcast keeps the corpus side
+    exchange-free regardless of the threshold config. Set False only
+    for a benchmark too large for executor memory — and then expect
+    the corpus-wide shuffle this docstring warns about."""
     bench_text_col = bench_text_col or text_col
     corpus_sets = shingle_sets(corpus, text_col, id_col, k)
     bench_shingles = (
@@ -49,11 +61,12 @@ def contamination_stats(
     )
     # ONE pass over the corpus shingle stream: explode_outer keeps
     # zero-shingle docs (null sh never matches -> 0 hits), the tagged
-    # left join marks benchmark membership, and a single map-side-
-    # combining aggregate produces sizes + hit counts together (a
-    # semi-join-then-regroup shape re-ran the shingle UDF for the
-    # separate sizes branch). Spark's runtime Bloom-filter join
-    # handles a benchmark too large to broadcast.
+    # broadcast left join marks benchmark membership map-side, and a
+    # single map-side-combining aggregate produces sizes + hit counts
+    # together (a semi-join-then-regroup shape re-ran the shingle UDF
+    # for the separate sizes branch).
+    if broadcast_bench:
+        bench_shingles = F.broadcast(bench_shingles)
     ex = corpus_sets.select(
         "id",
         F.size("shingles").cast("long").alias("n_shingles"),

@@ -554,6 +554,16 @@ def duplicate_span_stats(
     is cached; the final left join re-derives only the narrow
     (id, n_tokens) side (one extra JVM tokenize — recompute beats a
     token-scale cache at crawl size).
+
+    Exchange width: the k-gram STRING (k=5 tokens, ~30-60 bytes) is
+    projected away map-side; both gram exchanges carry
+    ``xxhash64(gram)`` (8 bytes) instead — the ``exact_dedup`` /
+    ``unigram_logprob`` narrowing. A 64-bit collision can mark a rare
+    gram's position as covered because it collided with a hot gram's
+    hash; for a coverage STATISTIC that is one spurious k-token span
+    per ~2^64/corpus_grams documents — accepted tolerance, documented
+    here (use the 192-bit composite recipe from exact_dedup if a
+    consumer deletes text based on spans).
     """
     from pyspark.sql import Window
 
@@ -568,8 +578,8 @@ def duplicate_span_stats(
         F.col(id_col).alias("id"),
         F.posexplode(
             _gram_seq_udf(k)(tokens(F.col(text_col)))
-        ).alias("pos", "gram"),
-    )
+        ).alias("pos", "_g"),
+    ).select("id", "pos", F.xxhash64("_g").alias("gram"))
     hot = (
         ex.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_n"))

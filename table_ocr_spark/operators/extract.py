@@ -46,8 +46,23 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("extracted_text", T.StringType()),
         T.StructField("cells", T.ArrayType(CELL_STRUCT)),
         T.StructField("n_tables", T.IntegerType()),
+        # True when the payload was malformed and the kernel degraded
+        # this row to an empty extraction (auditable per-row; roll up
+        # with sum(cast(degraded as long)) — lineage records it per
+        # bucket). NULL-html rows are NOT degraded: absent payload is
+        # a normal crawl condition, not a parse failure.
+        T.StructField("degraded", T.BooleanType()),
     ]
 )
+
+# Parse failures that degrade one row instead of killing the stage.
+# Deliberately NARROW: a kernel regression (TypeError/AttributeError),
+# MemoryError, or a missing capability (NotImplementedError) must
+# surface — converting those to silent empty rows would let the
+# lineage checksum record a broken corpus as successfully processed.
+import struct as _struct  # noqa: E402  (stdlib, used for error type only)
+
+DEGRADABLE_ERRORS = (ValueError, IndexError, KeyError, EOFError, _struct.error)
 
 _PA_CELL = pa.struct(
     [
@@ -88,36 +103,41 @@ def _kernel_batches(kernel: str, passthrough: tuple = (), pdf_config=None):
             texts: List[str] = []
             cells_col: List[List[dict]] = []
             n_tables: List[int] = []
+            degraded: List[bool] = []
             for p in payloads:
                 if p is None:
                     texts.append("")
                     cells_col.append([])
                     n_tables.append(0)
+                    degraded.append(False)  # absent payload != parse failure
                     continue
                 try:
                     r = extract(p)
-                except NotImplementedError:
-                    # missing CAPABILITY (e.g. real-PDF decode without
-                    # PyMuPDF) is a deployment error — surface it
-                    raise
-                except Exception:
+                except DEGRADABLE_ERRORS:
                     # a malformed payload (truncated FAKEPDF container,
-                    # corrupt spans) degrades to an empty row: one
-                    # poison document must not kill a 4-hour stage
+                    # corrupt spans) degrades to an empty row, FLAGGED:
+                    # one poison document must not kill a 4-hour stage,
+                    # but the degradation is accounted per row. Anything
+                    # outside DEGRADABLE_ERRORS (kernel regression,
+                    # MemoryError, NotImplementedError capability gap)
+                    # propagates and fails the stage loudly.
                     texts.append("")
                     cells_col.append([])
                     n_tables.append(0)
+                    degraded.append(True)
                     continue
                 texts.append(r.text)
                 cells_col.append(r.cells_as_dicts())
                 n_tables.append(r.n_tables)
+                degraded.append(False)
             arrays = [
                 urls,
                 pa.array(texts, pa.string()),
                 pa.array(cells_col, pa.list_(_PA_CELL)),
                 pa.array(n_tables, pa.int32()),
+                pa.array(degraded, pa.bool_()),
             ]
-            names = ["url", "extracted_text", "cells", "n_tables"]
+            names = ["url", "extracted_text", "cells", "n_tables", "degraded"]
             for c in passthrough:
                 arrays.append(batch.column(c))
                 names.append(c)

@@ -166,10 +166,44 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _bigram_stats_udf():
+    """token array -> (n_bigrams, max_count) in one Arrow batch: a
+    per-document Counter over adjacent token pairs. Per-doc statistics
+    must never cost a corpus-wide exchange — the previous shape
+    (explode -> groupBy(id, bigram) -> groupBy(id)) shuffled ~one row
+    per corpus bigram to compute a number derivable entirely map-side.
+    Same measured numpy/Python-over-shuffle doctrine as the minhash /
+    simhash kernels (dedup.py:213,409): the Python loop over the Arrow
+    batch is microseconds per document; the exchange was the query."""
+    import pandas as pd
+
+    @F.pandas_udf("n_bigrams long, max_count long")
+    def udf(token_lists):  # type: ignore[no-untyped-def]
+        from collections import Counter
+
+        n_col, mx_col = [], []
+        for t in token_lists:
+            t = list(t) if t is not None else []
+            if len(t) < 2:
+                n_col.append(0)
+                mx_col.append(0)
+                continue
+            c = Counter(zip(t, t[1:]))
+            n_col.append(len(t) - 1)
+            mx_col.append(max(c.values()))
+        return pd.DataFrame({"n_bigrams": n_col, "max_count": mx_col})
+
+    return udf
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Within-document repetition signals (the dup-line/top-ngram-share
     family): distinct-token ratio and the share of the most frequent
-    bigram. One shuffle on (doc, bigram) with map-side combine."""
+    bigram. MAP-ONLY — tokenization is JVM-side codegen, the bigram
+    mode runs in a per-document Arrow kernel, and the plan contains no
+    Exchange (asserted by test_textstats). Pinned semantics unchanged:
+    n_bigrams = max(n_tokens-1, 0); share = max_count/n_bigrams
+    (0.0 for docs with <2 tokens), rounded 6 dp."""
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
@@ -178,44 +212,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.size(F.array_distinct("_toks")).cast("long")
         / F.greatest(n_tok, F.lit(1))
     )
-    base = toked.select(
+    st = toked.select(
         F.col(id_col),
         F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
-        F.col("_toks"),
+        _bigram_stats_udf()(F.col("_toks")).alias("_bs"),
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0)))
-    bigrams = F.when(
-        F.size("_toks") >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("_toks"), i.cast("int")),
-                F.element_at(F.col("_toks"), (i + 1).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = base.select(F.col(id_col), F.explode_outer(bigrams).alias("_bg"))
-    counts = (
-        ex.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            F.max(F.when(F.col("_bg").isNotNull(), F.col("_c"))).alias("_mx"),
-            F.sum(F.when(F.col("_bg").isNotNull(), F.col("_c")).otherwise(0)).alias("_tot"),
-        )
-    )
-    share = F.coalesce(
-        F.col("_mx") / F.greatest(F.col("_tot"), F.lit(1)), F.lit(0.0)
-    )
-    return (
-        base.select(id_col, "distinct_token_ratio")
-        .join(counts, id_col)
-        .select(
-            F.col(id_col),
-            "distinct_token_ratio",
-            F.col("_tot").cast("long").alias("n_bigrams"),
-            F.round(share, 6).alias("top_bigram_share"),
-        )
+    share = F.col("_bs.max_count") / F.greatest(F.col("_bs.n_bigrams"), F.lit(1))
+    return st.select(
+        F.col(id_col),
+        "distinct_token_ratio",
+        F.col("_bs.n_bigrams").alias("n_bigrams"),
+        F.round(share, 6).alias("top_bigram_share"),
     )
 
 
@@ -277,18 +284,29 @@ def unigram_logprob(
     Plan shape (new in this surface): a corpus-GLOBAL statistic joined
     back to the stream. Token counts: one explode + map-side-combining
     aggregate (shuffle rows = |vocab|, not corpus tokens). The count
-    table re-joins the exploded stream by token — a hash equi-join
-    whose build side is the vocabulary (Zipf-bounded, ~millions at
-    crawl scale, never corpus-sized); per-doc mean then aggregates by
-    id. Every token has corpus count >= 1 (self-scored), so no OOV
-    smoothing branch is needed.
+    table re-joins the exploded stream — a hash equi-join whose build
+    side is the vocabulary (Zipf-bounded, ~millions at crawl scale,
+    never corpus-sized); per-doc mean then aggregates by id. Every
+    token has corpus count >= 1 (self-scored), so no OOV smoothing
+    branch is needed.
+
+    Exchange width: both the count aggregate and the join-back are
+    keyed on ``xxhash64(tok)`` — 8 bytes/row — instead of the raw
+    token string (same narrowing as ``exact_dedup``, dedup.py:84-90).
+    A 64-bit collision merges the counts of two tokens; for a corpus
+    QUALITY SCORE that perturbs one addend of a per-doc mean by
+    <=ln(2)-ish in the worst case, for an expected ~1e-8 of vocab
+    entries even at billion-token vocabularies — an accepted tolerance
+    (the composite 192-bit key is the alternative if a downstream
+    consumer treats the score as exact; exact_dedup shows the recipe).
     """
     # ex is consumed by the count aggregate AND the scoring join;
     # recomputing the tokenize+explode (map-only) is deliberate — a
-    # corpus-token-sized cache would be the scale mistake here
+    # corpus-token-sized cache would be the scale mistake here. The
+    # raw token string is projected away BEFORE any exchange.
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).select("id", F.xxhash64("_t").alias("tok"))
     counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     total = counts.agg(F.sum("_c").alias("_t"))
     scored = (

@@ -6,8 +6,8 @@ state machine ``PENDING → RUNNING → {SUCCEEDED, FAILED, ...}``
 and idempotent skip-if-exists download (``batch.py:278-289``) become a
 **bucketed lineage table**: work is keyed by ``bucket =
 pmod(xxhash64(url), num_buckets)``; each completed bucket appends a
-terminal lineage row ``(run_id, bucket, status, rows_out, checksum,
-started_at, finished_at)``; a restarted run anti-joins pending buckets
+terminal lineage row ``(run_id, bucket, status, rows_out, n_degraded,
+checksum, started_at, finished_at)``; a restarted run anti-joins pending buckets
 against completed lineage rows and re-processes only those
 (SURVEY.md §2.10, §4.3.3).
 
@@ -39,6 +39,11 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType()),
         T.StructField("status", T.StringType()),
         T.StructField("rows_out", T.LongType()),
+        # rows whose payload failed to parse and degraded to an empty
+        # extraction (extract.DEGRADABLE_ERRORS) — per-bucket audit so
+        # a kernel/data regression shows up in lineage, not just as
+        # silently-empty text behind a green checksum
+        T.StructField("n_degraded", T.LongType()),
         T.StructField("checksum", T.LongType()),
         T.StructField("started_at", T.TimestampType()),
         T.StructField("finished_at", T.TimestampType()),
@@ -55,6 +60,7 @@ class RunReport:
     buckets_done_prior: int
     buckets_processed: int
     rows_out: int
+    rows_degraded: int = 0
 
 
 class InjectedFailure(RuntimeError):
@@ -179,6 +185,7 @@ def _run_pipeline_inner(
 
     processed = 0
     rows_out_total = 0
+    degraded_total = 0
     waves = [
         pending[i : i + wave_size] for i in range(0, len(pending), wave_size)
     ]
@@ -205,6 +212,7 @@ def _run_pipeline_inner(
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("rows_out"),
+                F.sum(F.col("degraded").cast("long")).alias("n_degraded"),
                 # xor-fold: order-insensitive, no ANSI long overflow
                 F.expr("bit_xor(xxhash64(url, extracted_text))").alias("checksum"),
             )
@@ -221,6 +229,7 @@ def _run_pipeline_inner(
                     b,
                     SUCCEEDED,
                     int(s["rows_out"]) if s else 0,
+                    int(s["n_degraded"] or 0) if s else 0,
                     int(s["checksum"]) if s and s["checksum"] is not None else 0,
                     started,
                     finished,
@@ -231,6 +240,7 @@ def _run_pipeline_inner(
         ).parquet(_lineage_path(out_dir))
         processed += len(wave)
         rows_out_total += sum(int(s["rows_out"]) for s in stats)
+        degraded_total += sum(int(s["n_degraded"] or 0) for s in stats)
 
     return RunReport(
         run_id=run_id,
@@ -238,6 +248,7 @@ def _run_pipeline_inner(
         buckets_done_prior=len(done),
         buckets_processed=processed,
         rows_out=rows_out_total,
+        rows_degraded=degraded_total,
     )
 
 

@@ -68,18 +68,50 @@ class CatalogStore:
 
     def read(self, catalog: str) -> DataFrame:
         """read-all (``storage.py:41-44``); a catalog that has never
-        been written reads as empty. Only the path-missing error is
+        been written reads as empty. Only the path-missing case is
         translated to empty — a CORRUPT parquet file must surface, not
-        masquerade as an empty catalog (silent data loss)."""
+        masquerade as an empty catalog (silent data loss).
+
+        Path-missing is decided by a direct Hadoop-FS existence probe
+        (FS-agnostic: local/HDFS/S3A), not by substring-matching one
+        Spark version's error text — older/newer Sparks phrase it
+        'Path does not exist' vs 'PATH_NOT_FOUND' (ADVICE r2). The
+        error-condition check remains as the fallback where the JVM
+        gateway is unavailable (Spark Connect)."""
         from pyspark.errors import AnalysisException
 
         path = self._path(catalog)
         try:
             return self.spark.read.schema(_SCHEMAS[catalog]).parquet(path)
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e):
+            if self._path_missing(path, e):
                 return self.spark.createDataFrame([], _SCHEMAS[catalog])
             raise
+
+    def _path_missing(self, path: str, err) -> bool:
+        try:
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            return not fs.exists(jpath)
+        except Exception:
+            pass  # no JVM gateway (Connect) — fall back to the error
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(err, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond is not None:
+            return cond == "PATH_NOT_FOUND"
+        msg = str(err)
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
     def get(self, catalog: str, name: str) -> Optional[dict]:
         """name lookup (``storage.py:46-52``)."""

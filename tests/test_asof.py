@@ -107,3 +107,29 @@ def test_asof_empty_right_cols_carries_only_ts(spark):
     out = asof_join(left, right, on="user_id", right_cols=[])
     assert out.columns == ["user_id", "x", "ts", "ts_right"]
     assert out.collect()[0]["ts_right"] == m(10)
+
+
+def test_asof_map_typed_payload_carried(spark):
+    # ADVICE (round 2): ordering the window by the whole payload struct
+    # required every right column to be orderable — a map-typed payload
+    # raised AnalysisException. Maps now ride in the carried struct but
+    # stay out of the tie-break sort key.
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, m(20))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, m(10), "x")], "user_id long, ts timestamp, tag string"
+    ).withColumn("attrs", F.create_map(F.lit("k"), F.lit("v")))
+    rows = asof_join(left, right, on="user_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["tag_right"] == "x"
+    assert rows[0]["attrs_right"] == {"k": "v"}
+    # determinism among (key, ts) ties still pinned by orderable cols
+    right2 = right.unionByName(
+        spark.createDataFrame(
+            [(1, m(10), "z")], "user_id long, ts timestamp, tag string"
+        ).withColumn("attrs", F.create_map(F.lit("k"), F.lit("w")))
+    )
+    for reparted in (right2, right2.repartition(5)):
+        got = asof_join(left, reparted, on="user_id").collect()
+        assert got[0]["tag_right"] == "z"

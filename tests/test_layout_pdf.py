@@ -169,6 +169,9 @@ def test_corrupt_fakepdf_degrades_per_row_in_spark(spark):
     assert got["good"]["extracted_text"] != ""
     assert got["corrupt"]["extracted_text"] == ""
     assert got["corrupt"]["n_tables"] == 0
+    # degradation is ACCOUNTED, not silent (ADVICE r2): per-row flag
+    assert got["corrupt"]["degraded"] is True
+    assert got["good"]["degraded"] is False
 
     try:
         import fitz  # noqa: F401

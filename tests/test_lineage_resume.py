@@ -91,6 +91,11 @@ def test_empty_first_wave_sparse_corpus(spark, tmp_path):
                        wave_size=4)
     assert rep.buckets_processed == 64
     assert rep.rows_out == 12
+    # degradation accounting rides the lineage rows (ADVICE r2): clean
+    # corpus -> 0 degraded everywhere, and the column actually exists
+    assert rep.rows_degraded == 0
+    lin = spark.read.parquet(str(tmp_path / "sparse" / "_lineage"))
+    assert lin.agg(F.sum("n_degraded")).first()[0] == 0
     state = get_run_state(spark, str(tmp_path / "sparse"), num_buckets=64)
     assert state.state == "SUCCEEDED"
 

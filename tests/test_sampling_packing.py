@@ -69,6 +69,19 @@ def test_contamination_benchmark_is_fully_contaminated(spark, docs):
     assert all(r["n_contaminated"] <= r["n_shingles"] for r in rows.values())
 
 
+def test_contamination_bench_side_is_broadcast(spark, docs):
+    # the membership test must run map-side: a left OUTER join cannot
+    # be semi-join/Bloom pruned, so without the forced broadcast the
+    # whole corpus shingle stream shuffles on stop-shingle-skewed keys
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = (
+        contamination_stats(docs, bench, k=3, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_contamination_short_docs_never_flagged(spark):
     docs = spark.createDataFrame(
         [(1, "only two"), (2, "a much longer document body here")],

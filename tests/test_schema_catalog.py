@@ -199,3 +199,24 @@ def test_encode_results_payload_dense_slots(spark):
     got4 = encode_results_payload(decoded, fields, domain=domain).collect()[0]
     assert got4["num_pages"] == 4
     assert json.loads(got4["results"][3][1]) == {"table": []}
+
+
+def test_encode_results_payload_span_guard(spark):
+    # ADVICE (round 2): page/sample indices are decoded from untrusted
+    # payloads; one corrupt huge index must fail fast NAMING the url,
+    # not materialize millions of filler slots or kill the stage opaquely
+    import pytest
+
+    from table_ocr_spark.functions.schema_builder import encode_results_payload
+
+    fields = [SchemaField("name", "STRING")]
+    decoded = spark.createDataFrame(
+        [("u_ok", 1, 1, 0, "a"), ("u_bad", 1, 1, 0, "b"),
+         ("u_bad", 20_000, 1, 0, "c")],
+        "url string, page int, sample int, row_index int, name string",
+    )
+    with pytest.raises(Exception, match="max_span.*u_bad"):
+        encode_results_payload(decoded, fields).collect()
+    # a wide-but-legit document passes with the bound raised deliberately
+    out = encode_results_payload(decoded, fields, max_span=50_000).count()
+    assert out == 2

@@ -145,11 +145,16 @@ def test_repetition_stats(spark):
         ],
         "doc_id long, text string",
     )
-    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    out = repetition_stats(df)
+    got = {r["doc_id"]: r for r in out.collect()}
     assert got[1]["n_bigrams"] == 5 and got[1]["top_bigram_share"] == 0.6
     assert got[1]["distinct_token_ratio"] == round(2 / 6, 6)
     assert got[2]["n_bigrams"] == 0 and got[2]["top_bigram_share"] == 0.0
     assert got[3]["top_bigram_share"] == round(1 / 3, 6)
+    # a per-document statistic must be map-only: no Exchange anywhere
+    # (the round-2 shape shuffled ~one row per corpus bigram)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
 
 
 def test_hyperplane_lsh_finds_exact_dups(spark, emb):
