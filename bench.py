@@ -29,7 +29,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+# the round-1/round-2 headline subset — its subtotal is still printed
+# separately so the suite total stays comparable to BENCH_r01/r02
+R2_SUBSET = [
     "extract_text",
     "extract_cells",
     "pdf_extract",
@@ -54,11 +56,12 @@ HEADLINE = [
     "results_payload_decode",
 ]
 
-# round-2 operators, timed once each AFTER the headline loop: keeps the
-# headline total comparable across rounds while giving the new surface
-# measured numbers (dedup_ngram_jaccard stays out — it is the documented
-# quadratic ground-truth shape, not a benchmark target)
-EXTENDED = [
+# round-3: the round-2 "extended" operators are PROMOTED into the
+# headline suite so regressions in that surface are tracked
+# round-over-round like everything else (VERDICT r2 #6).
+# dedup_ngram_jaccard stays out — it is the documented quadratic
+# ground-truth shape, not a benchmark target.
+PROMOTED = [
     "url_canonicalize",
     "page_range_extract",
     "stratified_sample",
@@ -71,6 +74,8 @@ EXTENDED = [
     "asof_click_before_purchase",
     "range_join_events",
 ]
+
+HEADLINE = R2_SUBSET + PROMOTED
 
 # N -> 4N pairs for the scaling criterion. (2, 8) is the primary pair:
 # a best-of-3 multiprocessing probe shows this VM delivers 2/4/8 procs
@@ -103,9 +108,7 @@ def _mk_session(cpus: int):
     )
 
 
-def run_headline(
-    spark, sf_dir: str
-) -> tuple[dict[str, float], dict[str, float]]:
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em
 
     qs = em.queries()
@@ -130,7 +133,10 @@ def run_headline(
     # multi-stage queries get a third trial — a single co-tenant spike
     # across both trials of a 3-4 s query otherwise records a 2x
     # regression that no code change caused
-    HEAVY = {"dedup_minhash_lsh", "dedup_simhash", "embedding_near_dup_lsh"}
+    HEAVY = {
+        "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dup_lsh",
+        "dup_span_stats", "embedding_near_dup",
+    }
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -142,14 +148,7 @@ def run_headline(
             # caches build memory pressure for later queries
             spark.catalog.clearCache()
         times[name] = round(best, 3)
-
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        t0 = time.perf_counter()
-        _noop_write(qs[name](spark, sf_dir))
-        extended[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-    return times, extended
+    return times
 
 
 def build_scale_corpus(spark, sf_dir: str, out_path: str, target_docs: int) -> int:
@@ -224,34 +223,31 @@ def _spin_task(_: int) -> float:
     return time.perf_counter() - t0
 
 
-def run_scaling_rounds(corpus_path: str, n_docs: int, rounds: int = 2) -> dict:
+def run_scaling_rounds(corpus_path: str, n_docs: int, rounds: int = 3) -> dict:
     """Measure all parallelism levels back-to-back within each round
     and compute efficiency from WITHIN-ROUND pairs: background host
     load drifts on the minutes scale, so a T_N and T_4N measured in
     different minutes produce a noisy ratio even when each is
-    individually best-of-N. The least-loaded round (fastest total) is
-    reported; per-level docs/sec uses the per-level best across rounds.
-    If the best primary-pair sample still lands below 0.85 after the
-    scheduled rounds, ONE extra round runs — a co-tenant spike during
-    both rounds otherwise records a host artifact as a job property
-    (the probe value recorded per round evidences which it was)."""
+    individually best-of-N.
+
+    Statistics (ADVICE r2: no one-sided stopping): the round count is
+    FIXED up front — no adaptive extra round keyed on the observed
+    value. Every within-round ratio is reported, plus two summary
+    statistics per pair: ``median`` (unbiased location — the gate
+    statistic) and ``best`` (the least load-contaminated window — what
+    the job can do; host noise only ever drags a ratio DOWN, never up,
+    so best is a bound, not an estimate). The per-round host-capacity
+    probes evidence which rounds were load-contaminated."""
     per_round = []
     probes = []
-
-    def one_round():
+    for _ in range(rounds):
         probes.append(probe_effective_cores())
         # one timed pass per level per round: noise robustness comes
-        # from the within-round pairing + taking the best round, not
-        # from per-level repetition (keeps total bench wall bounded)
+        # from the within-round pairing + the fixed multi-round design,
+        # not from per-level repetition (keeps total bench wall bounded)
         per_round.append(
             {c: time_extract(c, corpus_path, trials=1) for c in SCALING_CORES}
         )
-
-    for _ in range(rounds):
-        one_round()
-    lo, hi = SCALING_PAIRS[0]
-    if max((r[lo] / r[hi]) / (hi / lo) for r in per_round) < 0.85:
-        one_round()
     best_level = {c: min(r[c] for r in per_round) for c in SCALING_CORES}
     runs = {
         str(c): {
@@ -260,20 +256,30 @@ def run_scaling_rounds(corpus_path: str, n_docs: int, rounds: int = 2) -> dict:
         }
         for c in SCALING_CORES
     }
+
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        mid = n // 2
+        return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2
+
     pairs = {}
+    pairs_all = {}
+    pairs_median = {}
     for lo, hi in SCALING_PAIRS:
-        # each round is one PAIRED ratio sample; the best sample is the
-        # least load-contaminated window and measures what the job can
-        # do (all raw rounds are recorded below for transparency)
-        pairs[f"{lo}->{hi}"] = round(
-            max((r[lo] / r[hi]) / (hi / lo) for r in per_round), 3
-        )
+        ratios = [(r[lo] / r[hi]) / (hi / lo) for r in per_round]
+        pairs_all[f"{lo}->{hi}"] = [round(x, 3) for x in ratios]
+        pairs_median[f"{lo}->{hi}"] = round(_median(ratios), 3)
+        pairs[f"{lo}->{hi}"] = round(max(ratios), 3)
     return {
         "n_docs": n_docs,
         "runs": runs,
-        "efficiency": pairs,
+        "efficiency": pairs,                 # best within-round ratio
+        "efficiency_median": pairs_median,   # unbiased gate statistic
+        "efficiency_all_rounds": pairs_all,  # every paired sample
         "primary_pair": "2->8",
         "primary_efficiency": pairs["2->8"],
+        "primary_efficiency_median": pairs_median["2->8"],
         "rounds": [
             {str(c): round(t, 3) for c, t in r.items()} for r in per_round
         ],
@@ -297,7 +303,7 @@ def main() -> int:
     scaling: dict = {}
     try:
         spark = _mk_session(cpus)
-        qtimes, extended = run_headline(spark, sf_dir)
+        qtimes = run_headline(spark, sf_dir)
         corpus_path = os.path.join(work, "pages")
         if do_scaling:
             n_docs = build_scale_corpus(spark, sf_dir, corpus_path, target_docs)
@@ -309,12 +315,15 @@ def main() -> int:
         shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(qtimes.values()), 3)
+    r2_subtotal = round(sum(qtimes[n] for n in R2_SUBSET), 3)
     result = {
         "metric": "headline query suite wall time + extraction scaling",
         "value": total,
         "unit": "sec",
         "queries": qtimes,
-        "extended_queries": extended,
+        # the round-1/2 headline subset's subtotal, for round-over-round
+        # comparison against BENCH_r01 (28.88) / BENCH_r02 (20.52)
+        "r2_subtotal": r2_subtotal,
         "sf": sf,
         "scaling": scaling,
     }
@@ -327,26 +336,22 @@ def _write_bench_md(result: dict) -> None:
     lines = [
         "# BENCH — measured numbers (regenerated by bench.py)",
         "",
-        f"sf = {result['sf']}, headline suite total = {result['value']} s",
+        f"sf = {result['sf']}, headline suite total = {result['value']} s "
+        f"({len(result['queries'])} queries; the round-2 extended surface "
+        "is promoted into the headline as of round 3)",
+        "",
+        f"Round-1/2-comparable subtotal (the original {len(R2_SUBSET)}-query "
+        f"headline): **{result.get('r2_subtotal')} s** "
+        "(vs 28.88 r1, 20.52 r2 driver runs).",
         "",
         "| query | sec |",
         "|---|---|",
     ]
     for k, v in result["queries"].items():
-        lines.append(f"| {k} | {v} |")
-    ext = result.get("extended_queries") or {}
-    if ext:
-        lines += [
-            "",
-            "## Extended operators (round-2 surface; single timed pass,",
-            "not part of the headline total so that total stays",
-            "round-over-round comparable)",
-            "",
-            "| query | sec |",
-            "|---|---|",
-        ]
-        for k, v in ext.items():
-            lines.append(f"| {k} | {v} |")
+        star = "" if k in R2_SUBSET else " *"
+        lines.append(f"| {k}{star} | {v} |")
+    lines.append("")
+    lines.append("`*` = promoted from the round-2 extended table.")
     s = result.get("scaling") or {}
     if s:
         lines += [
@@ -364,16 +369,22 @@ def _write_bench_md(result: dict) -> None:
             lines.append(f"| local[{c}] | {r['sec']} | {r['docs_per_sec']} |")
         lines += [
             "",
-            "| N → 4N | efficiency (T_N/T_4N)/4 |",
-            "|---|---|",
+            "| N → 4N | best (T_N/T_4N)/4 | median | all rounds |",
+            "|---|---|---|---|",
         ]
         for pair, eff in s["efficiency"].items():
-            lines.append(f"| {pair} | {eff} |")
+            med = s.get("efficiency_median", {}).get(pair, "")
+            allr = s.get("efficiency_all_rounds", {}).get(pair, "")
+            lines.append(f"| {pair} | {eff} | {med} | {allr} |")
         lines += [
             "",
-            f"**Primary pair {s['primary_pair']}: efficiency = "
-            f"{s['primary_efficiency']}** (target ≥ 0.8 per BASELINE.json "
-            "north_rule).",
+            f"**Primary pair {s['primary_pair']}: best = "
+            f"{s['primary_efficiency']}, median = "
+            f"{s.get('primary_efficiency_median')}** (target ≥ 0.8 per "
+            "BASELINE.json north_rule). Round count is fixed up front "
+            "(no adaptive stopping); the median is the unbiased gate "
+            "statistic, the best is the least load-contaminated window "
+            "(host noise only drags ratios down).",
             "",
             "The 8→32 pair is additionally reported but is capped by the "
             "host itself: the in-band multiprocessing probes above "

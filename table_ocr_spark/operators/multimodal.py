@@ -44,9 +44,76 @@ def _sniff_mime(payload: bytes) -> str:
     return "image/png"  # reference default
 
 
+def parse_png_dimensions(b: bytes) -> tuple:
+    """(width, height) from the PNG IHDR chunk — pure public-format
+    knowledge (RFC 2083 §4.1.1: 8-byte signature, then the mandatory
+    first chunk IHDR with width/height as big-endian u32). No codec
+    library involved. Raises ValueError on a malformed header."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    raise ValueError("malformed PNG header (no IHDR at offset 8)")
+
+
+def parse_jpeg_dimensions(b: bytes) -> tuple:
+    """(width, height) from the first JPEG SOFn marker — pure
+    public-format knowledge (ITU T.81 §B.2.2: marker stream of
+    0xFF<code><len u16 BE>, SOF segment = len, precision u8,
+    height u16, width u16). Raises ValueError when malformed or no
+    SOF marker is present."""
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            raise ValueError(f"malformed JPEG marker stream at {i}")
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        # standalone markers carry no length segment
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        if seg_len < 2:
+            raise ValueError("malformed JPEG segment length")
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                raise ValueError("truncated SOF segment")
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return int(w), int(h)
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
+def image_dimensions(payload: bytes):
+    """(width, height) for PNG/JPEG/FAKEIMG payloads WITHOUT any codec
+    library — header parsing only (VERDICT r2 #4: real payloads yield
+    metadata even where PIL is absent). Returns None for formats whose
+    dimensions need a real decoder; raises ValueError when the payload
+    claims a known format but its header is malformed."""
+    if payload.startswith(_FAKE_MAGIC):
+        w, h = struct.unpack("<HH", payload[7:11])
+        return int(w), int(h)
+    if payload.startswith(b"\x89PNG"):
+        return parse_png_dimensions(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return parse_jpeg_dimensions(payload)
+    return None
+
+
 def _decode_image(payload: bytes):
-    """STUB: real decode needs PIL/cv2 (absent here). Deterministic fake
-    path: ``FAKEIMG<w:u16><h:u16><mean:f32>``. Anything else raises."""
+    """(width, height, gray_mean). Deterministic fake path:
+    ``FAKEIMG<w:u16><h:u16><mean:f32>``. Real payloads: PIL where
+    installed (full decode incl. pixel stats); where PIL is absent,
+    PNG/JPEG dimensions come from the pure-Python header parsers above
+    and ``gray_mean`` is None (pixel stats genuinely need a decoder).
+    Unknown formats without PIL raise NotImplementedError (missing
+    CAPABILITY — surfaces; it is not a malformed-payload degrade)."""
     if payload.startswith(_FAKE_MAGIC):
         w, h = struct.unpack("<HH", payload[7:11])
         (mean,) = struct.unpack("<f", payload[11:15])
@@ -57,9 +124,12 @@ def _decode_image(payload: bytes):
         from PIL import Image
         import io
     except ImportError as e:
+        wh = image_dimensions(payload)  # ValueError -> malformed, degrades
+        if wh is not None:
+            return wh[0], wh[1], None
         raise NotImplementedError(
-            "image decode requires PIL/cv2 (not available in this container); "
-            "use FAKEIMG payloads in tests"
+            "full image decode requires PIL/cv2 (not available in this "
+            "container) and the payload is not PNG/JPEG/FAKEIMG"
         ) from e
     img = Image.open(io.BytesIO(payload))
     hist = img.convert("L").histogram()
@@ -81,7 +151,7 @@ def image_metadata(images: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 try:
                     w, h, mean = _decode_image(b)
-                except (struct.error, IndexError):
+                except (struct.error, IndexError, ValueError):
                     # truncated/malformed payload: degrade per-row, same
                     # pin as NULL — one bad row must not fail the stage
                     rows.append((url, _sniff_mime(b), None, None, None))
@@ -126,9 +196,17 @@ def resize_images(images: DataFrame, max_dim: int = 256) -> DataFrame:
                 b = bytes(payload)
                 try:
                     w, h, mean = _decode_image(b)
-                except (struct.error, IndexError):
+                except (struct.error, IndexError, ValueError):
                     rows.append((url, None, None, None))
                     continue
+                if mean is None:
+                    # header-only metadata is enough for image_metadata,
+                    # but RESAMPLING pixels genuinely needs a decoder —
+                    # missing capability surfaces, never silently fakes
+                    raise NotImplementedError(
+                        "pixel resample requires PIL/cv2 (absent); "
+                        "header-only parsing cannot resize real images"
+                    )
                 scale = min(1.0, max_dim / max(w, h, 1))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 rows.append((url, _encode_fake(nw, nh, mean), nw, nh))

@@ -96,3 +96,91 @@ def test_malformed_payloads_degrade_per_row(spark):
         [("v", payload)], "url string, payload binary"
     )
     assert sample_frames(vids, every_nth=1).count() in (0, 1)  # no crash
+
+
+# --- real-payload header parsing without codecs (VERDICT r2 #4) -----
+
+def make_real_png(w, h):
+    """A fully spec-valid RGB PNG built from public format knowledge
+    (RFC 2083): signature, IHDR, one zlib IDAT of filter-0 scanlines,
+    IEND — PIL would decode these same bytes wherever it exists."""
+    import zlib
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x7f" * (3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg_header(w, h):
+    """SOI + APP0(JFIF) + DQT stub + SOF0 carrying (h, w) + EOI — a
+    spec-shaped marker stream (ITU T.81 §B.2.2) exercising the walk
+    over variable-length segments before the SOF."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    out = b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+    out += b"\xff\xd9"
+    return out
+
+
+def test_real_png_jpeg_metadata_without_codecs(spark):
+    # runs IN THIS CONTAINER (no PIL): dimensions come from the pure-
+    # Python IHDR/SOF0 header parsers; gray_mean needs a decoder -> None
+    # unless PIL happens to be installed (then it's a real float)
+    rows = [
+        ("png", bytearray(make_real_png(320, 200))),
+        ("jpg", bytearray(make_jpeg_header(640, 360))),
+        ("bad_png", bytearray(b"\x89PNG\r\n\x1a\ntrunc")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in image_metadata(df).collect()}
+    assert got["png"]["width"] == 320 and got["png"]["height"] == 200
+    assert got["png"]["mime"] == "image/png"
+    assert got["jpg"]["width"] == 640 and got["jpg"]["height"] == 360
+    assert got["jpg"]["mime"] == "image/jpeg"
+    # malformed header degrades per-row, mime still sniffed
+    assert got["bad_png"]["width"] is None
+    assert got["bad_png"]["mime"] == "image/png"
+
+
+def test_header_parsers_unit():
+    from table_ocr_spark.operators.multimodal import (
+        image_dimensions,
+        parse_jpeg_dimensions,
+        parse_png_dimensions,
+    )
+
+    assert parse_png_dimensions(make_real_png(7, 9)) == (7, 9)
+    assert parse_jpeg_dimensions(make_jpeg_header(1024, 768)) == (1024, 768)
+    assert image_dimensions(fake_img(12, 34)) == (12, 34)
+    assert image_dimensions(b"GIF89a??????") is None  # unknown format
+    with pytest.raises(ValueError):
+        parse_png_dimensions(b"\x89PNG\r\n\x1a\n\x00\x00")  # truncated
+    with pytest.raises(ValueError):
+        parse_jpeg_dimensions(b"\xff\xd8\xff\xd9")  # EOI before SOF
+    with pytest.raises(ValueError):
+        parse_jpeg_dimensions(b"\xff\xd8\x00\x00\x00\x00")  # bad marker
+
+
+def test_pil_parity_when_available(spark):
+    # wherever PIL exists, the header parsers and the real decoder must
+    # agree on dimensions for the same bytes (skips in this container)
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.open(io.BytesIO(make_real_png(320, 200)))
+    assert (img.width, img.height) == (320, 200)
