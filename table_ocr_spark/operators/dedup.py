@@ -557,8 +557,14 @@ def duplicate_span_stats(
 
     Exchange width: the k-gram STRING (k=5 tokens, ~30-60 bytes) is
     projected away map-side; both gram exchanges carry
-    ``xxhash64(gram)`` (8 bytes) instead — the ``exact_dedup`` /
-    ``unigram_logprob`` narrowing. A 64-bit collision can mark a rare
+    ``xxhash64(gram)`` (8 bytes) instead — the ``exact_dedup``
+    narrowing, MEASURED at sf0.1 with the shuffled-join regime forced:
+    **13.20 MB raw-gram keys -> 7.62 MB hashed (1.73x)**
+    (scripts/measure_shuffle.py; note the same trick LOSES for short
+    unigram tokens — see unigram_logprob — because lz4 compresses
+    Zipfian short strings better than random hashes; 5-gram strings
+    are long and near-unique, so the hash wins here and the gap grows
+    with document length). A 64-bit collision can mark a rare
     gram's position as covered because it collided with a hot gram's
     hash; for a coverage STATISTIC that is one spurious k-token span
     per ~2^64/corpus_grams documents — accepted tolerance, documented

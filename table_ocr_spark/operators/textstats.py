@@ -290,23 +290,31 @@ def unigram_logprob(
     token has corpus count >= 1 (self-scored), so no OOV smoothing
     branch is needed.
 
-    Exchange width: both the count aggregate and the join-back are
-    keyed on ``xxhash64(tok)`` — 8 bytes/row — instead of the raw
-    token string (same narrowing as ``exact_dedup``, dedup.py:84-90).
-    A 64-bit collision merges the counts of two tokens; for a corpus
-    QUALITY SCORE that perturbs one addend of a per-doc mean by
-    <=ln(2)-ish in the worst case, for an expected ~1e-8 of vocab
-    entries even at billion-token vocabularies — an accepted tolerance
-    (the composite 192-bit key is the alternative if a downstream
-    consumer treats the score as exact; exact_dedup shows the recipe).
+    Exchange width — MEASURED (scripts/measure_shuffle.py, sf0.1,
+    shuffled-join regime forced), and the obvious narrowing loses:
+    keying the count + join-back on ``xxhash64(tok)`` (the
+    ``exact_dedup`` trick) measured **1.18 MB hashed vs 1.09 MB
+    raw-token keys** head-to-head — shuffle blocks are lz4-compressed
+    and a Zipf-distributed stream of short token strings compresses
+    better than incompressible 64-bit hashes, so the hash BUYS nothing
+    for unigram-sized keys and costs 8%. The narrowing transfers only
+    to LONG keys (whole documents in exact_dedup, 5-gram strings in
+    duplicate_span_stats where the hash wins >1.7x). Shipping shape
+    keys on the raw token.
+
+    The same measurement exposed the real cost: the zero-token-doc
+    backfill as a ``left_anti`` join doubled the query's total shuffle
+    (2.14 MB -> 1.13 MB without it) — two corpus-id exchanges spent on
+    a rare edge case. Zero-token docs are decidable MAP-SIDE
+    (``size(tokens(text)) == 0``), so the backfill is now a filter +
+    union, exchange-free.
     """
     # ex is consumed by the count aggregate AND the scoring join;
     # recomputing the tokenize+explode (map-only) is deliberate — a
-    # corpus-token-sized cache would be the scale mistake here. The
-    # raw token string is projected away BEFORE any exchange.
+    # corpus-token-sized cache would be the scale mistake here
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("_t")
-    ).select("id", F.xxhash64("_t").alias("tok"))
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
     total = counts.agg(F.sum("_c").alias("_t"))
     scored = (
@@ -323,10 +331,13 @@ def unigram_logprob(
         "n_tokens",
         F.round("_s", 6).alias("avg_neg_logprob"),
     )
-    # zero-token docs: defined score 0.0 (no evidence, never filtered)
-    empties = df.select(F.col(id_col)).join(
-        out.select(id_col), id_col, "left_anti"
-    ).select(
+    # zero-token docs: defined score 0.0 (no evidence, never filtered).
+    # `out` contains exactly the docs with >=1 token (every token
+    # self-scores), so the complement is computable by a MAP-SIDE
+    # filter — the previous left_anti join shuffled two corpus-id
+    # streams for this rare edge case and doubled the query's total
+    # exchange bytes (measured: 2.14 -> 1.13 MB at sf0.1)
+    empties = df.filter(F.size(tokens(F.col(text_col))) == 0).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_tokens"),
         F.lit(0.0).alias("avg_neg_logprob"),
