@@ -1,0 +1,122 @@
+"""Large-corpus rehearsal on local[32] — the recorded evidence that the
+operator plans survive well past bench SF (BASELINE.md "Scale
+rehearsal" rows). Round 3 adds the training-shard sink (VERDICT r2
+#10): pack 1M documents into fixed-capacity sequences and materialize
+the sorted per-shard parquet layout, so the two-phase prefix sum AND
+the shard write pattern have a recorded large-corpus number like
+extract/dedup do.
+
+Builds the corpus once (base documents replicated with unique urls/ids,
+text quadrupled so kernel work dominates task constants), then times:
+  extract      — map-only Arrow kernel over 1M pages
+  exact_dedup  — (xxhash64, md5)-keyed clustering over 1M docs
+  pack+shards  — pack_sequences + write_training_shards over 1M docs
+
+Usage: python scripts/scale_rehearsal.py [target_docs] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from table_ocr_spark.operators.dedup import exact_dedup
+    from table_ocr_spark.operators.docpages import documents_as_pages
+    from table_ocr_spark.operators.extract import extract_documents
+    from table_ocr_spark.operators.packing import (
+        pack_sequences,
+        write_training_shards,
+    )
+    from table_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        "scale_rehearsal",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
+    work = tempfile.mkdtemp(prefix="tos_rehearsal_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        reps = max(1, target // max(n, 1))
+        heavy = docs.withColumn(
+            "text", F.concat_ws(" ", "text", "text", "text", "text")
+        )
+        # unique ids AND urls per replica
+        big_docs = (
+            heavy.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1)))
+            )
+            .withColumn(
+                "doc_id", (F.col("doc_id") * reps + F.col("rep")).cast("long")
+            )
+            .drop("rep")
+        )
+        docs_path = os.path.join(work, "docs")
+        big_docs.repartition(64).write.mode("overwrite").parquet(docs_path)
+        big = spark.read.parquet(docs_path)
+        n_total = big.count()
+        print(f"corpus: {n_total} docs")
+
+        pages = documents_as_pages(
+            big.withColumn(
+                "url",
+                F.concat(F.lit("https://rehearsal.example/"),
+                         F.col("doc_id").cast("string")),
+            )
+        )
+        pages_path = os.path.join(work, "pages")
+        pages.write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+
+        t0 = time.perf_counter()
+        extract_documents(pages).write.format("noop").mode("overwrite").save()
+        t_ex = time.perf_counter() - t0
+        print(f"extract {n_total}: {t_ex:.1f} s = {n_total/t_ex:.0f} docs/s")
+
+        t0 = time.perf_counter()
+        exact_dedup(big).write.format("noop").mode("overwrite").save()
+        t_dd = time.perf_counter() - t0
+        print(f"exact_dedup {n_total}: {t_dd:.1f} s")
+
+        shard_path = os.path.join(work, "shards")
+        t0 = time.perf_counter()
+        packed = pack_sequences(big, capacity=2048)
+        write_training_shards(packed, shard_path, seqs_per_shard=1024)
+        t_pk = time.perf_counter() - t0
+        out = spark.read.parquet(shard_path)
+        n_shards = out.select("shard").distinct().count()
+        n_rows = out.count()
+        print(
+            f"pack+shards {n_total}: {t_pk:.1f} s -> {n_rows} rows in "
+            f"{n_shards} sorted shard dirs"
+        )
+        # spot-check the sink contract: rows inside a shard are
+        # start_offset-sorted (loader streams with zero sorting)
+        one = (
+            out.filter(F.col("shard") == out.select(F.min("shard")).first()[0])
+            .select("start_offset").toPandas()["start_offset"].tolist()
+        )
+        assert one == sorted(one), "shard not sorted by start_offset"
+        print("shard order contract: OK")
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -68,3 +68,34 @@ def dedup_stream_content(
         .dropDuplicatesWithinWatermark(["_ck64", "_ck128"])
         .drop("_ck64", "_ck128")
     )
+
+
+def dedup_stream(
+    pages: DataFrame,
+    key: str = "url",
+    text_col: str = "text",
+    ts: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Url-re-delivery AND byte-duplicate-content dedup composed in ONE
+    stream. Spark disallows redefining a watermark mid-stream, so
+    chaining :func:`dedup_stream_exact` into :func:`dedup_stream_content`
+    fails with ``Redefining watermark is disallowed``; this operator
+    sets the watermark ONCE and chains the two
+    ``dropDuplicatesWithinWatermark`` stateful operators under it
+    (multiple stateful operators per stream are supported since Spark
+    3.4). State: one entry per distinct key per horizon + one per
+    distinct content hash per horizon, both watermark-evicted."""
+    from table_ocr_spark.operators.dedup import normalized_text
+
+    by_key = pages.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+    norm = normalized_text(F.col(text_col))
+    hashed = by_key.withColumn("_ck64", F.xxhash64(norm)).withColumn(
+        "_ck128", F.md5(norm)
+    )
+    return (
+        hashed.dropDuplicatesWithinWatermark(["_ck64", "_ck128"])
+        .drop("_ck64", "_ck128")
+    )

@@ -242,3 +242,78 @@ def test_streaming_sessionize_late_and_null_events(spark, tmp_path):
     assert r["session_start"] == t0 - dt.timedelta(minutes=10)
     assert r["session_end"] == t0
     assert r["n_events"] == 2
+
+
+def test_streaming_dedup_then_extract_matches_batch_pipeline(spark, tmp_path):
+    # VERDICT r2 #7: availableNow e2e — a stream carrying re-delivered
+    # urls AND byte-duplicate content under different urls, piped
+    # dedup_exact -> dedup_content -> Arrow extract -> parquet sink,
+    # must land the same extracted corpus as the batch identity
+    # (latest_capture + exact_dedup canonical survivors).
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.datagen.pages import generate_pages
+    from table_ocr_spark.operators.dedup import exact_dedup
+    from table_ocr_spark.operators.extract import (
+        EXTRACT_SCHEMA,
+        _extract_arrow_batches,
+        latest_capture,
+    )
+    from table_ocr_spark.streaming.dedupe import dedup_stream
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    base, _ = generate_pages(n_docs=12, seed=31)
+    rows = []
+    for i, p in enumerate(base):
+        ts = t0 + dt.timedelta(minutes=i)
+        rows.append((p["url"], ts, p["html"], p["text"], "en"))
+    # re-deliveries: same url, same bytes, later ts (within watermark)
+    for p in base[:4]:
+        rows.append((p["url"], t0 + dt.timedelta(minutes=20), p["html"], p["text"], "en"))
+    # content dups: same bytes under NEW urls
+    for j, p in enumerate(base[4:8]):
+        rows.append(
+            (f"https://mirror.example/{j}", t0 + dt.timedelta(minutes=30 + j),
+             p["html"], p["text"], "en")
+        )
+    src = tmp_path / "e2esrc"
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    pages.coalesce(2).write.mode("overwrite").parquet(str(src))
+
+    sink = str(tmp_path / "e2esink")
+    ckpt = str(tmp_path / "e2eckpt")
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(str(src))
+    piped = dedup_stream(stream)
+    extracted = piped.select("url", "html").mapInArrow(
+        _extract_arrow_batches, EXTRACT_SCHEMA
+    )
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(sink).collect()
+    # batch identity: newest capture per url, then canonical content rep
+    batch = latest_capture(pages)
+    dd = exact_dedup(batch, text_col="text", id_col="url")
+    survivors = batch.join(
+        dd.filter(~F.col("is_dup")).select("url"), "url"
+    ).collect()
+    # every survivor set holds one representative per content cluster;
+    # clusters here are byte-identical, so the extracted-text multisets
+    # must agree even though WHICH url survives a cluster may differ
+    assert sorted(r["extracted_text"] for r in got) == sorted(
+        r["text"] for r in survivors
+    )
+    assert len(got) == 12  # 4 re-deliveries + 4 mirrors all dropped
