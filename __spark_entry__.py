@@ -711,6 +711,76 @@ DECON_T = 0.2
 PACK_CAPACITY = 2048
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line signals (textstats.line_repetition_stats,
+    map-only Arrow kernel). The synthetic documents are single-line;
+    the query pins a deterministic line structure first — every
+    literal ' value ' token boundary becomes a newline — so duplicated
+    segments exist (the word soup repeats short runs). replace() is
+    byte-identical across Spark and DuckDB."""
+    from table_ocr_spark.operators.textstats import line_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("replace(text, ' value ', '\n')").alias("text"),
+    )
+    return line_repetition_stats(docs)
+
+
+def q_novel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (dedup.novel_documents): this week's
+    batch anti-joined by 192-bit content key against the seen
+    snapshot. Batch construction (deterministic in both engines):
+    re-delivered content (dropped), case-variants (dropped via the
+    pinned normalization), suffixed novelties (kept)."""
+    from table_ocr_spark.operators.dedup import novel_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.upper("text").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat("text", F.lit(" novel suffix")).alias("text"),
+            )
+        )
+    )
+    return novel_documents(new, docs)
+
+
+def q_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist audit (urlnorm.filter_blocked_hosts): urls
+    synthesized from the source column (subdomained for doc_id%7==0),
+    matched against a blocklist at label boundaries; audit view so
+    the oracle checks the verdicts, not just the survivor count."""
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = filter_blocked_hosts(
+        pages,
+        ["src1.example.com", "src3.example.com"],
+        keep_blocked=True,
+    )
+    return out.select("doc_id", "host", "blocked_domain", "blocked")
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators/dedup.duplicate_span_stats,
     the Lee-et-al. axis): per doc, tokens covered by corpus-repeated
@@ -942,6 +1012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "unigram_logprob": q_unigram_logprob,
         "dup_span_stats": q_dup_span_stats,
+        "line_repetition": q_line_repetition,
+        "novel_documents": q_novel_documents,
+        "blocked_hosts": q_blocked_hosts,
     }
 
 
@@ -1635,6 +1708,66 @@ def oracle_sql() -> dict[str, str]:
              CAST(doc_id % 480 + 16 AS BIGINT) AS height,
              CAST((doc_id % 256) / 2.0 AS DOUBLE) AS gray_mean
       FROM documents
+    """
+
+    # line := trimmed '\n' segment, empties dropped; duplicated iff the
+    # trimmed content occurs >= 2x within the SAME document (pinned in
+    # textstats.line_repetition_stats)
+    sql["line_repetition"] = """
+      WITH lined AS (SELECT doc_id, replace(text, ' value ', chr(10)) AS text
+                     FROM documents),
+      ln AS (SELECT doc_id, trim(l) AS line
+             FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
+                   FROM lined)
+             WHERE trim(l) <> ''),
+      cnt AS (SELECT doc_id, line, count(*) AS c, length(line) AS lc
+              FROM ln GROUP BY doc_id, line),
+      agg AS (SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_lines,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+                     CAST(sum(lc * c) AS BIGINT) AS line_chars,
+                     CAST(sum(CASE WHEN c > 1 THEN lc * c ELSE 0 END) AS BIGINT) AS dup_line_chars
+              FROM cnt GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_lines, 0) AS n_lines,
+             coalesce(a.dup_lines, 0) AS dup_lines,
+             round(CAST(coalesce(a.dup_lines, 0) AS DOUBLE)
+                   / greatest(coalesce(a.n_lines, 0), 1), 6) AS dup_line_frac,
+             round(CAST(coalesce(a.dup_line_chars, 0) AS DOUBLE)
+                   / greatest(coalesce(a.line_chars, 0), 1), 6) AS dup_line_char_frac
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+    sql["novel_documents"] = """
+      WITH newdocs AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, upper(text) FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + 300000, text || ' novel suffix' FROM documents WHERE doc_id % 10 = 2),
+      seen AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+               FROM documents)
+      SELECT n.doc_id, n.text FROM newdocs n
+      WHERE trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))
+            NOT IN (SELECT norm FROM seen)
+    """
+
+    sql["blocked_hosts"] = """
+      WITH pages AS (
+        SELECT doc_id,
+               lower(CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END
+                     || source || '.example.com') AS host
+        FROM documents)
+      SELECT doc_id, host,
+             CASE WHEN host = 'src1.example.com'
+                       OR host LIKE '%.src1.example.com' THEN 'src1.example.com'
+                  WHEN host = 'src3.example.com'
+                       OR host LIKE '%.src3.example.com' THEN 'src3.example.com'
+             END AS blocked_domain,
+             (host = 'src1.example.com' OR host LIKE '%.src1.example.com'
+              OR host = 'src3.example.com' OR host LIKE '%.src3.example.com')
+             AS blocked
+      FROM pages
     """
 
     return sql

@@ -75,7 +75,15 @@ PROMOTED = [
     "range_join_events",
 ]
 
-HEADLINE = R2_SUBSET + PROMOTED
+# new round-3 operators (Gopher dup-line kernel, cross-snapshot novel-
+# document anti-join, domain-blocklist audit)
+R3_NEW = [
+    "line_repetition",
+    "novel_documents",
+    "blocked_hosts",
+]
+
+HEADLINE = R2_SUBSET + PROMOTED + R3_NEW
 
 # N -> 4N pairs for the scaling criterion. (2, 8) is the primary pair:
 # a best-of-3 multiprocessing probe shows this VM delivers 2/4/8 procs

@@ -626,3 +626,41 @@ def duplicate_span_stats(
         )
     )
     return out
+
+
+def novel_documents(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup (the recrawl axis none of the within-
+    corpus operators cover): keep only ``new`` documents whose pinned-
+    normalized content does NOT appear anywhere in the ``seen``
+    snapshot. The crawl-scale shape of "process this week's WARCs
+    minus everything already in the lake".
+
+    Plan: both sides reduce to the 192-bit ``(xxhash64, md5)`` content
+    composite map-side (the full text never crosses an exchange — the
+    exact_dedup narrowing); the seen side DISTINCTs its keys (map-side
+    combine, |distinct contents| rows); one hash LEFT_ANTI join keyed
+    on 40 bytes/row. Spark injects a runtime Bloom filter on the
+    stream side for exactly this shape, so most novel rows never reach
+    the exchange at all; AQE handles hot-content skew. Within-batch
+    duplicates in ``new`` are NOT collapsed here — compose with
+    :func:`exact_dedup` for that (separable concerns, separately
+    auditable).
+    """
+    def keyed(df: DataFrame) -> DataFrame:
+        norm = normalized_text(F.col(text_col))
+        return df.select(
+            F.col(id_col),
+            F.xxhash64(norm).alias("_h64"),
+            F.md5(norm).alias("_h128"),
+        )
+
+    seen_keys = keyed(seen).select("_h64", "_h128").distinct()
+    survivors = keyed(new).join(
+        seen_keys, ["_h64", "_h128"], "left_anti"
+    ).select(id_col)
+    return new.join(survivors, id_col, "left_semi")

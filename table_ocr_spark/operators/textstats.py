@@ -226,6 +226,72 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _line_stats_udf():
+    """text -> (n_lines, dup_lines, line_chars, dup_line_chars) in one
+    Arrow batch: per-document Counter over trimmed non-empty lines.
+    Map-only for the same reason as :func:`_bigram_stats_udf` — a
+    per-document statistic must not cost a corpus-line exchange."""
+    import pandas as pd
+
+    @F.pandas_udf(
+        "n_lines long, dup_lines long, line_chars long, dup_line_chars long"
+    )
+    def udf(texts):  # type: ignore[no-untyped-def]
+        from collections import Counter
+
+        out = {"n_lines": [], "dup_lines": [], "line_chars": [],
+               "dup_line_chars": []}
+        for t in texts:
+            lines = [
+                ln.strip() for ln in (t or "").split("\n") if ln.strip() != ""
+            ]
+            c = Counter(lines)
+            n = len(lines)
+            chars = sum(len(ln) for ln in lines)
+            dup_n = sum(cnt for cnt in c.values() if cnt > 1)
+            dup_chars = sum(
+                len(ln) * cnt for ln, cnt in c.items() if cnt > 1
+            )
+            out["n_lines"].append(n)
+            out["dup_lines"].append(dup_n)
+            out["line_chars"].append(chars)
+            out["dup_line_chars"].append(dup_chars)
+        return pd.DataFrame(out)
+
+    return udf
+
+
+def line_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style duplicate-LINE signals (Rae et al. 2021 repetition
+    rules, the axis :func:`repetition_stats` does not cover): fraction
+    of lines that belong to a within-document duplicated line group and
+    the character mass those lines carry — boilerplate nav/footer soup
+    scores high here while staying invisible to token-level stats.
+
+    Pinned: line := trimmed segment of split('\\n'), empties dropped;
+    a line is 'duplicated' iff its trimmed content occurs >= 2 times in
+    the SAME document; fractions rounded 6 dp, 0.0 for line-less docs.
+    MAP-ONLY (plan-asserted): one Arrow kernel per batch, no Exchange.
+    """
+    st = df.select(
+        F.col(id_col),
+        _line_stats_udf()(F.coalesce(F.col(text_col), F.lit(""))).alias("_ls"),
+    )
+    dup_frac = F.col("_ls.dup_lines") / F.greatest(F.col("_ls.n_lines"), F.lit(1))
+    char_frac = F.col("_ls.dup_line_chars") / F.greatest(
+        F.col("_ls.line_chars"), F.lit(1)
+    )
+    return st.select(
+        F.col(id_col),
+        F.col("_ls.n_lines").alias("n_lines"),
+        F.col("_ls.dup_lines").alias("dup_lines"),
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        F.round(char_frac, 6).alias("dup_line_char_frac"),
+    )
+
+
 # pinned PII patterns (portable subset: no lookarounds, same semantics
 # under Java regex and RE2)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

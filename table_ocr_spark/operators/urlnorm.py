@@ -91,3 +91,83 @@ def latest_capture_canonical(pages: DataFrame, url_col: str = "url") -> DataFram
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+    include_subdomains: bool = True,
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Domain-blocklist filtering (the UT1/adult-blocklist stage every
+    crawl pipeline runs before training): drop rows whose url host is
+    on — or, with ``include_subdomains``, under — a blocked domain.
+
+    ``blocked`` is a Python list of domains OR a one-column DataFrame
+    ``(host)``. The list form embeds as an InSet literal and stays
+    fully map-side — right up to ~10^4 entries (past that the literal
+    bloats the serialized plan). For UT1-scale lists (~4M domains) use
+    the DataFrame form: verdicts are computed once per DISTINCT host
+    (Zipf-bounded) via an equi-join on the label-boundary suffixes —
+    Spark broadcasts the blocklist while it fits and shuffle-joins
+    past that; no driver materialization either way.
+
+    ``keep_blocked=True`` returns the AUDIT view instead: every row
+    with its ``host``, ``blocked`` flag and the matching
+    ``blocked_domain`` (NULL when clean) — filters should be auditable
+    before they are destructive.
+
+    Subdomain semantics are suffix-at-label-boundary: ``a.bad.com``
+    and ``bad.com`` match ``bad.com``; ``notbad.com`` does NOT.
+    Matching is on the pinned lowercase host (``host_of`` +
+    ``lower``); candidate suffixes are enumerated per row (a host has
+    O(labels) suffixes, ~4) so both forms stay equi-operations —
+    never a LIKE/contains theta join.
+    """
+    from table_ocr_spark.operators.extract import host_of
+
+    host = F.lower(host_of(F.col(url_col)))
+    with_host = df.withColumn("host", host)
+    # candidate suffixes at label boundaries: host itself + each
+    # parent domain ("a.b.c" -> ["a.b.c", "b.c", "c"])
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    suffixes = (
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+        )
+        if include_subdomains
+        else F.array(F.col("host"))
+    )
+
+    if isinstance(blocked, DataFrame):
+        # the verdict is a pure function of HOST, so it is computed
+        # once per DISTINCT host (Zipf-bounded: ~10^7-8 hosts per
+        # 10^12 docs) and equi-joined back — never a full-row exchange
+        bl = blocked.select(
+            F.lower(F.col(blocked.columns[0])).alias("_bdom")
+        ).distinct()
+        hosts = with_host.select("host").distinct()
+        ex = hosts.withColumn("_sfx", F.explode_outer(suffixes))
+        verdicts = (
+            ex.join(bl, ex["_sfx"] == bl["_bdom"], "left")
+            .groupBy("host")
+            .agg(F.min("_bdom").alias("blocked_domain"))
+        )
+        hits = with_host.join(verdicts, "host", "left")
+    else:
+        bl_set = sorted({str(b).lower() for b in blocked})
+        matches = F.filter(
+            suffixes, lambda s: s.isin(*bl_set) if bl_set else F.lit(False)
+        )
+        hits = with_host.withColumn(
+            "blocked_domain", F.array_min(matches)
+        )
+    audited = hits.withColumn("blocked", F.col("blocked_domain").isNotNull())
+    if keep_blocked:
+        return audited
+    return audited.filter(~F.col("blocked")).drop(
+        "host", "blocked", "blocked_domain"
+    )

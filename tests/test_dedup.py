@@ -234,3 +234,30 @@ def test_ngram_jaccard_max_shingle_df_self_consistent(spark):
     assert ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=1).count() == 0
     rows = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=2).collect()
     assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_novel_documents_cross_snapshot(spark):
+    from table_ocr_spark.operators.dedup import novel_documents
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),      # exact re-delivery -> dropped
+            (11, "ALPHA   beta GAMMA "),   # normalization dup -> dropped
+            (12, "zeta eta theta"),        # novel
+            (13, None),                    # NULL text: novel iff no empty seen
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in novel_documents(new, seen).collect())
+    assert got == [12, 13]
+    # an empty-text doc in seen swallows NULL/empty new docs (pinned:
+    # NULL normalizes to empty — same cluster as empty documents)
+    seen2 = seen.union(spark.createDataFrame([(3, "")], seen.schema))
+    got2 = sorted(r["doc_id"] for r in novel_documents(new, seen2).collect())
+    assert got2 == [12]
+    # full rows ride through (left_semi keeps the original columns)
+    assert set(novel_documents(new, seen).columns) == {"doc_id", "text"}

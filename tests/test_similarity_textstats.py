@@ -263,3 +263,30 @@ def test_textstats_null_text_pinned_zero_tokens(spark):
     assert li[1]["lang_pred"] == "und" and li[2]["lang_pred"] == "en"
     ul = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
     assert ul[1]["n_tokens"] == 0 and ul[1]["avg_neg_logprob"] == 0.0
+
+
+def test_line_repetition_stats(spark):
+    from table_ocr_spark.operators.textstats import line_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav bar\ncontent one\nnav bar\n  \ncontent two"),
+            (2, "only line"),
+            (3, None),
+            (4, "a\na\na\nb"),
+        ],
+        "doc_id long, text string",
+    )
+    out = line_repetition_stats(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 1: 4 non-empty lines, 'nav bar' x2 duplicated
+    assert got[1]["n_lines"] == 4 and got[1]["dup_lines"] == 2
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_line_char_frac"] == round(14 / (7 + 11 + 7 + 11), 6)
+    assert got[2]["dup_lines"] == 0 and got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] == 0 and got[3]["dup_line_frac"] == 0.0
+    assert got[4]["n_lines"] == 4 and got[4]["dup_lines"] == 3
+    assert got[4]["dup_line_frac"] == 0.75
+    # map-only: per-document statistic must not shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

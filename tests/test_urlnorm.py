@@ -96,3 +96,64 @@ def test_canonical_url_idempotent_and_deterministic(spark):
     ]
     for u, a, b in zip(flat, once, twice):
         assert a == b, f"not idempotent for {u!r}: {a!r} -> {b!r}"
+
+
+def test_filter_blocked_hosts_list_and_frame(spark):
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    rows = [
+        (1, "https://good.example.com/a"),
+        (2, "https://bad.com/x"),                 # exact block
+        (3, "https://cdn.bad.com/y"),             # subdomain block
+        (4, "https://notbad.com/z"),              # suffix NOT at label boundary
+        (5, "HTTPS://BAD.COM/upper"),             # case-insensitive host
+        (6, "not a url at all"),                  # hostless -> never blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_blocked_hosts(df, ["bad.com"]).collect()
+    )
+    assert kept == [1, 4, 6]
+    # output schema = input schema (audit columns dropped on filter)
+    assert filter_blocked_hosts(df, ["bad.com"]).columns == ["doc_id", "url"]
+
+    audit = {
+        r["doc_id"]: r
+        for r in filter_blocked_hosts(
+            df, ["bad.com"], keep_blocked=True
+        ).collect()
+    }
+    assert audit[3]["blocked"] and audit[3]["blocked_domain"] == "bad.com"
+    assert audit[1]["blocked"] is False and audit[1]["blocked_domain"] is None
+
+    # DataFrame blocklist form: same verdicts, host-equi-join plan
+    bl = spark.createDataFrame([("bad.com",)], "host string")
+    kept2 = sorted(
+        r["doc_id"] for r in filter_blocked_hosts(df, bl).collect()
+    )
+    assert kept2 == [1, 4, 6]
+    audit2 = {
+        r["doc_id"]: r
+        for r in filter_blocked_hosts(df, bl, keep_blocked=True).collect()
+    }
+    assert audit2[5]["blocked"] and audit2[2]["blocked_domain"] == "bad.com"
+
+    # include_subdomains=False: only the exact host matches
+    kept3 = sorted(
+        r["doc_id"]
+        for r in filter_blocked_hosts(
+            df, ["bad.com"], include_subdomains=False
+        ).collect()
+    )
+    assert kept3 == [1, 3, 4, 6]
+
+
+def test_filter_blocked_hosts_empty_list_noop(spark):
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x")], "doc_id long, url string"
+    )
+    assert filter_blocked_hosts(df, []).count() == 1
