@@ -1716,10 +1716,10 @@ def oracle_sql() -> dict[str, str]:
     sql["line_repetition"] = """
       WITH lined AS (SELECT doc_id, replace(text, ' value ', chr(10)) AS text
                      FROM documents),
-      ln AS (SELECT doc_id, trim(l) AS line
+      ln AS (SELECT doc_id, trim(l, ' ' || chr(9) || chr(13)) AS line
              FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
                    FROM lined)
-             WHERE trim(l) <> ''),
+             WHERE trim(l, ' ' || chr(9) || chr(13)) <> ''),
       cnt AS (SELECT doc_id, line, count(*) AS c, length(line) AS lc
               FROM ln GROUP BY doc_id, line),
       agg AS (SELECT doc_id,
@@ -1745,11 +1745,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id + 200000, upper(text) FROM documents WHERE doc_id % 10 = 1
         UNION ALL
         SELECT doc_id + 300000, text || ' novel suffix' FROM documents WHERE doc_id % 10 = 2),
-      seen AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      seen AS (SELECT trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS norm
                FROM documents)
+      -- NOT EXISTS, not NOT IN: a NULL in the seen subquery would make
+      -- NOT IN never-true (3-valued logic) and the oracle would read 0
+      -- rows; coalesce mirrors the operator's NULL->'' normalization
       SELECT n.doc_id, n.text FROM newdocs n
-      WHERE trim(regexp_replace(lower(n.text), '\\s+', ' ', 'g'))
-            NOT IN (SELECT norm FROM seen)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seen s
+        WHERE s.norm = trim(regexp_replace(lower(coalesce(n.text, '')), '\\s+', ' ', 'g'))
+      )
     """
 
     sql["blocked_hosts"] = """

@@ -56,6 +56,18 @@ def normalized_text(col: Column) -> Column:
     )
 
 
+def content_key_cols(text_col: str) -> list:
+    """THE 192-bit content key: ``(xxhash64(norm), md5(norm))`` of the
+    pinned normalization, as two columns named ``_h64``/``_h128``.
+    Single definition shared by ``exact_dedup``, ``exact_dedup_audit``,
+    ``novel_documents`` and the streaming content dedup — these must
+    stay hash-identical for cross-operator composability (a dedup run
+    and a later incremental ingest must agree on what 'same content'
+    means), so the construction lives HERE once."""
+    norm = normalized_text(F.col(text_col))
+    return [F.xxhash64(norm).alias("_h64"), F.md5(norm).alias("_h128")]
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     key: str = "hash",
@@ -82,11 +94,7 @@ def exact_dedup(
     norm = normalized_text(F.col(text_col)).alias("_norm")
     with_norm = df.select(F.col(id_col), norm)
     if key == "hash":
-        keyed = with_norm.select(
-            F.col(id_col),
-            F.xxhash64("_norm").alias("_h64"),
-            F.md5("_norm").alias("_h128"),
-        )
+        keyed = df.select(F.col(id_col), *content_key_cols(text_col))
         group_cols = ["_h64", "_h128"]
     else:
         keyed = with_norm
@@ -125,11 +133,7 @@ def exact_dedup_audit(
     prove the audit actually catches merges)."""
     norm = normalized_text(F.col(text_col))
     if key_cols is None:
-        keyed = df.select(
-            norm.alias("_norm"),
-            F.xxhash64(norm).alias("_h64"),
-            F.md5(norm).alias("_h128"),
-        )
+        keyed = df.select(norm.alias("_norm"), *content_key_cols(text_col))
         group_cols = ["_h64", "_h128"]
     else:
         # key expressions are evaluated against the ORIGINAL frame, so
@@ -640,27 +644,30 @@ def novel_documents(
     snapshot. The crawl-scale shape of "process this week's WARCs
     minus everything already in the lake".
 
-    Plan: both sides reduce to the 192-bit ``(xxhash64, md5)`` content
-    composite map-side (the full text never crosses an exchange — the
-    exact_dedup narrowing); the seen side DISTINCTs its keys (map-side
-    combine, |distinct contents| rows); one hash LEFT_ANTI join keyed
-    on 40 bytes/row. Spark injects a runtime Bloom filter on the
-    stream side for exactly this shape, so most novel rows never reach
-    the exchange at all; AQE handles hot-content skew. Within-batch
+    Plan: the SEEN side (the lake — the big side) reduces map-side to
+    the shared 192-bit content composite (:func:`content_key_cols`; its
+    text never crosses an exchange) and DISTINCTs its keys (map-side
+    combine, |distinct contents| rows). The ``new`` batch attaches the
+    same keys via withColumn and LEFT_ANTI joins on them — ONE scan of
+    ``new`` (its full rows do cross the join exchange when the seen
+    keys exceed broadcast: they are the output, and a narrow-then-
+    semi-join-back shape would scan and shuffle ``new`` twice instead).
+    Spark injects a runtime Bloom filter on the stream side for
+    exactly this shape, so most already-seen rows are dropped before
+    the exchange; AQE handles hot-content skew. Within-batch
     duplicates in ``new`` are NOT collapsed here — compose with
     :func:`exact_dedup` for that (separable concerns, separately
     auditable).
     """
-    def keyed(df: DataFrame) -> DataFrame:
-        norm = normalized_text(F.col(text_col))
-        return df.select(
-            F.col(id_col),
-            F.xxhash64(norm).alias("_h64"),
-            F.md5(norm).alias("_h128"),
+    clash = {"_h64", "_h128"} & set(new.columns)
+    if clash:
+        raise ValueError(
+            f"novel_documents: input columns {sorted(clash)} collide with "
+            "the internal content-key columns; rename them first"
         )
-
-    seen_keys = keyed(seen).select("_h64", "_h128").distinct()
-    survivors = keyed(new).join(
+    h64, h128 = content_key_cols(text_col)
+    seen_keys = seen.select(*content_key_cols(text_col)).distinct()
+    keyed_new = new.withColumn("_h64", h64).withColumn("_h128", h128)
+    return keyed_new.join(
         seen_keys, ["_h64", "_h128"], "left_anti"
-    ).select(id_col)
-    return new.join(survivors, id_col, "left_semi")
+    ).drop("_h64", "_h128")

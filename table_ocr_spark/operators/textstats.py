@@ -242,8 +242,13 @@ def _line_stats_udf():
         out = {"n_lines": [], "dup_lines": [], "line_chars": [],
                "dup_line_chars": []}
         for t in texts:
+            # trim set pinned to ' \t\r' (NOT Python's full .strip():
+            # that trims unicode whitespace DuckDB's trim() does not,
+            # and the oracle contract would diverge on CRLF corpora)
             lines = [
-                ln.strip() for ln in (t or "").split("\n") if ln.strip() != ""
+                ln.strip(" \t\r")
+                for ln in (t or "").split("\n")
+                if ln.strip(" \t\r") != ""
             ]
             c = Counter(lines)
             n = len(lines)
@@ -270,9 +275,12 @@ def line_repetition_stats(
     the character mass those lines carry — boilerplate nav/footer soup
     scores high here while staying invisible to token-level stats.
 
-    Pinned: line := trimmed segment of split('\\n'), empties dropped;
-    a line is 'duplicated' iff its trimmed content occurs >= 2 times in
-    the SAME document; fractions rounded 6 dp, 0.0 for line-less docs.
+    Pinned: line := segment of split('\\n') trimmed of ``' \\t\\r'``
+    (the explicit set, mirrored by the oracle's ``trim(l, ...)`` —
+    Python's bare ``.strip()`` trims unicode whitespace DuckDB does
+    not), empties dropped; a line is 'duplicated' iff its trimmed
+    content occurs >= 2 times in the SAME document; fractions rounded
+    6 dp, 0.0 for line-less docs.
     MAP-ONLY (plan-asserted): one Arrow kernel per batch, no Exchange.
     """
     st = df.select(

@@ -116,22 +116,47 @@ def filter_blocked_hosts(
     ``keep_blocked=True`` returns the AUDIT view instead: every row
     with its ``host``, ``blocked`` flag and the matching
     ``blocked_domain`` (NULL when clean) — filters should be auditable
-    before they are destructive.
+    before they are destructive. The audit column names are part of the
+    contract, so an input already carrying them raises (no silent
+    clobber); the filter path computes on internal columns and returns
+    EXACTLY the input schema untouched.
 
     Subdomain semantics are suffix-at-label-boundary: ``a.bad.com``
-    and ``bad.com`` match ``bad.com``; ``notbad.com`` does NOT.
-    Matching is on the pinned lowercase host (``host_of`` +
-    ``lower``); candidate suffixes are enumerated per row (a host has
-    O(labels) suffixes, ~4) so both forms stay equi-operations —
-    never a LIKE/contains theta join.
+    and ``bad.com`` match ``bad.com``; ``notbad.com`` does NOT. The
+    matched host is the lowercase REGISTRABLE host: userinfo
+    (``user@``) and port (``:8080``) are stripped before matching —
+    the raw authority would let any blocked domain through via
+    ``https://bad.com:443/`` or ``https://x@bad.com/`` (a filter a url
+    author can route around is not a filter). Candidate suffixes are
+    enumerated per row (a host has O(labels) suffixes, ~4) so both
+    forms stay equi-operations — never a LIKE/contains theta join.
     """
     from table_ocr_spark.operators.extract import host_of
 
-    host = F.lower(host_of(F.col(url_col)))
-    with_host = df.withColumn("host", host)
+    audit_cols = ("host", "blocked", "blocked_domain")
+    clash = set(audit_cols) & set(df.columns)
+    if keep_blocked and clash:
+        raise ValueError(
+            f"filter_blocked_hosts: input columns {sorted(clash)} collide "
+            "with the audit output columns; rename them on the input first"
+        )
+    internal = {"_blh_host", "_blh_dom", "_sfx", "_bdom"} & set(df.columns)
+    if internal:
+        raise ValueError(
+            f"filter_blocked_hosts: input columns {sorted(internal)} collide "
+            "with internal working columns; rename them first"
+        )
+    # registrable host: authority minus userinfo and port. (Bracketed
+    # IPv6 literals keep their brackets and simply never match a
+    # domain blocklist — correct, if conservative.)
+    authority = F.lower(host_of(F.col(url_col)))
+    host = F.regexp_replace(
+        F.regexp_replace(authority, r"^[^@]*@", ""), r":\d+$", ""
+    )
+    with_host = df.withColumn("_blh_host", host)
     # candidate suffixes at label boundaries: host itself + each
     # parent domain ("a.b.c" -> ["a.b.c", "b.c", "c"])
-    labels = F.split(F.col("host"), r"\.")
+    labels = F.split(F.col("_blh_host"), r"\.")
     n = F.size(labels)
     suffixes = (
         F.transform(
@@ -139,7 +164,7 @@ def filter_blocked_hosts(
             lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
         )
         if include_subdomains
-        else F.array(F.col("host"))
+        else F.array(F.col("_blh_host"))
     )
 
     if isinstance(blocked, DataFrame):
@@ -149,25 +174,25 @@ def filter_blocked_hosts(
         bl = blocked.select(
             F.lower(F.col(blocked.columns[0])).alias("_bdom")
         ).distinct()
-        hosts = with_host.select("host").distinct()
+        hosts = with_host.select("_blh_host").distinct()
         ex = hosts.withColumn("_sfx", F.explode_outer(suffixes))
         verdicts = (
             ex.join(bl, ex["_sfx"] == bl["_bdom"], "left")
-            .groupBy("host")
-            .agg(F.min("_bdom").alias("blocked_domain"))
+            .groupBy("_blh_host")
+            .agg(F.min("_bdom").alias("_blh_dom"))
         )
-        hits = with_host.join(verdicts, "host", "left")
+        hits = with_host.join(verdicts, "_blh_host", "left")
     else:
         bl_set = sorted({str(b).lower() for b in blocked})
         matches = F.filter(
             suffixes, lambda s: s.isin(*bl_set) if bl_set else F.lit(False)
         )
-        hits = with_host.withColumn(
-            "blocked_domain", F.array_min(matches)
-        )
-    audited = hits.withColumn("blocked", F.col("blocked_domain").isNotNull())
+        hits = with_host.withColumn("_blh_dom", F.array_min(matches))
     if keep_blocked:
-        return audited
-    return audited.filter(~F.col("blocked")).drop(
-        "host", "blocked", "blocked_domain"
-    )
+        return hits.select(
+            *df.columns,
+            F.col("_blh_host").alias("host"),
+            F.col("_blh_dom").alias("blocked_domain"),
+            F.col("_blh_dom").isNotNull().alias("blocked"),
+        )
+    return hits.filter(F.col("_blh_dom").isNull()).select(*df.columns)

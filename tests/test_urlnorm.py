@@ -157,3 +157,47 @@ def test_filter_blocked_hosts_empty_list_noop(spark):
         [(1, "https://a.com/x")], "doc_id long, url string"
     )
     assert filter_blocked_hosts(df, []).count() == 1
+
+
+def test_filter_blocked_hosts_port_and_userinfo_cannot_bypass(spark):
+    # review r3: host_of returns the raw authority; without stripping
+    # userinfo/port any blocked domain passed the filter via
+    # 'bad.com:443' or 'x@bad.com' — a filter a url author can route
+    # around is not a filter
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://bad.com:8080/x"),
+            (2, "https://evil@bad.com/y"),
+            (3, "https://u:p@sub.bad.com:443/z"),
+            (4, "https://good.com:8080/ok"),
+        ],
+        "doc_id long, url string",
+    )
+    audit = {
+        r["doc_id"]: r
+        for r in filter_blocked_hosts(df, ["bad.com"], keep_blocked=True).collect()
+    }
+    assert audit[1]["blocked"] and audit[1]["host"] == "bad.com"
+    assert audit[2]["blocked"] and audit[2]["host"] == "bad.com"
+    assert audit[3]["blocked"] and audit[3]["host"] == "sub.bad.com"
+    assert audit[4]["blocked"] is False and audit[4]["host"] == "good.com"
+
+
+def test_filter_blocked_hosts_preserves_input_columns(spark):
+    # review r3: an input already carrying a 'host' column was silently
+    # clobbered (filter path) — now untouched on filter, raises on audit
+    import pytest
+
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(1, "https://good.com/a", "caller-host")],
+        "doc_id long, url string, host string",
+    )
+    out = filter_blocked_hosts(df, ["bad.com"]).collect()
+    assert out[0]["host"] == "caller-host"
+    assert filter_blocked_hosts(df, ["bad.com"]).columns == df.columns
+    with pytest.raises(ValueError, match="collide"):
+        filter_blocked_hosts(df, ["bad.com"], keep_blocked=True)
