@@ -781,6 +781,18 @@ def q_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "blocked_domain", "blocked")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/importance.py): corpus scored
+    against a target slice (doc_id % 10 == 0) via hashed-bigram
+    log-likelihood ratios — the Xie-et-al. data-selection stage with
+    the engine-portable pinned feature hash."""
+    from table_ocr_spark.operators.importance import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return dsir_weights(docs, target)
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators/dedup.duplicate_span_stats,
     the Lee-et-al. axis): per doc, tokens covered by corpus-repeated
@@ -1015,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_repetition": q_line_repetition,
         "novel_documents": q_novel_documents,
         "blocked_hosts": q_blocked_hosts,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -1755,6 +1768,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1 FROM seen s
         WHERE s.norm = trim(regexp_replace(lower(coalesce(n.text, '')), '\\s+', ' ', 'g'))
       )
+    """
+
+    # pinned feature hash (importance.py): bucket(g) =
+    # (((31*len + 7*ascii(first) + ascii(last)) * 2654435761) % 2^32) % B
+    sql["dsir_weights"] = f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      g AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(generate_series(1, len(toks)-1),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE []::VARCHAR[] END AS grams
+            FROM t),
+      ex AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+      feat AS (SELECT doc_id,
+                      ((31*length(gr) + 7*ascii(substr(gr,1,1)) + ascii(substr(gr,-1,1)))
+                       * 2654435761) % 4294967296 % 10000 AS bucket
+               FROM ex),
+      rc AS (SELECT bucket, count(*) AS cr FROM feat GROUP BY bucket),
+      tc AS (SELECT bucket, count(*) AS ct FROM feat
+             WHERE doc_id % 10 = 0 GROUP BY bucket),
+      rt AS (SELECT sum(cr) AS tr FROM rc),
+      tt AS (SELECT sum(ct) AS ttl FROM tc),
+      ratio AS (SELECT bucket,
+                       ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (ttl + 10000))
+                       - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / (tr + 10000)) AS lr
+                FROM rc FULL OUTER JOIN tc USING (bucket), rt, tt),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                    round(sum(lr), 6) AS dsir_logweight
+             FROM feat JOIN ratio USING (bucket) GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(s.n_features, 0) AS n_features,
+             coalesce(s.dsir_logweight, 0.0) AS dsir_logweight
+      FROM documents d LEFT JOIN sc s USING (doc_id)
     """
 
     sql["blocked_hosts"] = """

@@ -81,6 +81,7 @@ R3_NEW = [
     "line_repetition",
     "novel_documents",
     "blocked_hosts",
+    "dsir_weights",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW

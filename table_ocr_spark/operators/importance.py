@@ -1,0 +1,132 @@
+"""DSIR-style importance weighting for pretraining data selection
+(Data Selection via Importance Resampling, Xie et al. 2023 — public
+method): score every corpus document by the log-likelihood ratio of a
+TARGET distribution (a quality reference set: wiki+books-like text, an
+eval-adjacent domain) vs the RAW corpus distribution, both modeled as
+bag-of-hashed-bigram multinomials with add-one smoothing. Documents
+resembling the target score high; selection/resampling then keeps a
+target-shaped subcorpus. The reference has no analogue (its quality
+mechanism is LLM self-agreement); this is the standard
+importance-sampling stage of a 100 TB pretraining pipeline.
+
+Plan shape at 10^12 docs:
+- both feature-count models are B-bounded aggregates (explode ->
+  groupBy(bucket) with map-side combine; the exchange carries at most
+  ``n_buckets`` rows per partition — never corpus-sized);
+- the per-bucket log-ratio table is ``n_buckets`` rows (default 10k),
+  broadcast to the scorers;
+- scoring is explode -> broadcast-hash join -> groupBy(id) with
+  map-side combine: one corpus-feature-stream pass, one id-keyed
+  exchange of partial sums. Zero-bigram docs backfill MAP-SIDE
+  (the measured lesson from unigram_logprob: an anti-join backfill
+  doubled that query's exchange bytes).
+
+Pinned, oracle-reproducible feature hash (the deliberate stand-in —
+swap for crc32/xxhash inside an Arrow kernel in production, where
+DuckDB-parity stops mattering):
+  ``bucket(g) = (((31*len(g) + 7*ascii(g[0]) + ascii(g[-1]))
+                  * 2654435761) mod 2^32) mod n_buckets``
+— the simhash token-value recipe applied to the bigram string; weak
+(bigrams sharing length/first/last collide) but deterministic in both
+engines, and DSIR itself is robust to hash collisions by construction
+(the original uses 10k buckets for millions of bigrams: heavy
+collision is part of the method).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.dedup import _gram_seq_udf
+from table_ocr_spark.operators.textstats import tokens
+
+HASH_MIX = 2654435761  # Knuth multiplicative constant (same as simhash)
+HASH_MOD = 1 << 32
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    """Pinned engine-portable bucket of a bigram string (see module
+    docstring)."""
+    val = (
+        F.length(gram).cast("long") * 31
+        + F.ascii(F.substring(gram, 1, 1)).cast("long") * 7
+        + F.ascii(F.substring(gram, -1, 1)).cast("long")
+    )
+    return ((val * HASH_MIX) % HASH_MOD) % n_buckets
+
+
+def _features(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+    """(id, bucket) — one row per bigram occurrence (with multiplicity),
+    bigrams from the shared ordered-2-gram Arrow kernel."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_seq_udf(2)(tokens(F.col(text_col)))).alias("_g"),
+    )
+    return ex.select("id", _bucket(F.col("_g"), n_buckets).alias("bucket"))
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """Per corpus document: hashed-bigram feature count and the DSIR
+    importance log-weight
+    ``sum over bigrams of [ln p_target(bucket) - ln p_raw(bucket)]``
+    with add-one smoothing (``p(b) = (count_b + 1) / (total + B)``),
+    rounded 6 dp. Zero-bigram documents score 0.0 (no evidence).
+    Downstream: resample/filter by weight (e.g. keep the top-k or
+    Gumbel-top-k sample) to shape the corpus toward the target.
+    """
+    target_text_col = target_text_col or text_col
+    corpus_f = _features(corpus, text_col, id_col, n_buckets)
+    target_f = _features(
+        target.select(F.col(target_text_col).alias("_t")), "_t", "_t", n_buckets
+    ).select("bucket")
+
+    raw_counts = corpus_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt_counts = target_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    # totals are single-row broadcasts; the ratio table is built over
+    # the union of observed buckets (absent side smooths to count 0)
+    raw_tot = raw_counts.agg(F.sum("_cr").alias("_tr"))
+    tgt_tot = tgt_counts.agg(F.sum("_ct").alias("_tt"))
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("_ct", F.lit(0)) + 1)
+                      / (F.col("_tt") + n_buckets))
+                - F.log((F.coalesce("_cr", F.lit(0)) + 1)
+                        / (F.col("_tr") + n_buckets))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        corpus_f.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("_lr").alias("_w"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_features",
+            F.round("_w", 6).alias("dsir_logweight"),
+        )
+    )
+    # zero-bigram docs: map-side backfill, never an anti-join
+    empties = corpus.filter(
+        F.size(tokens(F.col(text_col))) < 2
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_features"),
+        F.lit(0.0).alias("dsir_logweight"),
+    )
+    return scored.unionByName(empties)

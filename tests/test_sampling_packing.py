@@ -154,3 +154,36 @@ def test_write_training_shards_order_and_assignment(spark, docs, tmp_path):
 
     with pytest.raises(ValueError):
         write_training_shards(packed, out, seqs_per_shard=0)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from table_ocr_spark.operators.importance import dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),      # target-like
+            (2, "zzz qqq kkk www yyy xxx vvv"),          # alien
+            (3, "the quick brown fox jumps over the lazy dog"),  # exact target
+            (4, "x"),                                    # zero bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_weights(corpus, target).collect()}
+    assert len(got) == 4
+    # per-feature mean makes doc lengths comparable; exact target copy
+    # must outrank the partial match, which outranks the alien doc
+    def per_feat(r):
+        return r["dsir_logweight"] / max(r["n_features"], 1)
+
+    assert per_feat(got[3]) > per_feat(got[1]) > per_feat(got[2])
+    assert got[4]["n_features"] == 0 and got[4]["dsir_logweight"] == 0.0
+    # the ratio table must reach scorers by broadcast, not a shuffle join
+    plan = (
+        dsir_weights(corpus, target)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
