@@ -91,13 +91,13 @@ def exact_dedup(
     """
     if key not in ("hash", "text"):
         raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
-    norm = normalized_text(F.col(text_col)).alias("_norm")
-    with_norm = df.select(F.col(id_col), norm)
     if key == "hash":
         keyed = df.select(F.col(id_col), *content_key_cols(text_col))
         group_cols = ["_h64", "_h128"]
     else:
-        keyed = with_norm
+        keyed = df.select(
+            F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+        )
         group_cols = ["_norm"]
     groups = keyed.groupBy(*group_cols).agg(
         F.min(id_col).alias("canonical_id"),

@@ -92,8 +92,15 @@ def dsir_weights(
     tgt_counts = target_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
     # totals are single-row broadcasts; the ratio table is built over
     # the union of observed buckets (absent side smooths to count 0)
-    raw_tot = raw_counts.agg(F.sum("_cr").alias("_tr"))
-    tgt_tot = tgt_counts.agg(F.sum("_ct").alias("_tt"))
+    # coalesce: sum() over an EMPTY count table is NULL, and a NULL
+    # total would NULL every log-ratio (an empty target is well-defined
+    # under add-one smoothing: p(b) = 1/B uniformly)
+    raw_tot = raw_counts.agg(
+        F.coalesce(F.sum("_cr"), F.lit(0)).alias("_tr")
+    )
+    tgt_tot = tgt_counts.agg(
+        F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt")
+    )
     ratio = (
         raw_counts.join(tgt_counts, "bucket", "full_outer")
         .crossJoin(F.broadcast(raw_tot))

@@ -146,13 +146,21 @@ def filter_blocked_hosts(
             f"filter_blocked_hosts: input columns {sorted(internal)} collide "
             "with internal working columns; rename them first"
         )
-    # registrable host: authority minus userinfo and port. (Bracketed
-    # IPv6 literals keep their brackets and simply never match a
-    # domain blocklist — correct, if conservative.)
+    # registrable host: authority minus userinfo and port, with the
+    # cosmetic-DNS-equivalence bypasses canonicalized away:
+    # - userinfo strip is GREEDY '^.*@' — browsers/curl treat everything
+    #   before the LAST '@' as userinfo, so 'x@y@bad.com' must resolve
+    #   to bad.com (non-greedy left 'y@bad.com' unblocked);
+    # - trailing dots drop ('bad.com.' is DNS-identical to 'bad.com');
+    # - percent-encoded dots decode ('bad%2Ecom'). Full Safe-Browsing
+    #   canonicalization (general %-decode, punycode) is out of scope
+    #   and documented; bracketed IPv6 literals keep their brackets and
+    #   simply never match a domain blocklist — correct, if conservative.
     authority = F.lower(host_of(F.col(url_col)))
-    host = F.regexp_replace(
-        F.regexp_replace(authority, r"^[^@]*@", ""), r":\d+$", ""
-    )
+    host = F.regexp_replace(authority, r"^.*@", "")
+    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(host, r"%2e", ".")
+    host = F.regexp_replace(host, r"\.+$", "")
     with_host = df.withColumn("_blh_host", host)
     # candidate suffixes at label boundaries: host itself + each
     # parent domain ("a.b.c" -> ["a.b.c", "b.c", "c"])

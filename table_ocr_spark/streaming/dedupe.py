@@ -57,12 +57,10 @@ def dedup_stream_content(
     text itself — state rows stay narrow AND a cross-document collision
     needs a simultaneous 64- and 128-bit collision (a single 64-bit key
     would collide at crawl scale and silently drop real documents)."""
-    from table_ocr_spark.operators.dedup import normalized_text
+    from table_ocr_spark.operators.dedup import content_key_cols
 
-    norm = normalized_text(F.col(text_col))
-    hashed = pages.withColumn("_ck64", F.xxhash64(norm)).withColumn(
-        "_ck128", F.md5(norm)
-    )
+    h64, h128 = content_key_cols(text_col)
+    hashed = pages.withColumn("_ck64", h64).withColumn("_ck128", h128)
     return (
         hashed.withWatermark(ts, watermark)
         .dropDuplicatesWithinWatermark(["_ck64", "_ck128"])
@@ -86,15 +84,13 @@ def dedup_stream(
     (multiple stateful operators per stream are supported since Spark
     3.4). State: one entry per distinct key per horizon + one per
     distinct content hash per horizon, both watermark-evicted."""
-    from table_ocr_spark.operators.dedup import normalized_text
+    from table_ocr_spark.operators.dedup import content_key_cols
 
     by_key = pages.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         [key]
     )
-    norm = normalized_text(F.col(text_col))
-    hashed = by_key.withColumn("_ck64", F.xxhash64(norm)).withColumn(
-        "_ck128", F.md5(norm)
-    )
+    h64, h128 = content_key_cols(text_col)
+    hashed = by_key.withColumn("_ck64", h64).withColumn("_ck128", h128)
     return (
         hashed.dropDuplicatesWithinWatermark(["_ck64", "_ck128"])
         .drop("_ck64", "_ck128")

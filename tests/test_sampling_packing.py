@@ -187,3 +187,23 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_weights_empty_target_is_uniform_not_null(spark):
+    # review r3 pass 2: sum() over an empty target count table is NULL
+    # and NULLed every weight; add-one smoothing defines the empty
+    # target as the uniform model p(b) = 1/B
+    import math
+
+    from table_ocr_spark.operators.importance import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    empty_target = spark.createDataFrame([], "doc_id long, text string")
+    got = dsir_weights(corpus, empty_target, n_buckets=100).collect()[0]
+    assert got["n_features"] == 2
+    assert got["dsir_logweight"] is not None
+    # hand value: lr(b) = ln(1/100) - ln((cr_b+1)/(2+100)); both corpus
+    # bigrams are unique -> cr_b = 1 -> lr = ln(102/200) per feature
+    assert abs(got["dsir_logweight"] - round(2 * math.log(102 / 200), 6)) < 1e-6

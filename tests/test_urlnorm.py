@@ -201,3 +201,28 @@ def test_filter_blocked_hosts_preserves_input_columns(spark):
     assert filter_blocked_hosts(df, ["bad.com"]).columns == df.columns
     with pytest.raises(ValueError, match="collide"):
         filter_blocked_hosts(df, ["bad.com"], keep_blocked=True)
+
+
+def test_filter_blocked_hosts_canonicalization_bypasses(spark):
+    # review r3 pass 2: double-@ (browsers split on LAST @), trailing
+    # dot (DNS-identical), percent-encoded dot — all must still block
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://x@y@bad.com/p"),
+            (2, "https://bad.com./p"),
+            (3, "https://bad%2Ecom/p"),
+            (4, "https://ok.com/p"),
+        ],
+        "doc_id long, url string",
+    )
+    for blocklist in (["bad.com"], spark.createDataFrame([("bad.com",)], "h string")):
+        audit = {
+            r["doc_id"]: r
+            for r in filter_blocked_hosts(df, blocklist, keep_blocked=True).collect()
+        }
+        assert audit[1]["blocked"] and audit[1]["host"] == "bad.com"
+        assert audit[2]["blocked"] and audit[2]["host"] == "bad.com"
+        assert audit[3]["blocked"] and audit[3]["host"] == "bad.com"
+        assert audit[4]["blocked"] is False
