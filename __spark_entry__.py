@@ -781,6 +781,22 @@ def q_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "blocked_domain", "blocked")
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language sampling (sampling.py): mBERT/
+    XLM-R-style p^T mix, composed onto the oracle-checked deterministic
+    membership rule. NO oracle_sql on purpose (rows-only check): the
+    data-dependent fraction -> 64-bit hex threshold conversion is
+    Python arbitrary-precision arithmetic (int(frac * 2^64)) that
+    DuckDB's DECIMAL literal arithmetic reproduces only approximately
+    (verified divergent in the low bits); the membership RULE itself is
+    oracle-exact via `stratified_sample`, and the rates math is pinned
+    by closed-form unit tests."""
+    from table_ocr_spark.operators.sampling import temperature_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, temperature=0.5, total_fraction=0.3)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/importance.py): corpus scored
     against a target slice (doc_id % 10 == 0) via hashed-bigram
@@ -1028,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novel_documents": q_novel_documents,
         "blocked_hosts": q_blocked_hosts,
         "dsir_weights": q_dsir_weights,
+        "temperature_sample": q_temperature_sample,
     }
 
 

@@ -82,6 +82,7 @@ R3_NEW = [
     "novel_documents",
     "blocked_hosts",
     "dsir_weights",
+    "temperature_sample",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW

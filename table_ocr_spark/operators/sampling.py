@@ -69,3 +69,57 @@ def stratified_sample(
         F.lit(_threshold_hex(default_fraction)),
     )
     return df.filter(_hash_prefix(F.col(key)) < thr)
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str = "lang",
+    temperature: float = 0.7,
+    total_fraction: float = 1.0,
+) -> Dict[str, float]:
+    """Temperature-rebalanced per-stratum sampling fractions (the
+    multilingual-mix recipe of mBERT/XLM-R/mT5: sample stratum ``s``
+    proportional to ``p_s^T`` instead of its natural share ``p_s``,
+    T<1 up-weighting tail languages). Returns a fractions dict to feed
+    :func:`stratified_sample`, scaled so the expected kept-row count is
+    ``total_fraction * n`` and no stratum exceeds fraction 1.0 (excess
+    mass from capped strata is NOT redistributed — deliberate: the
+    recipe stays a closed-form function of the counts, reproducible
+    from this docstring alone).
+
+    Driver-side collect is one row per stratum (languages: O(100)) —
+    the same bounded-collect argument as lineage/pack_sequences.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return {}
+    weights = {s: (n / total) ** temperature for s, n in counts.items()}
+    wsum = sum(weights.values())
+    # expected rows for stratum s: total_fraction * total * w_s / wsum;
+    # fraction of the stratum's own rows, capped at 1.0
+    return {
+        s: min(1.0, total_fraction * total * (weights[s] / wsum) / counts[s])
+        for s in counts
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    temperature: float = 0.7,
+    total_fraction: float = 1.0,
+    key: str = "doc_id",
+) -> DataFrame:
+    """:func:`temperature_fractions` composed with
+    :func:`stratified_sample`: one tiny driver aggregate for the rates,
+    then the map-only deterministic membership filter."""
+    fr = temperature_fractions(df, strata_col, temperature, total_fraction)
+    return stratified_sample(df, fr, strata_col, key, default_fraction=0.0)

@@ -207,3 +207,53 @@ def test_dsir_weights_empty_target_is_uniform_not_null(spark):
     # hand value: lr(b) = ln(1/100) - ln((cr_b+1)/(2+100)); both corpus
     # bigrams are unique -> cr_b = 1 -> lr = ln(102/200) per feature
     assert abs(got["dsir_logweight"] - round(2 * math.log(102 / 200), 6)) < 1e-6
+
+
+def test_temperature_fractions_rebalance_tail_languages(spark):
+    from table_ocr_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_sample,
+    )
+
+    # 800 en / 150 de / 50 fr — skewed but not cap-degenerate
+    rows = (
+        [(i, "t", "en") for i in range(800)]
+        + [(1000 + i, "t", "de") for i in range(150)]
+        + [(2000 + i, "t", "fr") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    fr = temperature_fractions(df, temperature=0.5, total_fraction=0.3)
+    # closed-form check: w_s = p_s^0.5, frac_s = 0.3*N*w_s/(wsum*n_s)
+    n = {"en": 800, "de": 150, "fr": 50}
+    w = {s: (c / 1000) ** 0.5 for s, c in n.items()}
+    ws = sum(w.values())
+    for s in n:
+        expect = min(1.0, 0.3 * 1000 * w[s] / ws / n[s])
+        assert abs(fr[s] - expect) < 1e-12, s
+    # tail gets a HIGHER keep-rate than head under T<1, none capped here
+    assert 1.0 > fr["fr"] > fr["de"] > fr["en"]
+
+    # a degenerate tail caps at 1.0 instead of over-sampling
+    tiny = spark.createDataFrame(
+        [(i, "t", "en") for i in range(990)]
+        + [(3000 + i, "t", "fr") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    assert temperature_fractions(tiny, temperature=0.3)["fr"] == 1.0
+
+    # T=1 reproduces the natural mix (uniform keep-rate)
+    fr1 = temperature_fractions(df, temperature=1.0, total_fraction=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in fr1.values())
+
+    # composition samples deterministically with those rates
+    out = temperature_sample(df, temperature=0.5, total_fraction=0.3)
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert 0 < by_lang.get("en", 0) < 800
+    assert by_lang.get("fr", 0) > 0
+
+    with pytest.raises(ValueError):
+        temperature_fractions(df, temperature=0.0)
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert temperature_fractions(empty) == {}
