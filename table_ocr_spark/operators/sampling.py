@@ -89,6 +89,13 @@ def temperature_fractions(
 
     Driver-side collect is one row per stratum (languages: O(100)) —
     the same bounded-collect argument as lineage/pack_sequences.
+
+    A NULL stratum (lang-id failure — routine in crawl corpora) is a
+    stratum like any other: it appears in the returned dict under the
+    key ``None`` with its temperature-computed fraction.
+    :func:`temperature_sample` applies it via ``default_fraction``
+    (a map literal cannot match a NULL key), so NULL-stratum rows are
+    sampled at their computed rate instead of silently vanishing.
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
@@ -122,4 +129,11 @@ def temperature_sample(
     :func:`stratified_sample`: one tiny driver aggregate for the rates,
     then the map-only deterministic membership filter."""
     fr = temperature_fractions(df, strata_col, temperature, total_fraction)
-    return stratified_sample(df, fr, strata_col, key, default_fraction=0.0)
+    # NULL stratum: create_map lookup can't match a NULL key, so its
+    # computed fraction rides in as the default (no other stratum can
+    # fall through to the default — every non-NULL stratum observed in
+    # df has an entry in fr by construction)
+    null_frac = fr.pop(None, 0.0)
+    return stratified_sample(
+        df, fr, strata_col, key, default_fraction=null_frac
+    )

@@ -93,6 +93,47 @@ def latest_capture_canonical(pages: DataFrame, url_col: str = "url") -> DataFram
     )
 
 
+def host_canonical(url: Column) -> Column:
+    """DNS-equivalent registrable host of a url column: lowercase
+    authority minus userinfo (greedy — browsers split on the LAST
+    ``@``) and port, with percent-encoded dots decoded and trailing
+    dots stripped.
+
+    Layering note (deliberate, pinned): this is HOST identity for
+    POLICY decisions (blocklists, per-host rate/skew handling), a
+    strictly coarser equivalence than :func:`canonical_url`'s URL
+    identity for dedup — canonical_url stays RFC 3986 §6 cosmetic-only
+    (its oracle pins that), while DNS equivalences like the trailing
+    dot belong here. Both sides of any host comparison must go through
+    THIS function (the blocklist entries do)."""
+    return _canon_domain_col(
+        F.regexp_extract(url, _SCHEME_RE + r"([^/?#]*)", 2)
+    )
+
+
+def _canon_domain_col(col: Column) -> Column:
+    """The canonicalization chain on an authority/domain COLUMN —
+    shared by the url side (via :func:`host_canonical`) and the
+    blocklist-entry side so both sides of the equality agree."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"^.*@", "")
+    c = F.regexp_replace(c, r":\d+$", "")
+    c = F.regexp_replace(c, r"%2e", ".")
+    return F.regexp_replace(c, r"\.+$", "")
+
+
+def _canon_domain(s: str) -> str:
+    """Python twin of :func:`_canon_domain_col` for list-form blocklist
+    ENTRIES (real UT1-style dumps carry trailing-dot entries)."""
+    import re as _re
+
+    s = str(s).lower()
+    s = s.split("@")[-1]
+    s = _re.sub(r":\d+$", "", s)
+    s = s.replace("%2e", ".")
+    return s.rstrip(".")
+
+
 def filter_blocked_hosts(
     df: DataFrame,
     blocked,
@@ -131,8 +172,6 @@ def filter_blocked_hosts(
     enumerated per row (a host has O(labels) suffixes, ~4) so both
     forms stay equi-operations — never a LIKE/contains theta join.
     """
-    from table_ocr_spark.operators.extract import host_of
-
     audit_cols = ("host", "blocked", "blocked_domain")
     clash = set(audit_cols) & set(df.columns)
     if keep_blocked and clash:
@@ -146,22 +185,17 @@ def filter_blocked_hosts(
             f"filter_blocked_hosts: input columns {sorted(internal)} collide "
             "with internal working columns; rename them first"
         )
-    # registrable host: authority minus userinfo and port, with the
-    # cosmetic-DNS-equivalence bypasses canonicalized away:
-    # - userinfo strip is GREEDY '^.*@' — browsers/curl treat everything
-    #   before the LAST '@' as userinfo, so 'x@y@bad.com' must resolve
-    #   to bad.com (non-greedy left 'y@bad.com' unblocked);
-    # - trailing dots drop ('bad.com.' is DNS-identical to 'bad.com');
-    # - percent-encoded dots decode ('bad%2Ecom'). Full Safe-Browsing
-    #   canonicalization (general %-decode, punycode) is out of scope
-    #   and documented; bracketed IPv6 literals keep their brackets and
-    #   simply never match a domain blocklist — correct, if conservative.
-    authority = F.lower(host_of(F.col(url_col)))
-    host = F.regexp_replace(authority, r"^.*@", "")
-    host = F.regexp_replace(host, r":\d+$", "")
-    host = F.regexp_replace(host, r"%2e", ".")
-    host = F.regexp_replace(host, r"\.+$", "")
-    with_host = df.withColumn("_blh_host", host)
+    # registrable host via host_canonical: userinfo stripped GREEDILY
+    # (browsers/curl split on the LAST '@', so 'x@y@bad.com' resolves
+    # to bad.com), port stripped, percent-encoded dots decoded,
+    # trailing dots dropped — each a verified bypass class otherwise.
+    # Blocklist ENTRIES go through the same canonicalization (UT1-style
+    # dumps carry trailing-dot entries; one-sided canonicalization is
+    # just a different bypass). Full Safe-Browsing canonicalization
+    # (general %-decode, punycode) is out of scope and documented;
+    # bracketed IPv6 literals keep their brackets and simply never
+    # match a domain blocklist — correct, if conservative.
+    with_host = df.withColumn("_blh_host", host_canonical(F.col(url_col)))
     # candidate suffixes at label boundaries: host itself + each
     # parent domain ("a.b.c" -> ["a.b.c", "b.c", "c"])
     labels = F.split(F.col("_blh_host"), r"\.")
@@ -180,7 +214,7 @@ def filter_blocked_hosts(
         # once per DISTINCT host (Zipf-bounded: ~10^7-8 hosts per
         # 10^12 docs) and equi-joined back — never a full-row exchange
         bl = blocked.select(
-            F.lower(F.col(blocked.columns[0])).alias("_bdom")
+            _canon_domain_col(F.col(blocked.columns[0])).alias("_bdom")
         ).distinct()
         hosts = with_host.select("_blh_host").distinct()
         ex = hosts.withColumn("_sfx", F.explode_outer(suffixes))
@@ -191,7 +225,7 @@ def filter_blocked_hosts(
         )
         hits = with_host.join(verdicts, "_blh_host", "left")
     else:
-        bl_set = sorted({str(b).lower() for b in blocked})
+        bl_set = sorted({_canon_domain(b) for b in blocked})
         matches = F.filter(
             suffixes, lambda s: s.isin(*bl_set) if bl_set else F.lit(False)
         )

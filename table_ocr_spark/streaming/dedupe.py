@@ -59,6 +59,7 @@ def dedup_stream_content(
     would collide at crawl scale and silently drop real documents)."""
     from table_ocr_spark.operators.dedup import content_key_cols
 
+    _guard_internal_cols(pages)
     h64, h128 = content_key_cols(text_col)
     hashed = pages.withColumn("_ck64", h64).withColumn("_ck128", h128)
     return (
@@ -86,6 +87,7 @@ def dedup_stream(
     distinct content hash per horizon, both watermark-evicted."""
     from table_ocr_spark.operators.dedup import content_key_cols
 
+    _guard_internal_cols(pages)
     by_key = pages.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         [key]
     )
@@ -95,3 +97,12 @@ def dedup_stream(
         hashed.dropDuplicatesWithinWatermark(["_ck64", "_ck128"])
         .drop("_ck64", "_ck128")
     )
+
+
+def _guard_internal_cols(pages: DataFrame) -> None:
+    clash = {"_ck64", "_ck128"} & set(pages.columns)
+    if clash:
+        raise ValueError(
+            f"streaming dedup: input columns {sorted(clash)} collide with "
+            "the internal content-key columns; rename them first"
+        )

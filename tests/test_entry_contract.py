@@ -35,8 +35,13 @@ def test_entry_smoke(spark):
 def test_every_oracle_key_has_a_query():
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
-    # the non-oracled (rows-only) set is intentional and small
-    assert len(set(qs) - set(oracles)) == 0
+    # the non-oracled (rows-only) set is intentional, small, and NAMED:
+    # temperature_sample's data-dependent fraction -> hex-threshold
+    # conversion is Python arbitrary-precision arithmetic that DuckDB
+    # decimal arithmetic reproduces only approximately (documented in
+    # q_temperature_sample; the membership RULE is oracle-exact via
+    # stratified_sample)
+    assert set(qs) - set(oracles) == {"temperature_sample"}
 
 
 def test_spot_queries_match_oracle(spark, sf_dir, duck):

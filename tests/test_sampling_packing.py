@@ -257,3 +257,25 @@ def test_temperature_fractions_rebalance_tail_languages(spark):
         temperature_fractions(df, temperature=0.0)
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     assert temperature_fractions(empty) == {}
+
+
+def test_temperature_sample_null_stratum_not_dropped(spark):
+    # review r3 pass 3: NULL lang (lang-id failure) was counted in the
+    # mix math but dropped by the map-literal lookup — crawl corpora
+    # carry NULL lang routinely and rows must not silently vanish
+    from table_ocr_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, None)],
+        "doc_id long, lang string",
+    )
+    fr = temperature_fractions(df, temperature=0.5, total_fraction=1.0)
+    assert None in fr and fr[None] > 0
+    out = temperature_sample(df, temperature=0.5, total_fraction=1.0)
+    # total_fraction=1.0 with per-stratum caps -> every stratum's
+    # fraction is 1.0 here (equal-weight boost saturates); all 4 kept
+    assert out.count() == 4
+    assert any(r["doc_id"] == 4 for r in out.collect())

@@ -226,3 +226,25 @@ def test_filter_blocked_hosts_canonicalization_bypasses(spark):
         assert audit[2]["blocked"] and audit[2]["host"] == "bad.com"
         assert audit[3]["blocked"] and audit[3]["host"] == "bad.com"
         assert audit[4]["blocked"] is False
+
+
+def test_blocklist_entries_are_canonicalized_too(spark):
+    # review r3 pass 3: canonicalizing only the host side is just a
+    # different bypass — UT1-style dumps carry trailing-dot entries
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(1, "https://bad.com/p"), (2, "https://ok.com/p")],
+        "doc_id long, url string",
+    )
+    for entry in ("bad.com.", "BAD.COM", "bad%2Ecom"):
+        for blocklist in ([entry], spark.createDataFrame([(entry,)], "h string")):
+            audit = {
+                r["doc_id"]: r
+                for r in filter_blocked_hosts(
+                    df, blocklist, keep_blocked=True
+                ).collect()
+            }
+            assert audit[1]["blocked"], entry
+            assert audit[1]["blocked_domain"] == "bad.com", entry
+            assert audit[2]["blocked"] is False
