@@ -92,6 +92,37 @@ def main() -> int:
         t_dd = time.perf_counter() - t0
         print(f"exact_dedup {n_total}: {t_dd:.1f} s")
 
+        # round-3 operators at the same corpus size
+        from table_ocr_spark.operators.dedup import novel_documents
+        from table_ocr_spark.operators.importance import dsir_weights
+        from table_ocr_spark.operators.textstats import line_repetition_stats
+        from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+        t0 = time.perf_counter()
+        line_repetition_stats(big).write.format("noop").mode("overwrite").save()
+        print(f"line_repetition {n_total}: {time.perf_counter()-t0:.1f} s")
+
+        seen = big.filter(F.col("doc_id") % 2 == 0)
+        new = big.filter(F.col("doc_id") % 2 == 1)
+        t0 = time.perf_counter()
+        novel_documents(new, seen).write.format("noop").mode("overwrite").save()
+        print(f"novel_documents {n_total//2} vs {n_total//2}: "
+              f"{time.perf_counter()-t0:.1f} s")
+
+        target = big.filter(F.col("doc_id") % 100 == 0)
+        t0 = time.perf_counter()
+        dsir_weights(big, target).write.format("noop").mode("overwrite").save()
+        print(f"dsir_weights {n_total}: {time.perf_counter()-t0:.1f} s")
+
+        urls = pages.select("url")
+        blist = [f"host{i}.example.com" for i in range(10_000)]
+        t0 = time.perf_counter()
+        filter_blocked_hosts(urls, blist).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(f"blocked_hosts {n_total} x 10k-entry list: "
+              f"{time.perf_counter()-t0:.1f} s")
+
         shard_path = os.path.join(work, "shards")
         t0 = time.perf_counter()
         packed = pack_sequences(big, capacity=2048)
