@@ -38,7 +38,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from table_ocr_spark.operators.dedup import _gram_seq_udf
 from table_ocr_spark.operators.textstats import tokens
 
 HASH_MIX = 2654435761  # Knuth multiplicative constant (same as simhash)
@@ -46,8 +45,9 @@ HASH_MOD = 1 << 32
 
 
 def _bucket(gram: Column, n_buckets: int) -> Column:
-    """Pinned engine-portable bucket of a bigram string (see module
-    docstring)."""
+    """Pinned engine-portable bucket of a bigram string as a COLUMN
+    expression (the oracle-SQL twin of the kernel below; kept for
+    documentation and differential testing)."""
     val = (
         F.length(gram).cast("long") * 31
         + F.ascii(F.substring(gram, 1, 1)).cast("long") * 7
@@ -56,14 +56,52 @@ def _bucket(gram: Column, n_buckets: int) -> Column:
     return ((val * HASH_MIX) % HASH_MOD) % n_buckets
 
 
+def _bigram_bucket_udf(n_buckets: int):
+    """token array -> array of bigram BUCKET ids, one Arrow pass.
+
+    The bucket is a pure function of the bigram string, so the string
+    never needs to materialize: building ``tok_i + ' ' + tok_{i+1}``
+    only to hash (len, first char, last char) would push ~15-30 bytes
+    per bigram across the Arrow boundary and through JVM ascii/substring
+    expressions — this kernel emits the 4-byte bucket directly
+    (measured ~2x on the 1M-doc rehearsal). Bit-pinned to ``_bucket``
+    and the oracle SQL: len(bigram) = len(a)+len(b)+1, first char =
+    a[0], last char = b[-1]; Python ``ord`` == Spark/DuckDB ``ascii``
+    (Unicode codepoint)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf(token_lists):  # type: ignore[no-untyped-def]
+        out = []
+        for t in token_lists:
+            t = list(t) if t is not None else []
+            n = len(t)
+            if n < 2:
+                out.append([])
+                continue
+            out.append(
+                [
+                    ((len(a) + len(b) + 1) * 31 + ord(a[0]) * 7 + ord(b[-1]))
+                    * HASH_MIX % HASH_MOD % n_buckets
+                    for a, b in zip(t, t[1:])
+                ]
+            )
+        return pd.Series(out)
+
+    return udf
+
+
 def _features(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
     """(id, bucket) — one row per bigram occurrence (with multiplicity),
-    bigrams from the shared ordered-2-gram Arrow kernel."""
-    ex = df.select(
+    buckets computed in the Arrow kernel (the bigram string itself
+    never leaves Python)."""
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode(_gram_seq_udf(2)(tokens(F.col(text_col)))).alias("_g"),
+        F.explode(
+            _bigram_bucket_udf(n_buckets)(tokens(F.col(text_col)))
+        ).alias("bucket"),
     )
-    return ex.select("id", _bucket(F.col("_g"), n_buckets).alias("bucket"))
 
 
 def dsir_weights(

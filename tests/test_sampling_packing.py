@@ -279,3 +279,41 @@ def test_temperature_sample_null_stratum_not_dropped(spark):
     # fraction is 1.0 here (equal-weight boost saturates); all 4 kept
     assert out.count() == 4
     assert any(r["doc_id"] == 4 for r in out.collect())
+
+
+def test_dsir_bucket_kernel_matches_column_expression(spark):
+    # the Arrow kernel and the column-expression/oracle twin must agree
+    # bucket-for-bucket (incl. unicode: ord == ascii == codepoint)
+    from table_ocr_spark.operators.importance import (
+        _bigram_bucket_udf,
+        _bucket,
+    )
+    from table_ocr_spark.operators.dedup import _gram_seq_udf
+    from table_ocr_spark.operators.textstats import tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "héllo wörld ünïcode test"),
+            (3, "a b"),
+            (4, "single"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    kern = df.select(
+        "doc_id",
+        _bigram_bucket_udf(10_000)(tokens(F.col("text"))).alias("b"),
+    ).collect()
+    expr = df.select(
+        "doc_id",
+        F.transform(
+            _gram_seq_udf(2)(tokens(F.col("text"))),
+            lambda g: _bucket(g, 10_000).cast("int"),
+        ).alias("b"),
+    ).collect()
+    k = {r["doc_id"]: r["b"] for r in kern}
+    e = {r["doc_id"]: r["b"] for r in expr}
+    assert k == e
