@@ -8,9 +8,13 @@ extract/dedup do.
 
 Builds the corpus once (base documents replicated with unique urls/ids,
 text quadrupled so kernel work dominates task constants), then times:
-  extract      — map-only Arrow kernel over 1M pages
-  exact_dedup  — (xxhash64, md5)-keyed clustering over 1M docs
-  pack+shards  — pack_sequences + write_training_shards over 1M docs
+  extract          — map-only Arrow kernel over 1M pages
+  exact_dedup      — (xxhash64, md5)-keyed clustering over 1M docs
+  line_repetition  — map-only dup-line kernel over 1M docs
+  novel_documents  — 500k new anti-joined against 500k seen
+  dsir_weights     — hashed-bigram LLR over 1M docs (1% target slice)
+  blocked_hosts    — 1M REAL-host urls vs a 10k-entry list
+  pack+shards      — pack_sequences + write_training_shards over 1M docs
 
 Usage: python scripts/scale_rehearsal.py [target_docs] [sf_dir]
 """
@@ -109,19 +113,30 @@ def main() -> int:
         print(f"novel_documents {n_total//2} vs {n_total//2}: "
               f"{time.perf_counter()-t0:.1f} s")
 
-        target = big.filter(F.col("doc_id") % 100 == 0)
+        dsir_target = big.filter(F.col("doc_id") % 100 == 0)
         t0 = time.perf_counter()
-        dsir_weights(big, target).write.format("noop").mode("overwrite").save()
+        dsir_weights(big, dsir_target).write.format("noop").mode("overwrite").save()
         print(f"dsir_weights {n_total}: {time.perf_counter()-t0:.1f} s")
 
-        urls = pages.select("url")
+        # REAL hosts (documents_as_pages pins its own 'doc:<id>' urls,
+        # which are hostless and would make this a no-op pass-through —
+        # review r3 pass 4): ~20k distinct hosts, some subdomained, a
+        # few percent matching the list
+        urls = big.select(
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+                F.lit("host"),
+                (F.col("doc_id") % 20_000).cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
         blist = [f"host{i}.example.com" for i in range(10_000)]
         t0 = time.perf_counter()
-        filter_blocked_hosts(urls, blist).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        kept = filter_blocked_hosts(urls, blist).count()
         print(f"blocked_hosts {n_total} x 10k-entry list: "
-              f"{time.perf_counter()-t0:.1f} s")
+              f"{time.perf_counter()-t0:.1f} s, kept {kept}")
 
         shard_path = os.path.join(work, "shards")
         t0 = time.perf_counter()

@@ -76,10 +76,7 @@ def _bigram_bucket_udf(n_buckets: int):
         out = []
         for t in token_lists:
             t = list(t) if t is not None else []
-            n = len(t)
-            if n < 2:
-                out.append([])
-                continue
+            # zip() yields nothing for <2 tokens -> [] (no guard needed)
             out.append(
                 [
                     ((len(a) + len(b) + 1) * 31 + ord(a[0]) * 7 + ord(b[-1]))
@@ -120,6 +117,13 @@ def dsir_weights(
     Downstream: resample/filter by weight (e.g. keep the top-k or
     Gumbel-top-k sample) to shape the corpus toward the target.
     """
+    if not 0 < n_buckets <= (1 << 31):
+        # the kernel returns int32 buckets; a wider bucket space would
+        # overflow the Arrow conversion at runtime inside an executor
+        raise ValueError(
+            f"n_buckets must be in (0, 2^31], got {n_buckets} "
+            "(DSIR uses ~10^4 buckets by design)"
+        )
     target_text_col = target_text_col or text_col
     corpus_f = _features(corpus, text_col, id_col, n_buckets)
     target_f = _features(
