@@ -968,6 +968,30 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality tiers (FineWeb-Edu shape) over the pinned
+    token_stats quality score: exact order-statistic cutoffs from a
+    bounded score histogram (two map-side passes, never a global
+    sort), then map-only tier labeling against literal cutoffs."""
+    from table_ocr_spark.operators.textstats import token_stats
+    from table_ocr_spark.operators.tiers import score_tiers
+
+    stats = token_stats(_read_par(spark, sf_dir, "documents"))
+    return score_tiers(stats, "quality_score", n_tiers=4)
+
+
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph
+    (near-dup is not transitive — pairwise output alone cannot pick
+    survivors): min-label propagation with pointer jumping, one
+    narrow 2-long exchange per O(log diameter) round."""
+    from table_ocr_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    docs = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=NGRAM_K, threshold=MINHASH_T)
+    return duplicate_clusters(docs, pairs)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1045,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_hosts": q_blocked_hosts,
         "dsir_weights": q_dsir_weights,
         "temperature_sample": q_temperature_sample,
+        "score_tiers": q_score_tiers,
+        "duplicate_clusters": q_duplicate_clusters,
     }
 
 
@@ -1836,6 +1862,65 @@ def oracle_sql() -> dict[str, str]:
               OR host = 'src3.example.com' OR host LIKE '%.src3.example.com')
              AS blocked
       FROM pages
+    """
+
+    # global quality tiers: same pinned score as doc_stats, cutoffs =
+    # order statistics at integer-ceil ranks (n*t + T-1) // T, tier =
+    # #cutoffs strictly below the score (ties always share a tier)
+    sql["score_tiers"] = f"""
+      WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+                   CAST(len(list_filter(toks, w -> w IN ({sw_en}))) AS BIGINT) AS sw
+            FROM t),
+      s AS (SELECT doc_id,
+                   round(least(n_tokens/100.0, 1.0)*0.4
+                         + (1.0 - CAST(punct AS DOUBLE)/greatest(n_chars, 1))*0.3
+                         + (CAST(sw AS DOUBLE)/greatest(n_tokens, 1))*0.3, 6)
+                     AS quality_score
+            FROM m),
+      r AS (SELECT quality_score AS sc,
+                   row_number() OVER (ORDER BY quality_score) AS rk FROM s),
+      nn AS (SELECT count(*) AS n FROM s),
+      cuts AS (SELECT r.sc AS c FROM r, nn
+               WHERE r.rk IN ((nn.n*1 + 3)//4, (nn.n*2 + 3)//4, (nn.n*3 + 3)//4))
+      SELECT s.doc_id, s.quality_score,
+             CAST((SELECT count(*) FROM cuts WHERE s.quality_score > cuts.c)
+                  AS BIGINT) AS tier
+      FROM s
+    """
+
+    # connected components over the near-dup pair graph: ground truth
+    # via recursive label reachability (UNION dedup terminates it);
+    # pairs = the same exact-Jaccard set the minhash_lsh oracle pins
+    sql["duplicate_clusters"] = f"""
+      WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+      sets AS ({_SHINGLE_SETS_SQL}),
+      ex AS (SELECT id, unnest(shingles) AS sh FROM sets),
+      cand AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id),
+      sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS n FROM sets),
+      p AS (SELECT c.id_a, c.id_b
+            FROM cand c JOIN sizes na ON na.id = c.id_a
+                        JOIN sizes nb ON nb.id = c.id_b
+            WHERE CAST(c.inter AS DOUBLE) / (na.n + nb.n - c.inter) >= {MINHASH_T}),
+      e AS (SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+      lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size
+             FROM lab GROUP BY cluster_id)
+      SELECT lab.id AS doc_id, lab.cluster_id,
+             CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+             lab.id <> lab.cluster_id AS is_dup
+      FROM lab JOIN sz USING (cluster_id)
     """
 
     return sql

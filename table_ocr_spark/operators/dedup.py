@@ -632,6 +632,118 @@ def duplicate_span_stats(
     return out
 
 
+def _truncate_plan(df: DataFrame) -> DataFrame:
+    """Cut the logical plan of an iteratively-rebuilt frame. Uses the
+    reliable checkpoint when the session has a checkpoint dir (the
+    cluster deployment: survives executor loss), else an eager
+    localCheckpoint (this sandbox). Without this, iteration i's plan
+    contains i nested join trees and Catalyst re-plans the whole stack
+    every loop — plan time grows quadratically and a lost partition
+    recomputes the entire history."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc
+    labeled with the MIN doc id reachable through the pairs (its
+    cluster canonical), plus cluster size and an ``is_dup`` keep-flag.
+    This is the step the pair operators (:func:`minhash_lsh_pairs`,
+    :func:`simhash_pairs`) feed at corpus-build time — near-dup is not
+    transitive, so "drop the greater id of each pair" over-keeps
+    (A~B, B~C, A!~C still must collapse to one survivor) and pairwise
+    output alone cannot say which docs to keep. The reference has no
+    graph step (its corpus is per-document, ``table_ocr/core.py``);
+    this is the standard web-dedup closure (FineWeb/RefinedWeb shape).
+
+    Algorithm: min-label propagation with POINTER JUMPING —
+    per iteration (1) every node offers its label to its neighbors
+    (equi-join edges x labels, groupBy min), then (2) every node
+    re-reads the label OF its label (labels self-join). Jumping makes
+    label trees collapse in O(log diameter) rounds (a 1000-hop chain
+    converges in ~10 iterations, not 1000) — the alternating-star
+    result of Kiveris et al. (MapReduce CC), simplified to the
+    monotone-min special case. All steps are hash equi-joins on the
+    id; labels are 2 longs/row, so every exchange after the first
+    edge join is narrow regardless of document size.
+
+    Convergence detection: labels only ever DECREASE, so
+    sum(label) (exact, decimal(38,0) — no long overflow at 10^12
+    ids) is strictly monotone and equality between iterations IS
+    convergence — one cheap aggregate per round, no old-vs-new join.
+    Each round's frame is checkpointed (:func:`_truncate_plan`) to
+    stop Catalyst re-planning a growing join stack. Raises
+    ``RuntimeError`` after ``max_iters`` (pathological graphs only:
+    log2(10^12-node chain) < 25).
+
+    Output: (id_col, cluster_id, cluster_size, is_dup). Contract:
+    ``pairs`` ids come from ``docs``'s id space (they do — the pair
+    operators run over the same corpus); a foreign id on the dst side
+    would surface as an extra output row, not an error.
+    """
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = _truncate_plan(labels)
+    edges.persist()
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    converged = False
+    for _ in range(max_iters):
+        offered = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "lbl")
+        )
+        merged = (
+            labels.union(offered).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: lbl <- label(lbl). Every lbl IS a node id (labels
+        # start as ids and min() only selects existing ones), so the
+        # inner self-join is total.
+        l2 = merged.select(
+            F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
+        )
+        jumped = (
+            merged.join(l2, merged["lbl"] == l2["_jid"])
+            .select("id", F.least("lbl", "_jlbl").alias("lbl"))
+        )
+        labels = _truncate_plan(jumped)
+        new_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters: no convergence in {max_iters} iterations "
+            "(graph diameter > 2^max_iters is not a realistic dedup corpus; "
+            "check the pair input for id-space corruption)"
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("id") != F.col("lbl")).alias("is_dup"),
+    )
+
+
 def novel_documents(
     new: DataFrame,
     seen: DataFrame,

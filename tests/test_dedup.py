@@ -261,3 +261,56 @@ def test_novel_documents_cross_snapshot(spark):
     assert got2 == [12]
     # full rows ride through (left_semi keeps the original columns)
     assert set(novel_documents(new, seen).columns) == {"doc_id", "text"}
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters — connected components over the pair graph
+
+
+def _clusters(spark, n_ids, pairs, **kw):
+    from table_ocr_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in n_ids], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["doc_id"]: r for r in duplicate_clusters(docs, pdf, **kw).collect()
+    }
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    # A~B, B~C, C~D but A!~D: pairwise drop-greater would over-keep;
+    # the closure must collapse all four onto min id 1
+    rows = _clusters(spark, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 4)])
+    for i in (1, 2, 3, 4):
+        assert rows[i]["cluster_id"] == 1
+        assert rows[i]["cluster_size"] == 4
+        assert rows[i]["is_dup"] == (i != 1)
+    # isolated doc is its own singleton cluster, never a dup
+    assert rows[5]["cluster_id"] == 5
+    assert rows[5]["cluster_size"] == 1
+    assert not rows[5]["is_dup"]
+
+
+def test_duplicate_clusters_two_components_and_direction(spark):
+    # pair direction must not matter (edges are symmetrized)
+    rows = _clusters(spark, [1, 2, 3, 10, 11], [(2, 1), (3, 2), (11, 10)])
+    assert {rows[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert {rows[i]["cluster_id"] for i in (10, 11)} == {10}
+    assert rows[10]["cluster_size"] == 2
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    # a 100-hop chain converges in O(log n) rounds, not 100: the
+    # default max_iters=25 must be far more than enough
+    n = 100
+    rows = _clusters(
+        spark, list(range(n)), [(i, i + 1) for i in range(n - 1)]
+    )
+    assert all(rows[i]["cluster_id"] == 0 for i in range(n))
+    assert rows[0]["cluster_size"] == n
+    assert sum(1 for i in range(n) if rows[i]["is_dup"]) == n - 1
+
+
+def test_duplicate_clusters_max_iters_raises(spark):
+    with pytest.raises(RuntimeError, match="no convergence"):
+        _clusters(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], max_iters=1)
