@@ -977,7 +977,9 @@ def q_score_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.tiers import score_tiers
 
     stats = token_stats(_read_par(spark, sf_dir, "documents"))
-    return score_tiers(stats, "quality_score", n_tiers=4)
+    return score_tiers(stats, "quality_score", n_tiers=4).select(
+        "doc_id", "quality_score", "tier"
+    )
 
 
 def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -990,6 +992,49 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _dup_corpus(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, k=NGRAM_K, threshold=MINHASH_T)
     return duplicate_clusters(docs, pairs)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-representative survivor per near-dup cluster (score =
+    char length, the keep-the-longest heuristic): agg-based argmax
+    with map-side combine — no per-cluster window sort, so a
+    mega-cluster of identical boilerplate cannot serialize through
+    one reducer."""
+    from table_ocr_spark.operators.dedup import (
+        cluster_survivors,
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=NGRAM_K, threshold=MINHASH_T)
+    clusters = duplicate_clusters(docs, pairs)
+    scores = docs.select(
+        "doc_id", F.length("text").cast("double").alias("quality_score")
+    )
+    return cluster_survivors(clusters, scores)
+
+
+# expected kept tokens for the budget-sample query; a fixed literal so
+# the Spark recipe and the DuckDB oracle pin the identical integer
+TOKEN_BUDGET = 20_000
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tier-extraction pipeline: quality score → global
+    tiers → proportional token-budget sample, with the exact-integer
+    membership rule (u64(md5) * T_s < B_s * 2^64 — no float anywhere,
+    bit-reproducible on any engine)."""
+    from table_ocr_spark.operators.sampling import token_budget_sample
+    from table_ocr_spark.operators.textstats import token_stats
+    from table_ocr_spark.operators.tiers import score_tiers
+
+    stats = token_stats(_read_par(spark, sf_dir, "documents"))
+    tiers = score_tiers(stats, "quality_score", n_tiers=4)
+    kept = token_budget_sample(
+        tiers, TOKEN_BUDGET, strata_col="tier", weight_col="n_tokens"
+    )
+    return kept.select("doc_id", "tier", "n_tokens")
 
 
 # ---------------------------------------------------------------------------
@@ -1071,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "score_tiers": q_score_tiers,
         "duplicate_clusters": q_duplicate_clusters,
+        "dedup_survivors": q_dedup_survivors,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
@@ -1921,6 +1968,84 @@ def oracle_sql() -> dict[str, str]:
              CAST(sz.cluster_size AS BIGINT) AS cluster_size,
              lab.id <> lab.cluster_id AS is_dup
       FROM lab JOIN sz USING (cluster_id)
+    """
+
+    # survivor selection over the same cluster ground truth: best char
+    # length wins, ties to min id, a doc absent from the score side
+    # (NULL) never beats a scored one
+    sql["dedup_survivors"] = f"""
+      WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+      sets AS ({_SHINGLE_SETS_SQL}),
+      ex AS (SELECT id, unnest(shingles) AS sh FROM sets),
+      cand AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id),
+      sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS n FROM sets),
+      p AS (SELECT c.id_a, c.id_b
+            FROM cand c JOIN sizes na ON na.id = c.id_a
+                        JOIN sizes nb ON nb.id = c.id_b
+            WHERE CAST(c.inter AS DOUBLE) / (na.n + nb.n - c.inter) >= {MINHASH_T}),
+      e AS (SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+      lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      sc AS (SELECT doc_id AS id, CAST(length(text) AS DOUBLE) AS score
+             FROM corpus),
+      rk AS (SELECT lab.id, lab.cluster_id, sc.score,
+                    row_number() OVER (
+                      PARTITION BY lab.cluster_id
+                      ORDER BY (sc.score IS NOT NULL) DESC,
+                               sc.score DESC, lab.id
+                    ) AS rn
+             FROM lab JOIN sc USING (id))
+      SELECT id AS doc_id, cluster_id, score AS quality_score,
+             rn = 1 AS keep
+      FROM rk
+    """
+
+    # composed tier pipeline: pinned quality score -> exact-rank tiers
+    # -> proportional token budget, membership by the exact-integer
+    # rule u64(md5(key)) * T_s < B_s * 2^64 (HUGEINT both sides — no
+    # float anywhere, so Spark and DuckDB agree bit-for-bit)
+    sql["token_budget_sample"] = f"""
+      WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+                   CAST(len(list_filter(toks, w -> w IN ({sw_en}))) AS BIGINT) AS sw
+            FROM t),
+      s AS (SELECT doc_id, n_tokens,
+                   round(least(n_tokens/100.0, 1.0)*0.4
+                         + (1.0 - CAST(punct AS DOUBLE)/greatest(n_chars, 1))*0.3
+                         + (CAST(sw AS DOUBLE)/greatest(n_tokens, 1))*0.3, 6)
+                     AS quality_score
+            FROM m),
+      r AS (SELECT quality_score AS sc,
+                   row_number() OVER (ORDER BY quality_score) AS rk FROM s),
+      nn AS (SELECT count(*) AS n FROM s),
+      cuts AS (SELECT r.sc AS c FROM r, nn
+               WHERE r.rk IN ((nn.n*1 + 3)//4, (nn.n*2 + 3)//4, (nn.n*3 + 3)//4)),
+      d AS (SELECT s.doc_id, s.n_tokens,
+                   CAST((SELECT count(*) FROM cuts
+                         WHERE s.quality_score > cuts.c) AS BIGINT) AS tier
+            FROM s),
+      tot AS (SELECT tier, CAST(sum(n_tokens) AS HUGEINT) AS ts
+              FROM d GROUP BY tier),
+      g AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS gt FROM d),
+      b AS (SELECT tier, ts,
+                   least(({TOKEN_BUDGET}::HUGEINT * ts) // g.gt, ts) AS bs
+            FROM tot, g)
+      SELECT d.doc_id, d.tier, d.n_tokens
+      FROM d JOIN b USING (tier)
+      WHERE CAST(CAST(concat('0x',
+                  substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS HUGEINT) * b.ts
+            < b.bs * 18446744073709551616::HUGEINT
     """
 
     return sql

@@ -76,13 +76,18 @@ PROMOTED = [
 ]
 
 # new round-3 operators (Gopher dup-line kernel, cross-snapshot novel-
-# document anti-join, domain-blocklist audit)
+# document anti-join, domain-blocklist audit, tier extraction, near-dup
+# graph closure + survivor selection, exact token-budget sampling)
 R3_NEW = [
     "line_repetition",
     "novel_documents",
     "blocked_hosts",
     "dsir_weights",
     "temperature_sample",
+    "score_tiers",
+    "duplicate_clusters",
+    "dedup_survivors",
+    "token_budget_sample",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW

@@ -635,15 +635,20 @@ def duplicate_span_stats(
 def _truncate_plan(df: DataFrame) -> DataFrame:
     """Cut the logical plan of an iteratively-rebuilt frame. Uses the
     reliable checkpoint when the session has a checkpoint dir (the
-    cluster deployment: survives executor loss), else an eager
-    localCheckpoint (this sandbox). Without this, iteration i's plan
-    contains i nested join trees and Catalyst re-plans the whole stack
-    every loop — plan time grows quadratically and a lost partition
-    recomputes the entire history."""
+    cluster deployment: survives executor loss), else a localCheckpoint
+    (this sandbox). Without this, iteration i's plan contains i nested
+    join trees and Catalyst re-plans the whole stack every loop — plan
+    time grows quadratically and a lost partition recomputes the
+    entire history.
+
+    LAZY on purpose: every caller runs an aggregate action on the
+    result immediately (the convergence probe), which materializes the
+    checkpoint in the same job — eager=True would spend a separate
+    job per iteration on the same work."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
 
 
 def duplicate_clusters(
@@ -683,21 +688,41 @@ def duplicate_clusters(
     ``RuntimeError`` after ``max_iters`` (pathological graphs only:
     log2(10^12-node chain) < 25).
 
-    Output: (id_col, cluster_id, cluster_size, is_dup). Contract:
-    ``pairs`` ids come from ``docs``'s id space (they do — the pair
-    operators run over the same corpus); a foreign id on the dst side
-    would surface as an extra output row, not an error.
+    Output: (id_col, cluster_id, cluster_size, is_dup). Ids in
+    ``pairs`` that are absent from ``docs`` participate in propagation
+    but are dropped from the output (``docs`` drives the final join).
+
+    The iteration runs ONLY over the edge-induced subgraph: a node
+    with no near-dup pair is a singleton forever, so carrying it
+    through every round would scale each iteration with the CORPUS
+    instead of the (orders-of-magnitude smaller) dup graph. The corpus
+    re-enters exactly once at the end via a single narrow left join.
+    Edges are symmetrized with one explode over one scan — a
+    self-union here would compute the whole upstream pair pipeline
+    (shingle + minhash + verify) twice. No ``distinct()`` on edges:
+    the pair operators emit unique (id_a < id_b) pairs, and a
+    duplicate edge cannot change a ``min()`` — dedup would cost an
+    always-on shuffle to guard a harmless case.
     """
-    labels = docs.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    )
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-    )
-    labels = _truncate_plan(labels)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges.persist()
+    # src covers every endpoint after symmetrization
+    labels = _truncate_plan(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+    )
     prev_sum = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
@@ -735,12 +760,86 @@ def duplicate_clusters(
             "(graph diameter > 2^max_iters is not a realistic dedup corpus; "
             "check the pair input for id-space corruption)"
         )
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "lbl").select(
+    # sizes over the labeled subgraph only; everything else is a
+    # singleton and never shuffles for its size of 1
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
+    labeled = labels.join(sizes, "lbl")
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(labeled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lbl", F.col("id")).alias("cluster_id"),
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.coalesce(F.col("id") != F.col("lbl"), F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Pick ONE survivor per near-dup cluster: the highest-``score_col``
+    member, ties broken by MIN id — the step that turns
+    :func:`duplicate_clusters` output into an actual kept corpus.
+    Min-id survivorship (the ``is_dup`` flag) throws away quality
+    information: when a truncated copy carries a lower id than the full
+    document, min-id keeps the fragment. FineWeb/RefinedWeb-style
+    builds keep the best representative instead.
+
+    ``clusters``: (id_col, cluster_id, ...) — :func:`duplicate_clusters`
+    output. ``scores``: (id_col, score_col) — any per-doc numeric
+    (quality score, char length, token count). NULL scores sort below
+    every non-NULL score (a doc with no score never beats one with a
+    score; an all-NULL cluster falls back to pure min-id).
+
+    Scale shape: join on id (narrow rows: 2 longs + a double), then
+    ``groupBy(cluster_id).agg(max(struct(score, -id)))`` + a join back
+    — deliberately NOT a ``row_number() OVER (PARTITION BY cluster)``
+    window: the agg gets a map-side partial combine, so a pathological
+    mega-cluster (all-identical boilerplate — routine in crawls) folds
+    on the map side instead of sorting through one reducer task.
+    Exchanges carry (id, cluster_id, score) / (cluster_id, best) only —
+    never document payloads.
+
+    Output: (id_col, cluster_id, score_col, keep). Exactly one
+    keep=true per cluster. Reference has no corpus-level dedup
+    (per-document loop, ``table_ocr/core.py``); this is the standard
+    web-corpus survivor rule.
+    """
+    cl = clusters.select(F.col(id_col).alias("id"), "cluster_id")
+    sc = scores.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    )
+    joined = cl.join(sc, "id", "left")
+    # max(struct(score_rank, score, -id)): score_rank puts NULL scores
+    # (rank 0) below all non-NULL (rank 1) explicitly — struct-max
+    # NULL-field semantics are subtle enough to pin by hand
+    best = (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.when(F.col("_score").isNull(), 0)
+                    .otherwise(1)
+                    .alias("r"),
+                    F.col("_score").alias("s"),
+                    (-F.col("id")).alias("ni"),
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.ni")).alias("_survivor"))
+    )
+    return joined.join(best, "cluster_id").select(
         F.col("id").alias(id_col),
-        F.col("lbl").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
-        (F.col("id") != F.col("lbl")).alias("is_dup"),
+        "cluster_id",
+        F.col("_score").alias(score_col),
+        (F.col("id") == F.col("_survivor")).alias("keep"),
     )
 
 

@@ -118,6 +118,139 @@ def temperature_fractions(
     }
 
 
+_U64 = 1 << 64
+# Spark decimal(38,0) holds < 1e38; membership multiplies a u64 hash
+# (< 1.845e19) by a per-stratum token total, so totals must stay below
+# 1e38 / 2^64 ~ 5.4e18 tokens PER STRATUM for the product to be exact.
+# 5.4 quintillion tokens per stratum is ~4 orders of magnitude past
+# the largest published pretraining corpora — enforced anyway.
+_MAX_STRATUM_WEIGHT = 10**38 // _U64
+
+
+def token_budget_fractions(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "tier",
+    weight_col: str = "n_tokens",
+    mix: Dict | None = None,
+    max_strata: int = 10_000,
+) -> Dict:
+    """Per-stratum (kept_budget B_s, total T_s) integer pairs for
+    :func:`token_budget_sample` — the "give me a 20 B-token corpus,
+    60 % top tier / 30 % mid / 10 % tail" annealing-mix recipe
+    (FineWeb-Edu / DCLM shape), as EXACT integer arithmetic.
+
+    ``T_s`` = sum of ``weight_col`` over stratum ``s`` (one bounded
+    map-side-combined aggregate; driver holds one row per stratum,
+    ENFORCED <= ``max_strata``). ``B_s``:
+
+    - ``mix=None`` (proportional downscale): ``B_s = budget*T_s //
+      T_total`` — floor division, pure integers.
+    - ``mix={stratum: share}``: shares are SNAPPED to parts-per-million
+      (``int(round(share*1e6))``), then ``B_s = budget*ppm_s //
+      10**6`` — pinned so the recipe is a closed-form function of
+      integers, re-derivable on any engine with no float in sight.
+      Strata absent from ``mix`` get ``B_s = 0``.
+
+    ``B_s`` caps at ``T_s`` (a stratum cannot yield more tokens than
+    it has; excess budget is NOT redistributed — closed-form beats
+    clever, same deliberate choice as :func:`temperature_fractions`).
+    Weights must be non-negative; per-stratum totals are enforced
+    below the decimal(38,0) exactness bound (~5.4e18 tokens).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    totals_df = df.groupBy(F.col(strata_col).alias("s")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("t"),
+        F.min(F.col(weight_col).cast("long")).alias("w_min"),
+    )
+    rows = totals_df.limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"token_budget_fractions: more than {max_strata} distinct "
+            f"strata in {strata_col!r} — this operator is for bounded "
+            "strata (tiers, languages); a high-cardinality column here "
+            "would materialize corpus-cardinality rows on the driver"
+        )
+    for r in rows:
+        if r["w_min"] is None or r["w_min"] < 0:
+            raise ValueError(
+                f"token_budget_fractions: NULL or negative {weight_col!r} "
+                f"in stratum {r['s']!r} — weights are token counts; "
+                "fix upstream"
+            )
+        if r["t"] > _MAX_STRATUM_WEIGHT:
+            raise ValueError(
+                f"token_budget_fractions: stratum {r['s']!r} total "
+                f"{r['t']} exceeds the decimal(38,0) exactness bound "
+                f"{_MAX_STRATUM_WEIGHT}"
+            )
+    totals = {r["s"]: int(r["t"]) for r in rows}
+    t_total = sum(totals.values())
+    out = {}
+    for s, t_s in totals.items():
+        if mix is None:
+            b_s = budget * t_s // t_total if t_total else 0
+        else:
+            b_s = budget * int(round(mix.get(s, 0.0) * 10**6)) // 10**6
+        out[s] = (min(b_s, t_s), t_s)
+    return out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "tier",
+    weight_col: str = "n_tokens",
+    mix: Dict | None = None,
+    key: str = "doc_id",
+    max_strata: int = 10_000,
+) -> DataFrame:
+    """Deterministic sample hitting a per-stratum TOKEN budget in
+    expectation: row kept iff ``u64(md5(key)[:16]) * T_s < B_s *
+    2^64`` — the rational-threshold form of the md5 rule
+    (:func:`deterministic_sample`) with ZERO floating point anywhere:
+    both sides are exact integers (Spark ``decimal(38,0)``, DuckDB
+    ``HUGEINT``), so membership is bit-reproducible across engines,
+    runs, and partitionings, and E[kept tokens in s] = (B_s/T_s)*T_s
+    = B_s exactly (the hash is independent of document length).
+    The float-threshold sibling (:func:`temperature_fractions`) is
+    NOT oracle-checkable for data-derived rates — float rounding in
+    ``int(frac * 2^64)`` differs across engines; this operator exists
+    to make budgeted sampling exact. One bounded driver aggregate for
+    (B_s, T_s), then a map-only codegen filter over the corpus.
+
+    A NULL stratum rides through like any other (its (B, T) pair
+    enters via the NULL-key fallback — map literals cannot match NULL).
+    """
+    fr = token_budget_fractions(
+        df, budget, strata_col, weight_col, mix, max_strata
+    )
+    null_bt = fr.pop(None, (0, 0))
+    pairs_t, pairs_rhs = [], []
+    for s, (b_s, t_s) in fr.items():
+        pairs_t += [F.lit(s), F.lit(str(t_s))]
+        pairs_rhs += [F.lit(s), F.lit(str(b_s * _U64))]
+    dec = "decimal(38,0)"
+    s_col = F.col(strata_col)
+    t_lit = (
+        F.coalesce(F.create_map(*pairs_t)[s_col], F.lit(str(null_bt[1])))
+        if pairs_t
+        else F.lit(str(null_bt[1]))
+    ).cast(dec)
+    rhs = (
+        F.coalesce(
+            F.create_map(*pairs_rhs)[s_col], F.lit(str(null_bt[0] * _U64))
+        )
+        if pairs_rhs
+        else F.lit(str(null_bt[0] * _U64))
+    ).cast(dec)
+    u64 = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 16), 16, 10
+    ).cast(dec)
+    return df.filter(u64 * t_lit < rhs)
+
+
 def temperature_sample(
     df: DataFrame,
     strata_col: str = "lang",

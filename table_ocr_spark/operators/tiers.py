@@ -93,24 +93,21 @@ def score_tiers(
     df: DataFrame,
     score_col: str,
     n_tiers: int = 4,
-    id_col: str = "doc_id",
     max_distinct_scores: int = 2_000_000,
 ) -> DataFrame:
-    """(id_col, score_col, tier) — global quality-tier label per doc,
-    tier = |{t : score > c_t}| with exact order-statistic cutoffs (see
-    module docstring for the pinned definition and the two-phase
-    bounded-histogram plan). The assignment pass is map-only codegen:
-    the cutoffs are literals, so the corpus is scanned exactly twice
-    (histogram + label) and nothing corpus-sized ever shuffles on a
-    non-key."""
+    """``df`` plus a ``tier`` column — global quality-tier label per
+    doc, tier = |{t : score > c_t}| with exact order-statistic cutoffs
+    (see module docstring for the pinned definition and the two-phase
+    bounded-histogram plan). Appends rather than projects so a
+    downstream consumer (token-budget sampling, tiered sinks) composes
+    without a join back for its other columns. The assignment pass is
+    map-only codegen: the cutoffs are literals, so the corpus is
+    scanned exactly twice (histogram + label) and nothing corpus-sized
+    ever shuffles on a non-key."""
     cutoffs = tier_cutoffs(df, score_col, n_tiers, max_distinct_scores)
     score = F.col(score_col)
     tier = None
     for c in cutoffs:
         term = F.when(score > F.lit(c), 1).otherwise(0)
         tier = term if tier is None else tier + term
-    return df.select(
-        F.col(id_col),
-        score,
-        tier.cast("long").alias("tier"),
-    )
+    return df.withColumn("tier", tier.cast("long"))

@@ -1,0 +1,116 @@
+"""Token-budget sampling: exact-integer membership rule, closed-form
+reproducibility from the recipe, mix routing, and the driver-safety
+fail-fasts."""
+
+import hashlib
+
+import pytest
+
+from table_ocr_spark.operators.sampling import (
+    token_budget_fractions,
+    token_budget_sample,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, tier long, n_tokens long"
+    )
+
+
+def _kept_ids(df):
+    return {r["doc_id"] for r in df.collect()}
+
+
+def _python_member(doc_id, b, t):
+    u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:16], 16)
+    return u * t < b * (1 << 64)
+
+
+def test_fractions_proportional(spark):
+    # two tiers, totals 100 and 300; budget 200 of 400 -> B = 50, 150
+    rows = [(1, 0, 100), (2, 1, 100), (3, 1, 200)]
+    fr = token_budget_fractions(_df(spark, rows), 200)
+    assert fr == {0: (50, 100), 1: (150, 300)}
+
+
+def test_fractions_mix_ppm_snap_and_cap(spark):
+    rows = [(1, 0, 100), (2, 1, 100)]
+    # mix asks 90% of 150 = 135 from tier 0 (caps at T=100), 10% = 15
+    fr = token_budget_fractions(
+        _df(spark, rows), 150, mix={0: 0.9, 1: 0.1}
+    )
+    assert fr == {0: (100, 100), 1: (15, 100)}
+    # a stratum absent from mix gets B=0
+    fr2 = token_budget_fractions(_df(spark, rows), 150, mix={0: 1.0})
+    assert fr2[1] == (0, 100)
+
+
+def test_membership_matches_closed_form(spark):
+    # the kept set must be re-derivable from (key, B_s, T_s) alone —
+    # recompute membership in pure python and compare exactly
+    rows = [(i, i % 3, 10 + i) for i in range(200)]
+    df = _df(spark, rows)
+    budget = 1500
+    fr = token_budget_fractions(df, budget)
+    kept = _kept_ids(token_budget_sample(df, budget))
+    want = {
+        i
+        for (i, tier, _) in rows
+        if _python_member(i, fr[tier][0], fr[tier][1])
+    }
+    assert kept == want
+    assert 0 < len(kept) < len(rows)
+
+
+def test_full_budget_keeps_all_zero_keeps_none(spark):
+    rows = [(i, 0, 5) for i in range(50)]
+    df = _df(spark, rows)
+    assert len(_kept_ids(token_budget_sample(df, 10**9))) == 50
+    assert _kept_ids(token_budget_sample(df, 0)) == set()
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, i % 2, 7) for i in range(120)]
+    df = _df(spark, rows)
+    a = _kept_ids(token_budget_sample(df.repartition(2), 300))
+    b = _kept_ids(token_budget_sample(df.repartition(13), 300))
+    assert a == b
+
+
+def test_null_stratum_sampled_not_dropped(spark):
+    rows = [(i, None if i < 60 else 0, 10) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tier long, n_tokens long"
+    )
+    kept = token_budget_sample(df, 600).collect()
+    # proportional split: the NULL stratum holds half the tokens and
+    # must contribute, not silently vanish through the map literal
+    assert any(r["tier"] is None for r in kept)
+
+
+def test_fail_fasts(spark):
+    df = _df(spark, [(1, 0, 10)])
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_fractions(df, -1)
+    with pytest.raises(ValueError, match="NULL or negative"):
+        token_budget_fractions(_df(spark, [(1, 0, -5)]), 10)
+    with pytest.raises(ValueError, match="NULL or negative"):
+        token_budget_fractions(
+            spark.createDataFrame(
+                [(1, 0, None)], "doc_id long, tier long, n_tokens long"
+            ),
+            10,
+        )
+    with pytest.raises(ValueError, match="distinct strata"):
+        token_budget_fractions(
+            _df(spark, [(i, i, 1) for i in range(5)]), 3, max_strata=2
+        )
+
+
+def test_stratum_weight_exactness_bound(spark):
+    from table_ocr_spark.operators.sampling import _MAX_STRATUM_WEIGHT
+
+    df = _df(spark, [(1, 0, _MAX_STRATUM_WEIGHT + 1)])
+    with pytest.raises(ValueError, match="exactness bound"):
+        token_budget_fractions(df, 10)

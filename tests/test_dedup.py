@@ -314,3 +314,51 @@ def test_duplicate_clusters_long_chain_pointer_jumping(spark):
 def test_duplicate_clusters_max_iters_raises(spark):
     with pytest.raises(RuntimeError, match="no convergence"):
         _clusters(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], max_iters=1)
+
+
+# ---------------------------------------------------------------------------
+# cluster_survivors — best-score survivor per cluster
+
+
+def _survivors(spark, clusters, scores):
+    from table_ocr_spark.operators.dedup import cluster_survivors
+
+    cl = spark.createDataFrame(clusters, "doc_id long, cluster_id long")
+    sc = spark.createDataFrame(scores, "doc_id long, quality_score double")
+    return {
+        r["doc_id"]: r for r in cluster_survivors(cl, sc).collect()
+    }
+
+
+def test_survivor_is_best_score_not_min_id(spark):
+    # min-id would keep doc 1 (the fragment); best-score keeps doc 3
+    rows = _survivors(
+        spark,
+        [(1, 1), (2, 1), (3, 1), (9, 9)],
+        [(1, 0.2), (2, 0.5), (3, 0.9), (9, 0.1)],
+    )
+    assert [rows[i]["keep"] for i in (1, 2, 3)] == [False, False, True]
+    assert rows[9]["keep"]  # singleton survives regardless of score
+    assert sum(1 for r in rows.values() if r["keep"]) == 2
+
+
+def test_survivor_score_tie_breaks_to_min_id(spark):
+    rows = _survivors(spark, [(5, 5), (7, 5)], [(5, 0.4), (7, 0.4)])
+    assert rows[5]["keep"] and not rows[7]["keep"]
+
+
+def test_survivor_null_scores_lose_and_all_null_falls_back(spark):
+    from table_ocr_spark.operators.dedup import cluster_survivors
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)], "doc_id long, cluster_id long"
+    )
+    sc = spark.createDataFrame(
+        [(1, None), (2, 0.1)], "doc_id long, quality_score double"
+    )
+    rows = {r["doc_id"]: r for r in cluster_survivors(cl, sc).collect()}
+    # NULL score never beats a scored doc, even a low one
+    assert not rows[1]["keep"] and rows[2]["keep"]
+    # cluster with no scores at all (left join misses): pure min-id
+    assert rows[10]["keep"] and not rows[11]["keep"]
+    assert rows[10]["quality_score"] is None

@@ -3,6 +3,7 @@ bounded histogram, pinned integer-ceil rank arithmetic, deterministic
 tie handling, and every driver-safety fail-fast."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from table_ocr_spark.operators.tiers import score_tiers, tier_cutoffs
 
@@ -49,10 +50,12 @@ def test_tiers_heavy_ties_may_skip(spark):
     assert rows[9.0] == 3
 
 
-def test_tiers_output_schema_and_score_passthrough(spark):
-    df = _df(spark, [1.0, 2.0, 3.0, 4.0])
+def test_tiers_output_schema_appends_to_input(spark):
+    # tier is APPENDED so downstream consumers (budget sampler, tiered
+    # sinks) keep their columns without a join back
+    df = _df(spark, [1.0, 2.0, 3.0, 4.0]).withColumn("extra", F.lit(7))
     out = score_tiers(df, "s", 2)
-    assert out.columns == ["doc_id", "s", "tier"]
+    assert out.columns == ["doc_id", "s", "extra", "tier"]
     assert dict(out.dtypes)["tier"] == "bigint"
 
 
