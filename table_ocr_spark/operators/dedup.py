@@ -644,9 +644,15 @@ def _truncate_plan(df: DataFrame) -> DataFrame:
     LAZY on purpose: every caller runs an aggregate action on the
     result immediately (the convergence probe), which materializes the
     checkpoint in the same job — eager=True would spend a separate
-    job per iteration on the same work."""
+    job per iteration on the same work. The reliable path persists
+    first: RDD checkpointing writes its files in a SECOND pass that
+    recomputes the un-cached plan (the classic persist-before-
+    checkpoint rule), so without the cache every cluster iteration
+    would run its joins twice. ContextCleaner drops the cache when
+    the frame's RDD goes out of scope after the caller rebinds."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
+        df.persist()
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 

@@ -160,9 +160,14 @@ def token_budget_fractions(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    # sum in decimal(38,0): a long sum could wrap past 2^63 BEFORE the
+    # exactness-bound check below runs (the guard must not be
+    # defeatable by the overflow it guards against); count-vs-count
+    # catches NULL weights (min() skips NULLs, so it cannot)
     totals_df = df.groupBy(F.col(strata_col).alias("s")).agg(
-        F.sum(F.col(weight_col).cast("long")).alias("t"),
+        F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("t"),
         F.min(F.col(weight_col).cast("long")).alias("w_min"),
+        (F.count(F.lit(1)) - F.count(weight_col)).alias("n_null"),
     )
     rows = totals_df.limit(max_strata + 1).collect()
     if len(rows) > max_strata:
@@ -173,7 +178,7 @@ def token_budget_fractions(
             "would materialize corpus-cardinality rows on the driver"
         )
     for r in rows:
-        if r["w_min"] is None or r["w_min"] < 0:
+        if r["n_null"] > 0 or r["w_min"] is None or r["w_min"] < 0:
             raise ValueError(
                 f"token_budget_fractions: NULL or negative {weight_col!r} "
                 f"in stratum {r['s']!r} — weights are token counts; "
@@ -245,9 +250,7 @@ def token_budget_sample(
         if pairs_rhs
         else F.lit(str(null_bt[0] * _U64))
     ).cast(dec)
-    u64 = F.conv(
-        F.substring(F.md5(F.col(key).cast("string")), 1, 16), 16, 10
-    ).cast(dec)
+    u64 = F.conv(_hash_prefix(F.col(key)), 16, 10).cast(dec)
     return df.filter(u64 * t_lit < rhs)
 
 

@@ -24,9 +24,11 @@ Scale shape (the ``pack_sequences`` bounded-collect doctrine):
 
 Pinned tier definition (shared with the DuckDB oracle):
 - n = corpus row count; scores sorted ascending (1-indexed ranks)
-- cutoff c_t = score at rank (n*t + T - 1) // T   for t = 1..T-1
-  (integer ceil — pinned as integer arithmetic so Spark, Python and
-  DuckDB agree bit-for-bit; no float quantile semantics)
+- cutoff ranks = the DISTINCT values of (n*t + T - 1) // T for
+  t = 1..T-1 (integer ceil — pinned as integer arithmetic so Spark,
+  Python and DuckDB agree bit-for-bit; no float quantile semantics;
+  distinct because colliding targets at n < T must count once, the
+  way a SQL ``rk IN (...)`` matches a row once)
 - tier(doc) = number of cutoffs with score > c_t  -> 0..T-1, higher
   tier = higher score. Assignment depends only on the score, so equal
   scores always share a tier (no ntile row-order nondeterminism) and
@@ -34,6 +36,8 @@ Pinned tier definition (shared with the DuckDB oracle):
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,16 +71,29 @@ def tier_cutoffs(
             "before tiering; an unquantized float column would "
             "materialize corpus-cardinality rows on the driver"
         )
-    if any(r["s"] is None for r in rows):
-        raise ValueError(
-            f"tier_cutoffs: NULL values in {score_col!r}; a NULL has "
-            "no rank — filter or impute upstream"
-        )
+    for r in rows:
+        if r["s"] is None:
+            raise ValueError(
+                f"tier_cutoffs: NULL values in {score_col!r}; a NULL "
+                "has no rank — filter or impute upstream"
+            )
+        if isinstance(r["s"], float) and math.isnan(r["s"]):
+            raise ValueError(
+                f"tier_cutoffs: NaN values in {score_col!r}; NaN "
+                "compares false against everything, so sorting it "
+                "would silently corrupt every cutoff — fail instead"
+            )
     rows.sort(key=lambda r: r["s"])
     n = sum(r["c"] for r in rows)
     if n == 0:
         raise ValueError("tier_cutoffs: empty input")
-    targets = [(n * t + n_tiers - 1) // n_tiers for t in range(1, n_tiers)]
+    # DISTINCT ranks: for n < n_tiers several targets collide on one
+    # rank; the pinned definition counts each rank once (matching a
+    # SQL "rk IN (...)" oracle, where an IN-list matches a row once),
+    # so a 2-doc 4-tier corpus has 2 cutoffs, not 3
+    targets = sorted(
+        {(n * t + n_tiers - 1) // n_tiers for t in range(1, n_tiers)}
+    )
     cutoffs = []
     it = iter(rows)
     row = next(it)

@@ -114,3 +114,13 @@ def test_stratum_weight_exactness_bound(spark):
     df = _df(spark, [(1, 0, _MAX_STRATUM_WEIGHT + 1)])
     with pytest.raises(ValueError, match="exactness bound"):
         token_budget_fractions(df, 10)
+
+
+def test_null_weight_in_mixed_stratum_rejected(spark):
+    # min() skips NULLs, so this must be caught by the count-vs-count
+    # guard, not the min guard
+    df = spark.createDataFrame(
+        [(1, 0, None), (2, 0, 100)], "doc_id long, tier long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        token_budget_fractions(df, 10)

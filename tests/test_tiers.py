@@ -79,3 +79,19 @@ def test_bad_args(spark):
         tier_cutoffs(df, "s", 1)
     with pytest.raises(ValueError, match="empty"):
         tier_cutoffs(df.filter("s > 99"), "s", 2)
+
+
+def test_nan_scores_rejected(spark):
+    df = _df(spark, [1.0, float("nan")])
+    with pytest.raises(ValueError, match="NaN"):
+        tier_cutoffs(df, "s", 2)
+
+
+def test_colliding_rank_targets_count_once(spark):
+    # n=2, T=4: targets (2*t+3)//4 = [1,1,2] -> DISTINCT ranks [1,2]
+    # -> cutoffs [1.0, 9.0], so the top doc is tier 1 (not 2) — the
+    # same answer a SQL "rk IN (1,1,2)" oracle gives
+    df = _df(spark, [1.0, 9.0])
+    assert tier_cutoffs(df, "s", 4) == [1.0, 9.0]
+    rows = {r["s"]: r["tier"] for r in score_tiers(df, "s", 4).collect()}
+    assert rows == {1.0: 0, 9.0: 1}
