@@ -14,6 +14,9 @@ text quadrupled so kernel work dominates task constants), then times:
   novel_documents  — 500k new anti-joined against 500k seen
   dsir_weights     — hashed-bigram LLR over 1M docs (1% target slice)
   blocked_hosts    — 1M REAL-host urls vs a 10k-entry list
+  tiers+budget     — score_tiers + exact token-budget sample over 1M docs
+  duplicate_clusters — CC over ~400k edges incl. a 10k-node chain
+  cluster_survivors  — best-score survivor per cluster over 1M docs
   pack+shards      — pack_sequences + write_training_shards over 1M docs
 
 Usage: python scripts/scale_rehearsal.py [target_docs] [sf_dir]
@@ -137,6 +140,56 @@ def main() -> int:
         kept = filter_blocked_hosts(urls, blist).count()
         print(f"blocked_hosts {n_total} x 10k-entry list: "
               f"{time.perf_counter()-t0:.1f} s, kept {kept}")
+
+        # round-3 tier surface at the same corpus size
+        from table_ocr_spark.operators.dedup import (
+            cluster_survivors,
+            duplicate_clusters,
+        )
+        from table_ocr_spark.operators.sampling import token_budget_sample
+        from table_ocr_spark.operators.textstats import token_stats
+        from table_ocr_spark.operators.tiers import score_tiers
+
+        t0 = time.perf_counter()
+        tiers = score_tiers(token_stats(big), "quality_score", n_tiers=4)
+        kept_budget = token_budget_sample(
+            tiers, budget=100_000_000, strata_col="tier",
+            weight_col="n_tokens",
+        )
+        n_kept = kept_budget.count()
+        print(
+            f"score_tiers+token_budget_sample {n_total}: "
+            f"{time.perf_counter()-t0:.1f} s, kept {n_kept}"
+        )
+        assert 0 < n_kept < n_total, "budget sample kept everything/nothing"
+
+        # dup-pair graph: ~40% of docs in 2-3-node chains PLUS one
+        # 10k-node chain that forces pointer jumping through ~14
+        # rounds — the worst realistic diameter stress
+        short_chains = big.select("doc_id").filter(
+            (F.col("doc_id") % 5) < 2
+        ).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        long_chain = spark.range(9_999).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        cc_pairs = short_chains.union(long_chain)
+        t0 = time.perf_counter()
+        clusters = duplicate_clusters(big, cc_pairs)
+        clusters.write.format("noop").mode("overwrite").save()
+        print(
+            f"duplicate_clusters {n_total} docs / ~{2*n_total//5} edges "
+            f"(incl. 10k-node chain): {time.perf_counter()-t0:.1f} s"
+        )
+        t0 = time.perf_counter()
+        scores = big.select(
+            "doc_id", F.length("text").cast("double").alias("quality_score")
+        )
+        surv = cluster_survivors(clusters, scores)
+        surv.write.format("noop").mode("overwrite").save()
+        print(f"cluster_survivors {n_total}: {time.perf_counter()-t0:.1f} s")
 
         shard_path = os.path.join(work, "shards")
         t0 = time.perf_counter()
