@@ -20,6 +20,12 @@ whole pipeline is one lazy plan until the report forces it):
    reproducible from the recipe alone
 10. (optional) sequence packing — per-doc global start_offset + seq_id
     via the two-phase distributed prefix sum (needs a numeric doc key)
+11. (optional) global quality tiers — exact order-statistic cutoffs
+    over the pinned 6-dp quality score (bounded histogram, two
+    map-only passes), tier column appended
+12. (optional) token-budget down-sampling per tier — the exact-integer
+    membership rule (u64(md5(url))·T_s < B_s·2^64), expected kept
+    tokens = the budget
 
 At 10^12 docs every stage is either map-only or a hash-partitioned
 equi-join/aggregation; nothing is quadratic and nothing collects to
@@ -48,6 +54,7 @@ class CorpusReport:
     n_had_pii: int
     n_contaminated: int = 0
     n_after_sample: int = -1  # -1: stage skipped
+    n_after_budget: int = -1  # -1: stage skipped
 
 
 def build_training_corpus(
@@ -57,13 +64,19 @@ def build_training_corpus(
     benchmark: DataFrame | None = None,
     contamination_threshold: float = 0.2,
     sample_fraction: float | None = None,
+    n_tiers: int | None = None,
+    token_budget: int | None = None,
+    tier_mix: dict | None = None,
 ) -> tuple[DataFrame, CorpusReport]:
     """pages(url, warc_ts, html, ...) → (corpus(url, text, n_emails,
     n_phones), per-stage counts). The returned DataFrame is unevaluated;
     the report runs one count per stage (cache-backed). Pass
     ``benchmark`` (a (doc_id-or-any, text) frame) to drop contaminated
     docs, and ``sample_fraction`` for a deterministic final
-    down-sample."""
+    down-sample. ``n_tiers`` appends a global quality-tier column
+    (and ``n_tokens``); ``token_budget`` (requires ``n_tiers``)
+    down-samples to that many kept tokens in expectation, split per
+    tier by ``tier_mix`` shares (default: proportional)."""
     n_input = pages.count()
 
     deduped_pages = latest_capture(pages) if "warc_ts" in pages.columns else pages
@@ -119,6 +132,29 @@ def build_training_corpus(
         corpus = deterministic_sample(corpus, sample_fraction, key="url")
         n_after_sample = corpus.count()
 
+    n_after_budget = -1
+    if token_budget is not None and n_tiers is None:
+        raise ValueError("token_budget requires n_tiers (budgets are per tier)")
+    if n_tiers is not None:
+        from table_ocr_spark.operators.textstats import token_stats
+        from table_ocr_spark.operators.tiers import score_tiers
+
+        stats = token_stats(corpus, text_col="text", id_col="url").select(
+            "url", "n_tokens", "quality_score"
+        )
+        tiers = score_tiers(stats, "quality_score", n_tiers=n_tiers)
+        corpus = corpus.join(
+            tiers.select("url", "n_tokens", "tier"), "url"
+        ).cache()
+        if token_budget is not None:
+            from table_ocr_spark.operators.sampling import token_budget_sample
+
+            corpus = token_budget_sample(
+                corpus, token_budget, strata_col="tier",
+                weight_col="n_tokens", mix=tier_mix, key="url",
+            )
+            n_after_budget = corpus.count()
+
     return corpus, CorpusReport(
         n_input=n_input,
         n_extracted=n_extracted,
@@ -128,4 +164,5 @@ def build_training_corpus(
         n_had_pii=n_pii,
         n_contaminated=n_contaminated,
         n_after_sample=n_after_sample,
+        n_after_budget=n_after_budget,
     )

@@ -89,3 +89,30 @@ def test_training_corpus_optional_stages(spark, tmp_path):
     )
     assert {r["url"] for r in corpus2.collect()} == urls
     assert rep2.n_after_sample == rep.n_after_sample
+
+
+def test_training_corpus_tier_budget_stages(spark, tmp_path):
+    pq = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pq, n_docs=80, seed=33, dup_frac=0.0)
+    pages = spark.read.parquet(pq)
+
+    # tiers only: tier + n_tokens appended, nothing dropped
+    corpus, rep = build_training_corpus(pages, n_tiers=3)
+    rows = corpus.collect()
+    assert {"tier", "n_tokens"} <= set(corpus.columns)
+    assert rep.n_after_budget == -1
+    tiers_seen = {r["tier"] for r in rows}
+    assert tiers_seen <= {0, 1, 2} and len(tiers_seen) > 1
+
+    # budget stage drops rows and the kept set is tier-stratified
+    full_tokens = sum(r["n_tokens"] for r in rows)
+    corpus2, rep2 = build_training_corpus(
+        pages, n_tiers=3, token_budget=full_tokens // 3
+    )
+    assert 0 < rep2.n_after_budget < len(rows)
+
+    # budget without tiers is a contract error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires n_tiers"):
+        build_training_corpus(pages, token_budget=100)
