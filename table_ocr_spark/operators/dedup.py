@@ -685,10 +685,12 @@ def duplicate_clusters(
     id; labels are 2 longs/row, so every exchange after the first
     edge join is narrow regardless of document size.
 
-    Convergence detection: labels only ever DECREASE, so
-    sum(label) (exact, decimal(38,0) — no long overflow at 10^12
+    Convergence detection: labels only ever DECREASE, so for integer
+    ids sum(label) (exact, decimal(38,0) — no long overflow at 10^12
     ids) is strictly monotone and equality between iterations IS
     convergence — one cheap aggregate per round, no old-vs-new join.
+    Non-integer ids (urls) fall back to an old-vs-new changed-row
+    probe: one extra equi-join per round, over the subgraph only.
     Each round's frame is checkpointed (:func:`_truncate_plan`) to
     stop Catalyst re-planning a growing join stack. Raises
     ``RuntimeError`` after ``max_iters`` (pathological graphs only:
@@ -729,11 +731,37 @@ def duplicate_clusters(
         .distinct()
         .withColumn("lbl", F.col("id"))
     )
-    prev_sum = labels.agg(
-        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # convergence probe: integer ids use the monotone exact label sum
+    # (decimal(38,0) — one aggregate scan, no long overflow at 10^12
+    # ids); any other orderable id type (urls!) compares against the
+    # previous round's labels — one extra equi-join per round, but
+    # ONLY over the subgraph, never the corpus. Both probes also
+    # materialize the round's lazy checkpoint with a full action.
+    int_ids = dict(labels.dtypes)["lbl"] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    def _n_changed(frame: DataFrame, prev: DataFrame) -> int:
+        return (
+            frame.join(
+                prev.select("id", F.col("lbl").alias("_prev")), "id"
+            )
+            .where(F.col("lbl") != F.col("_prev"))
+            .count()
+        )
+
+    if int_ids:
+        prev_sum = _label_sum(labels)
+    else:
+        labels.count()  # materialize the init checkpoint
     converged = False
     for _ in range(max_iters):
+        prev_labels = labels
         offered = (
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), "lbl")
@@ -752,13 +780,15 @@ def duplicate_clusters(
             .select("id", F.least("lbl", "_jlbl").alias("lbl"))
         )
         labels = _truncate_plan(jumped)
-        new_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if new_sum == prev_sum:
+        if int_ids:
+            new_sum = _label_sum(labels)
+            done = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            done = _n_changed(labels, prev_labels) == 0
+        if done:
             converged = True
             break
-        prev_sum = new_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(
@@ -823,23 +853,25 @@ def cluster_survivors(
         F.col(id_col).alias("id"), F.col(score_col).alias("_score")
     )
     joined = cl.join(sc, "id", "left")
-    # max(struct(score_rank, score, -id)): score_rank puts NULL scores
-    # (rank 0) below all non-NULL (rank 1) explicitly — struct-max
-    # NULL-field semantics are subtle enough to pin by hand
+    # min(struct(null_rank, -score, id)): the rank puts NULL scores
+    # (rank 1) after all non-NULL (rank 0) explicitly, -score turns
+    # the min into an argmax of the score, and the id rides UN-negated
+    # so string ids (urls) work — negating the id would require a
+    # numeric id for no semantic gain
     best = (
         joined.groupBy("cluster_id")
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.when(F.col("_score").isNull(), 0)
-                    .otherwise(1)
+                    F.when(F.col("_score").isNull(), 1)
+                    .otherwise(0)
                     .alias("r"),
-                    F.col("_score").alias("s"),
-                    (-F.col("id")).alias("ni"),
+                    (-F.col("_score")).alias("ns"),
+                    F.col("id").alias("i"),
                 )
             ).alias("b")
         )
-        .select("cluster_id", (-F.col("b.ni")).alias("_survivor"))
+        .select("cluster_id", F.col("b.i").alias("_survivor"))
     )
     return joined.join(best, "cluster_id").select(
         F.col("id").alias(id_col),

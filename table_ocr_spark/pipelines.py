@@ -12,7 +12,11 @@ whole pipeline is one lazy plan until the report forces it):
 4. Gopher-style quality filter (auditable rule flags)
 5. exact dedup on normalized text (canonical = min url)
 6. MinHash+LSH near-dup removal at the given Jaccard threshold
-   (pair loser = lexicographically larger url; exact-verified)
+   (exact-verified pairs → connected-component closure → longest-text
+   survivor per cluster; ``near_dedup="pairwise"`` selects the cheap
+   drop-the-greater-url shortcut instead, which over-keeps on
+   non-transitive similarity triangles. Cluster mode runs the CC
+   convergence jobs eagerly at this stage.)
 7. PII redaction (emails/phones → typed placeholders)
 8. (optional) benchmark decontamination — drop docs whose k-shingle
    overlap with a benchmark set crosses the threshold
@@ -67,6 +71,7 @@ def build_training_corpus(
     n_tiers: int | None = None,
     token_budget: int | None = None,
     tier_mix: dict | None = None,
+    near_dedup: str = "cluster",
 ) -> tuple[DataFrame, CorpusReport]:
     """pages(url, warc_ts, html, ...) → (corpus(url, text, n_emails,
     n_phones), per-stage counts). The returned DataFrame is unevaluated;
@@ -102,8 +107,37 @@ def build_training_corpus(
         uniq, text_col="text", id_col="url", k=shingle_k,
         threshold=minhash_threshold,
     )
-    losers = pairs.select(F.col("id_b").alias("url")).distinct()
-    near_uniq = uniq.join(losers, "url", "left_anti").cache()
+    if near_dedup == "cluster":
+        # transitive closure + best-representative survivor (longest
+        # text, ties to min url) — near-dup is not transitive, so the
+        # pairwise shortcut below over-keeps (two docs both similar to
+        # a third but not to each other would BOTH survive). The CC
+        # loop runs its convergence jobs here, so this stage is eager.
+        from table_ocr_spark.operators.dedup import (
+            cluster_survivors,
+            duplicate_clusters,
+        )
+
+        clusters = duplicate_clusters(uniq, pairs, id_col="url")
+        scores = uniq.select(
+            "url", F.length("text").cast("double").alias("_len")
+        )
+        keep = (
+            cluster_survivors(clusters, scores, id_col="url", score_col="_len")
+            .filter(F.col("keep"))
+            .select("url")
+        )
+        near_uniq = uniq.join(keep, "url", "left_semi").cache()
+    elif near_dedup == "pairwise":
+        # cheap shape: drop the greater url of every pair — no
+        # iteration, one anti-join, but over-keeps on non-transitive
+        # similarity triangles
+        losers = pairs.select(F.col("id_b").alias("url")).distinct()
+        near_uniq = uniq.join(losers, "url", "left_anti").cache()
+    else:
+        raise ValueError(
+            f"near_dedup must be 'cluster' or 'pairwise', got {near_dedup!r}"
+        )
     n_near = near_uniq.count()
 
     clean = redact_pii(near_uniq, text_col="text", id_col="url")

@@ -362,3 +362,36 @@ def test_survivor_null_scores_lose_and_all_null_falls_back(spark):
     # cluster with no scores at all (left join misses): pure min-id
     assert rows[10]["keep"] and not rows[11]["keep"]
     assert rows[10]["quality_score"] is None
+
+
+def test_duplicate_clusters_string_ids(spark):
+    # url-keyed corpora use the changed-row convergence probe; the
+    # closure semantics must be identical to the integer path
+    from table_ocr_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [("u://a",), ("u://b",), ("u://c",), ("u://z",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("u://b", "u://a"), ("u://b", "u://c")], "id_a string, id_b string"
+    )
+    rows = {r["doc_id"]: r for r in duplicate_clusters(docs, pairs).collect()}
+    assert {rows[u]["cluster_id"] for u in ("u://a", "u://b", "u://c")} == {
+        "u://a"
+    }
+    assert rows["u://a"]["cluster_size"] == 3
+    assert rows["u://z"]["cluster_id"] == "u://z"
+    assert not rows["u://z"]["is_dup"]
+
+
+def test_duplicate_clusters_string_long_chain(spark):
+    from table_ocr_spark.operators.dedup import duplicate_clusters
+
+    ids = [f"u://{i:04d}" for i in range(60)]
+    docs = spark.createDataFrame([(u,) for u in ids], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(59)], "id_a string, id_b string"
+    )
+    rows = duplicate_clusters(docs, pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {ids[0]}
+    assert all(r["cluster_size"] == 60 for r in rows)
