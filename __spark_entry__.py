@@ -1998,8 +1998,12 @@ def oracle_sql() -> dict[str, str]:
       rk AS (SELECT lab.id, lab.cluster_id, sc.score,
                     row_number() OVER (
                       PARTITION BY lab.cluster_id
-                      ORDER BY (sc.score IS NOT NULL) DESC,
-                               sc.score DESC, lab.id
+                      ORDER BY (sc.score IS NOT NULL
+                                AND NOT isnan(sc.score)) DESC,
+                               CASE WHEN sc.score IS NULL
+                                      OR isnan(sc.score) THEN NULL
+                                    ELSE sc.score END DESC,
+                               lab.id
                     ) AS rn
              FROM lab JOIN sc USING (id))
       SELECT id AS doc_id, cluster_id, score AS quality_score,

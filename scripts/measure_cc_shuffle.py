@@ -18,38 +18,21 @@ Usage: python scripts/measure_cc_shuffle.py [n_docs]
 
 from __future__ import annotations
 
-import json
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-UI_PORT = 4313
-
-
-def _session():
-    from table_ocr_spark.session import get_spark
-
-    return get_spark(
-        "measure_cc_shuffle",
-        master="local[32]",
-        shuffle_partitions=32,
-        extra_conf={
-            "spark.ui.enabled": "true",
-            "spark.ui.port": str(UI_PORT),
-        },
-    )
-
-
-def _shuffle_write_bytes(spark) -> int:
-    app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages"
-    with urllib.request.urlopen(url) as r:
-        stages = json.loads(r.read())
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+# ONE measurement recipe: the session (auto-broadcast DISABLED — at
+# 10% density the subgraph shape's label frames would be broadcast-
+# eligible while the naive shape's corpus-sized labels are not, and
+# the axis under measurement is iteration-state scope, not broadcast
+# eligibility; at crawl scale nothing here broadcasts) and the
+# bound-port REST byte reader both come from measure_shuffle.py.
+from measure_shuffle import _session, _shuffle_write_bytes  # noqa: E402
 
 
 def _input(spark, n_docs: int, pair_mod: int):

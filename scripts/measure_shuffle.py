@@ -68,8 +68,12 @@ def _session():
 
 
 def _shuffle_write_bytes(spark) -> int:
+    # read the BOUND UI url, not the requested port: on a conflict
+    # Spark silently rebinds to the next free port, and a hardcoded
+    # port would then read another application's stages
     app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages"
+    ui = spark.sparkContext.uiWebUrl
+    url = f"{ui}/api/v1/applications/{app_id}/stages"
     with urllib.request.urlopen(url) as r:
         stages = json.loads(r.read())
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)

@@ -761,7 +761,10 @@ def duplicate_clusters(
         labels.count()  # materialize the init checkpoint
     converged = False
     for _ in range(max_iters):
-        prev_labels = labels
+        # only the changed-row probe needs last round's labels; on the
+        # integer path holding the reference would delay the
+        # ContextCleaner cache drop by a round
+        prev_labels = None if int_ids else labels
         offered = (
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), "lbl")
@@ -830,18 +833,21 @@ def cluster_survivors(
 
     ``clusters``: (id_col, cluster_id, ...) — :func:`duplicate_clusters`
     output. ``scores``: (id_col, score_col) — any per-doc numeric
-    (quality score, char length, token count). NULL scores sort below
-    every non-NULL score (a doc with no score never beats one with a
-    score; an all-NULL cluster falls back to pure min-id).
+    (quality score, char length, token count); compared as DOUBLE.
+    NULL and NaN scores both mean "no usable score" and sort below
+    every real score (a doc with no score never beats one with a
+    score; an all-missing cluster falls back to pure min-id —
+    pinned explicitly because negation does not order-reverse NaN
+    and the SQL mirror must agree).
 
-    Scale shape: join on id (narrow rows: 2 longs + a double), then
-    ``groupBy(cluster_id).agg(max(struct(score, -id)))`` + a join back
-    — deliberately NOT a ``row_number() OVER (PARTITION BY cluster)``
-    window: the agg gets a map-side partial combine, so a pathological
-    mega-cluster (all-identical boilerplate — routine in crawls) folds
-    on the map side instead of sorting through one reducer task.
-    Exchanges carry (id, cluster_id, score) / (cluster_id, best) only —
-    never document payloads.
+    Scale shape: join on id (narrow rows: 2 ids + a double), then
+    ``groupBy(cluster_id).agg(min(struct(missing_rank, -score, id)))``
+    + a join back — deliberately NOT a ``row_number() OVER (PARTITION
+    BY cluster)`` window: the agg gets a map-side partial combine, so
+    a pathological mega-cluster (all-identical boilerplate — routine
+    in crawls) folds on the map side instead of sorting through one
+    reducer task. Exchanges carry (id, cluster_id, score) /
+    (cluster_id, best) only — never document payloads.
 
     Output: (id_col, cluster_id, score_col, keep). Exactly one
     keep=true per cluster. Reference has no corpus-level dedup
@@ -853,20 +859,22 @@ def cluster_survivors(
         F.col(id_col).alias("id"), F.col(score_col).alias("_score")
     )
     joined = cl.join(sc, "id", "left")
-    # min(struct(null_rank, -score, id)): the rank puts NULL scores
-    # (rank 1) after all non-NULL (rank 0) explicitly, -score turns
-    # the min into an argmax of the score, and the id rides UN-negated
-    # so string ids (urls) work — negating the id would require a
-    # numeric id for no semantic gain
+    # min(struct(missing_rank, -score, id)): the rank puts NULL *and
+    # NaN* scores (rank 1) after all real scores (rank 0) — negation
+    # does not order-reverse NaN (-NaN is NaN, which Spark sorts
+    # LARGEST), so NaN must be routed through the rank, not the
+    # negated key. The double cast makes the negation overflow-safe
+    # for integer scores at Long.MIN. -score turns the min into an
+    # argmax, and the id rides UN-negated so string ids (urls) work.
+    score_d = F.col("_score").cast("double")
+    missing = F.col("_score").isNull() | F.isnan(score_d)
     best = (
         joined.groupBy("cluster_id")
         .agg(
             F.min(
                 F.struct(
-                    F.when(F.col("_score").isNull(), 1)
-                    .otherwise(0)
-                    .alias("r"),
-                    (-F.col("_score")).alias("ns"),
+                    F.when(missing, 1).otherwise(0).alias("r"),
+                    F.when(missing, F.lit(None)).otherwise(-score_d).alias("ns"),
                     F.col("id").alias("i"),
                 )
             ).alias("b")

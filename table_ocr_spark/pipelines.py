@@ -82,6 +82,14 @@ def build_training_corpus(
     (and ``n_tokens``); ``token_budget`` (requires ``n_tiers``)
     down-samples to that many kept tokens in expectation, split per
     tier by ``tier_mix`` shares (default: proportional)."""
+    # argument contract checks BEFORE the first materializing job —
+    # a typo must fail in milliseconds, not after hours of extraction
+    if near_dedup not in ("cluster", "pairwise"):
+        raise ValueError(
+            f"near_dedup must be 'cluster' or 'pairwise', got {near_dedup!r}"
+        )
+    if token_budget is not None and n_tiers is None:
+        raise ValueError("token_budget requires n_tiers (budgets are per tier)")
     n_input = pages.count()
 
     deduped_pages = latest_capture(pages) if "warc_ts" in pages.columns else pages
@@ -134,10 +142,6 @@ def build_training_corpus(
         # similarity triangles
         losers = pairs.select(F.col("id_b").alias("url")).distinct()
         near_uniq = uniq.join(losers, "url", "left_anti").cache()
-    else:
-        raise ValueError(
-            f"near_dedup must be 'cluster' or 'pairwise', got {near_dedup!r}"
-        )
     n_near = near_uniq.count()
 
     clean = redact_pii(near_uniq, text_col="text", id_col="url")
@@ -167,8 +171,6 @@ def build_training_corpus(
         n_after_sample = corpus.count()
 
     n_after_budget = -1
-    if token_budget is not None and n_tiers is None:
-        raise ValueError("token_budget requires n_tiers (budgets are per tier)")
     if n_tiers is not None:
         from table_ocr_spark.operators.textstats import token_stats
         from table_ocr_spark.operators.tiers import score_tiers

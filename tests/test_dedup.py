@@ -395,3 +395,17 @@ def test_duplicate_clusters_string_long_chain(spark):
     rows = duplicate_clusters(docs, pairs).collect()
     assert {r["cluster_id"] for r in rows} == {ids[0]}
     assert all(r["cluster_size"] == 60 for r in rows)
+
+
+def test_survivor_nan_scores_treated_as_missing(spark):
+    # -NaN is still NaN (sorts LARGEST in Spark), so NaN must be
+    # routed through the missing rank: a NaN-scored doc never beats a
+    # real score, and an all-NaN cluster falls back to min id
+    rows = _survivors(
+        spark,
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)],
+        [(1, float("nan")), (2, 0.1), (3, float("nan")),
+         (8, float("nan")), (9, float("nan"))],
+    )
+    assert rows[2]["keep"] and not rows[1]["keep"] and not rows[3]["keep"]
+    assert rows[8]["keep"] and not rows[9]["keep"]
