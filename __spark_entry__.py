@@ -1015,6 +1015,23 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_survivors(clusters, scores)
 
 
+def q_score_tiers_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier cutoffs for an UNQUANTIZED score via the distributed
+    range-refinement quantile engine (bounded driver memory at any
+    score cardinality — the scale path where the histogram engine
+    correctly refuses). Score = u64(md5(doc_id)) as double: both
+    engines produce the identical correctly-rounded double, so the
+    oracle match is exact."""
+    from table_ocr_spark.operators.tiers import score_tiers
+
+    docs = _read_par(spark, sf_dir, "documents").select("doc_id")
+    score = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16), 16, 10
+    ).cast("double")
+    scored = docs.select("doc_id", score.alias("score"))
+    return score_tiers(scored, "score", n_tiers=4, continuous=True)
+
+
 # expected kept tokens for the budget-sample query; a fixed literal so
 # the Spark recipe and the DuckDB oracle pin the identical integer
 TOKEN_BUDGET = 20_000
@@ -1118,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_clusters": q_duplicate_clusters,
         "dedup_survivors": q_dedup_survivors,
         "token_budget_sample": q_token_budget_sample,
+        "score_tiers_continuous": q_score_tiers_continuous,
     }
 
 
@@ -2050,6 +2068,27 @@ def oracle_sql() -> dict[str, str]:
                   substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
                 AS UBIGINT) AS HUGEINT) * b.ts
             < b.bs * 18446744073709551616::HUGEINT
+    """
+
+    # continuous-score tiers: same pinned rank definition, score =
+    # u64(md5(doc_id)) as double — CAST(ubigint AS DOUBLE) and Spark's
+    # string->double cast are both correctly rounded, so the engines
+    # agree on every bit of the score and therefore on every cutoff
+    sql["score_tiers_continuous"] = """
+      WITH s AS (SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                      AS UBIGINT) AS DOUBLE) AS score
+            FROM documents),
+      r AS (SELECT score AS sc,
+                   row_number() OVER (ORDER BY score) AS rk FROM s),
+      nn AS (SELECT count(*) AS n FROM s),
+      cuts AS (SELECT r.sc AS c FROM r, nn
+               WHERE r.rk IN ((nn.n*1 + 3)//4, (nn.n*2 + 3)//4, (nn.n*3 + 3)//4))
+      SELECT s.doc_id, s.score,
+             CAST((SELECT count(*) FROM cuts WHERE s.score > cuts.c)
+                  AS BIGINT) AS tier
+      FROM s
     """
 
     return sql

@@ -88,6 +88,7 @@ R3_NEW = [
     "duplicate_clusters",
     "dedup_survivors",
     "token_budget_sample",
+    "score_tiers_continuous",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW

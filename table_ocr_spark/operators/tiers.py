@@ -91,9 +91,7 @@ def tier_cutoffs(
     # rank; the pinned definition counts each rank once (matching a
     # SQL "rk IN (...)" oracle, where an IN-list matches a row once),
     # so a 2-doc 4-tier corpus has 2 cutoffs, not 3
-    targets = sorted(
-        {(n * t + n_tiers - 1) // n_tiers for t in range(1, n_tiers)}
-    )
+    targets = _rank_targets(n, n_tiers)
     cutoffs = []
     it = iter(rows)
     row = next(it)
@@ -106,11 +104,141 @@ def tier_cutoffs(
     return cutoffs
 
 
+def _rank_targets(n: int, n_tiers: int) -> list:
+    """The pinned DISTINCT integer-ceil cutoff ranks (module
+    docstring) — shared by both cutoff engines so they agree
+    bit-for-bit on which order statistics define the tiers."""
+    return sorted({(n * t + n_tiers - 1) // n_tiers for t in range(1, n_tiers)})
+
+
+def tier_cutoffs_continuous(
+    df: DataFrame,
+    score_col: str,
+    n_tiers: int,
+    bucket_count: int = 1 << 16,
+    max_collect: int = 500_000,
+    max_rounds: int = 12,
+) -> list:
+    """Exact tier boundaries for CONTINUOUS (unquantized) scores —
+    the scale path where :func:`tier_cutoffs` correctly refuses to
+    collect a corpus-cardinality histogram. Distributed iterative
+    range refinement, the classic exact-quantile shape:
+
+    1. one validity pass (count / min / max; NULL, NaN and ±inf are
+       rejected — none has a well-defined rank);
+    2. per round, a bucketed histogram over each still-active value
+       range: ``floor((s-lo)/width)`` with per-bucket (count, min,
+       max). The per-bucket min/max make the recursion EXACT — the
+       child range [bmin, bmax] is the actual extremes of that
+       bucket's rows, so plain range predicates (which push down to
+       the parquet scan) reproduce bucket membership with no
+       float-boundary ambiguity;
+    3. a target rank whose bucket holds <= ``max_collect`` rows is
+       resolved by collecting and sorting just that bucket (bounded
+       driver memory, ~4 MB of doubles at the default); bigger
+       buckets recurse. All targets sharing a range share one scan.
+
+    Driver memory is O(bucket_count + max_collect) at ANY score
+    cardinality; rounds needed = log_bucket_count(n / max_collect)
+    (2 rounds covers 10^12 rows at the defaults). Mass points (a
+    value repeated past ``max_collect``) collapse the range to
+    width 0 in one round and resolve immediately — heavy ties are
+    the FAST path, not a pathology. Same pinned rank definition as
+    :func:`tier_cutoffs` (distinct integer-ceil targets), so the two
+    engines agree wherever both apply."""
+    if n_tiers < 2:
+        raise ValueError(f"n_tiers must be >= 2, got {n_tiers}")
+    s = df.select(F.col(score_col).cast("double").alias("s"))
+    st = s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s").alias("n_vals"),
+        F.sum(F.when(F.isnan("s"), 1).otherwise(0)).alias("n_nan"),
+        F.sum(
+            F.when(F.abs("s") == float("inf"), 1).otherwise(0)
+        ).alias("n_inf"),
+        F.min("s").alias("lo"),
+        F.max("s").alias("hi"),
+    ).collect()[0]
+    if st["n_rows"] == 0:
+        raise ValueError("tier_cutoffs_continuous: empty input")
+    if st["n_vals"] < st["n_rows"]:
+        raise ValueError(
+            f"tier_cutoffs_continuous: NULL values in {score_col!r}; "
+            "a NULL has no rank — filter or impute upstream"
+        )
+    if (st["n_nan"] or 0) > 0 or (st["n_inf"] or 0) > 0:
+        raise ValueError(
+            f"tier_cutoffs_continuous: NaN/inf values in {score_col!r} "
+            "have no well-defined rank — fail instead of silently "
+            "mis-sorting"
+        )
+    n = st["n_rows"]
+    # state per unresolved target: rank -> (lo, hi, k) with k the
+    # 1-indexed rank among rows in the CLOSED range [lo, hi]
+    state = {r: (st["lo"], st["hi"], r) for r in _rank_targets(n, n_tiers)}
+    resolved: dict = {}
+    for _ in range(max_rounds):
+        if not state:
+            break
+        # group targets by identical range — one scan per range
+        by_range: dict = {}
+        for rank, (lo, hi, k) in state.items():
+            by_range.setdefault((lo, hi), []).append((rank, k))
+        state = {}
+        for (lo, hi), targets in by_range.items():
+            in_range = s.filter((F.col("s") >= lo) & (F.col("s") <= hi))
+            width = (hi - lo) / bucket_count
+            if width <= 0.0:
+                # mass point (or full float collapse): every row in
+                # the range equals lo — any rank inside resolves to it
+                for rank, _k in targets:
+                    resolved[rank] = lo
+                continue
+            n_in = in_range.count()
+            if n_in <= max_collect:
+                vals = sorted(r["s"] for r in in_range.collect())
+                for rank, k in targets:
+                    resolved[rank] = vals[k - 1]
+                continue
+            b = F.least(
+                F.floor((F.col("s") - F.lit(lo)) / F.lit(width)),
+                F.lit(bucket_count - 1),
+            )
+            hist = sorted(
+                in_range.groupBy(b.alias("b"))
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.min("s").alias("bmin"),
+                    F.max("s").alias("bmax"),
+                )
+                .collect(),
+                key=lambda r: r["b"],
+            )
+            for rank, k in targets:
+                cum = 0
+                for row in hist:
+                    if cum + row["c"] >= k:
+                        state[rank] = (
+                            row["bmin"], row["bmax"], k - cum
+                        )
+                        break
+                    cum += row["c"]
+    if state:
+        raise RuntimeError(
+            f"tier_cutoffs_continuous: {len(state)} targets unresolved "
+            f"after {max_rounds} rounds — raise max_rounds or "
+            "max_collect (needs log_bucket_count(n/max_collect) rounds; "
+            "12 covers any physical corpus)"
+        )
+    return [resolved[r] for r in _rank_targets(n, n_tiers)]
+
+
 def score_tiers(
     df: DataFrame,
     score_col: str,
     n_tiers: int = 4,
     max_distinct_scores: int = 2_000_000,
+    continuous: bool = False,
 ) -> DataFrame:
     """``df`` plus a ``tier`` column — global quality-tier label per
     doc, tier = |{t : score > c_t}| with exact order-statistic cutoffs
@@ -120,8 +248,13 @@ def score_tiers(
     without a join back for its other columns. The assignment pass is
     map-only codegen: the cutoffs are literals, so the corpus is
     scanned exactly twice (histogram + label) and nothing corpus-sized
-    ever shuffles on a non-key."""
-    cutoffs = tier_cutoffs(df, score_col, n_tiers, max_distinct_scores)
+    ever shuffles on a non-key. ``continuous=True`` selects the
+    range-refinement cutoff engine
+    (:func:`tier_cutoffs_continuous`) for unquantized scores."""
+    if continuous:
+        cutoffs = tier_cutoffs_continuous(df, score_col, n_tiers)
+    else:
+        cutoffs = tier_cutoffs(df, score_col, n_tiers, max_distinct_scores)
     score = F.col(score_col)
     tier = None
     for c in cutoffs:

@@ -95,3 +95,109 @@ def test_colliding_rank_targets_count_once(spark):
     assert tier_cutoffs(df, "s", 4) == [1.0, 9.0]
     rows = {r["s"]: r["tier"] for r in score_tiers(df, "s", 4).collect()}
     assert rows == {1.0: 0, 9.0: 1}
+
+
+# ---------------------------------------------------------------------------
+# tier_cutoffs_continuous — range-refinement exact quantiles
+
+
+def _cont_df(spark, scores):
+    return spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], "doc_id long, s double"
+    )
+
+
+def _py_cutoffs(scores, n_tiers):
+    from table_ocr_spark.operators.tiers import _rank_targets
+
+    v = sorted(scores)
+    return [v[r - 1] for r in _rank_targets(len(v), n_tiers)]
+
+
+def test_continuous_matches_sorted_ground_truth(spark):
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    import random
+
+    rnd = random.Random(7)
+    scores = [rnd.uniform(-50, 50) for _ in range(5000)]
+    df = _cont_df(spark, scores)
+    for t in (2, 4, 7):
+        got = tier_cutoffs_continuous(df, "s", t)
+        assert got == _py_cutoffs(scores, t)
+
+
+def test_continuous_multi_round_refinement(spark):
+    # tiny buckets + tiny collect bound force >= 2 refinement rounds
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    import random
+
+    rnd = random.Random(11)
+    scores = [rnd.gauss(0, 1) for _ in range(4000)]
+    got = tier_cutoffs_continuous(
+        _cont_df(spark, scores), "s", 4, bucket_count=8, max_collect=50
+    )
+    assert got == _py_cutoffs(scores, 4)
+
+
+def test_continuous_mass_point_fast_path(spark):
+    # a value repeated past max_collect collapses its range to width 0
+    # and resolves immediately — ties are the fast path
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    scores = [3.25] * 3000 + [float(i) for i in range(1000)]
+    got = tier_cutoffs_continuous(
+        _cont_df(spark, scores), "s", 4, bucket_count=16, max_collect=100
+    )
+    assert got == _py_cutoffs(scores, 4)
+
+
+def test_continuous_agrees_with_histogram_engine(spark):
+    from table_ocr_spark.operators.tiers import (
+        tier_cutoffs,
+        tier_cutoffs_continuous,
+    )
+
+    scores = [round(i * 0.37 % 5, 2) for i in range(800)]
+    df = _cont_df(spark, scores)
+    assert tier_cutoffs_continuous(df, "s", 4) == tier_cutoffs(df, "s", 4)
+
+
+def test_continuous_rejects_nan_inf_null_empty(spark):
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    with pytest.raises(ValueError, match="NaN/inf"):
+        tier_cutoffs_continuous(_cont_df(spark, [1.0, float("nan")]), "s", 2)
+    with pytest.raises(ValueError, match="NaN/inf"):
+        tier_cutoffs_continuous(_cont_df(spark, [1.0, float("inf")]), "s", 2)
+    with pytest.raises(ValueError, match="NULL"):
+        tier_cutoffs_continuous(
+            spark.createDataFrame([(1, 1.0), (2, None)], "doc_id long, s double"),
+            "s", 2,
+        )
+    with pytest.raises(ValueError, match="empty"):
+        tier_cutoffs_continuous(
+            _cont_df(spark, [1.0]).filter("s > 9"), "s", 2
+        )
+
+
+def test_continuous_max_rounds_exhaustion_raises(spark):
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    df = _cont_df(spark, [float(i) for i in range(200)])
+    with pytest.raises(RuntimeError, match="unresolved"):
+        tier_cutoffs_continuous(
+            df, "s", 2, bucket_count=2, max_collect=1, max_rounds=1
+        )
+
+
+def test_score_tiers_continuous_engine(spark):
+    scores = [i * 0.001 + 0.0001 for i in range(1000)]
+    df = _cont_df(spark, scores)
+    rows = {
+        r["doc_id"]: r["tier"]
+        for r in score_tiers(df, "s", 4, continuous=True).collect()
+    }
+    # uniform ramp -> balanced quartiles
+    assert [rows[0], rows[499], rows[999]] == [0, 1, 3]
