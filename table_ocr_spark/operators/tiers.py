@@ -173,32 +173,63 @@ def tier_cutoffs_continuous(
             "mis-sorting"
         )
     n = st["n_rows"]
-    # state per unresolved target: rank -> (lo, hi, k) with k the
-    # 1-indexed rank among rows in the CLOSED range [lo, hi]
-    state = {r: (st["lo"], st["hi"], r) for r in _rank_targets(n, n_tiers)}
+    # state per unresolved target: rank -> (lo, hi, k, cnt) with k the
+    # 1-indexed rank among the cnt rows in the CLOSED range [lo, hi];
+    # cnt is carried (seeded n, then the parent bucket's count) so no
+    # round ever spends a scan just to count a range
+    state = {
+        r: (st["lo"], st["hi"], r, n) for r in _rank_targets(n, n_tiers)
+    }
     resolved: dict = {}
     for _ in range(max_rounds):
         if not state:
             break
         # group targets by identical range — one scan per range
         by_range: dict = {}
-        for rank, (lo, hi, k) in state.items():
-            by_range.setdefault((lo, hi), []).append((rank, k))
+        for rank, (lo, hi, k, cnt) in state.items():
+            by_range.setdefault((lo, hi, cnt), []).append((rank, k))
         state = {}
-        for (lo, hi), targets in by_range.items():
-            in_range = s.filter((F.col("s") >= lo) & (F.col("s") <= hi))
-            width = (hi - lo) / bucket_count
-            if width <= 0.0:
-                # mass point (or full float collapse): every row in
-                # the range equals lo — any rank inside resolves to it
+        for (lo, hi, cnt), targets in by_range.items():
+            if lo == hi:
+                # mass point: every row in the range equals lo
                 for rank, _k in targets:
                     resolved[rank] = lo
                 continue
-            n_in = in_range.count()
-            if n_in <= max_collect:
+            in_range = s.filter((F.col("s") >= lo) & (F.col("s") <= hi))
+            if cnt <= max_collect:
                 vals = sorted(r["s"] for r in in_range.collect())
                 for rank, k in targets:
                     resolved[rank] = vals[k - 1]
+                continue
+            # hi/B - lo/B, NOT (hi-lo)/B: the subtraction can overflow
+            # to inf for finite scores spanning > ~1.8e308
+            width = hi / bucket_count - lo / bucket_count
+            if width <= 0.0:
+                # range narrower than float resolution at this scale
+                # but NOT a mass point (lo != hi): at most ~bucket_count
+                # representable doubles fit between lo and hi, so a
+                # distinct-value histogram is bounded and exact
+                hist = sorted(
+                    in_range.groupBy("s")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .limit(2 * bucket_count + 1)
+                    .collect(),
+                    key=lambda r: r["s"],
+                )
+                if len(hist) > 2 * bucket_count:
+                    raise RuntimeError(
+                        "tier_cutoffs_continuous: zero-width range "
+                        f"[{lo}, {hi}] holds more than {2 * bucket_count} "
+                        "distinct values — numerically impossible for "
+                        "IEEE doubles; corrupt input"
+                    )
+                for rank, k in targets:
+                    cum = 0
+                    for row in hist:
+                        cum += row["c"]
+                        if cum >= k:
+                            resolved[rank] = row["s"]
+                            break
                 continue
             b = F.least(
                 F.floor((F.col("s") - F.lit(lo)) / F.lit(width)),
@@ -219,7 +250,7 @@ def tier_cutoffs_continuous(
                 for row in hist:
                     if cum + row["c"] >= k:
                         state[rank] = (
-                            row["bmin"], row["bmax"], k - cum
+                            row["bmin"], row["bmax"], k - cum, row["c"]
                         )
                         break
                     cum += row["c"]
@@ -239,6 +270,9 @@ def score_tiers(
     n_tiers: int = 4,
     max_distinct_scores: int = 2_000_000,
     continuous: bool = False,
+    bucket_count: int = 1 << 16,
+    max_collect: int = 500_000,
+    max_rounds: int = 12,
 ) -> DataFrame:
     """``df`` plus a ``tier`` column — global quality-tier label per
     doc, tier = |{t : score > c_t}| with exact order-statistic cutoffs
@@ -249,10 +283,15 @@ def score_tiers(
     map-only codegen: the cutoffs are literals, so the corpus is
     scanned exactly twice (histogram + label) and nothing corpus-sized
     ever shuffles on a non-key. ``continuous=True`` selects the
-    range-refinement cutoff engine
-    (:func:`tier_cutoffs_continuous`) for unquantized scores."""
+    range-refinement cutoff engine (:func:`tier_cutoffs_continuous`)
+    for unquantized scores, tuned by ``bucket_count`` /
+    ``max_collect`` / ``max_rounds``; ``max_distinct_scores`` applies
+    only to the histogram engine (the continuous engine has no
+    distinct-cardinality limit — that is its point)."""
     if continuous:
-        cutoffs = tier_cutoffs_continuous(df, score_col, n_tiers)
+        cutoffs = tier_cutoffs_continuous(
+            df, score_col, n_tiers, bucket_count, max_collect, max_rounds
+        )
     else:
         cutoffs = tier_cutoffs(df, score_col, n_tiers, max_distinct_scores)
     score = F.col(score_col)

@@ -201,3 +201,31 @@ def test_score_tiers_continuous_engine(spark):
     }
     # uniform ramp -> balanced quartiles
     assert [rows[0], rows[499], rows[999]] == [0, 1, 3]
+
+
+def test_continuous_denormal_gap_not_mass_point(spark):
+    # width underflow with lo != hi must NOT resolve to lo: the
+    # rank-125 value here is 5e-324, not 0.0 (review r3 finding,
+    # reproduced before fix)
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    scores = [0.0] * 50 + [5e-324] * 200
+    got = tier_cutoffs_continuous(
+        _cont_df(spark, scores), "s", 2, bucket_count=16, max_collect=10
+    )
+    assert got == _py_cutoffs(scores, 2)
+
+
+def test_continuous_huge_span_no_overflow(spark):
+    # (hi-lo) overflows to inf for finite scores spanning > 1.8e308;
+    # width must be computed as hi/B - lo/B
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    import random
+
+    rnd = random.Random(3)
+    scores = [-1.7e308, 1.7e308] + [rnd.uniform(-1e4, 1e4) for _ in range(500)]
+    got = tier_cutoffs_continuous(
+        _cont_df(spark, scores), "s", 4, bucket_count=32, max_collect=64
+    )
+    assert got == _py_cutoffs(scores, 4)
