@@ -1032,6 +1032,38 @@ def q_score_tiers_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_tiers(scored, "score", n_tiers=4, continuous=True)
 
 
+# leakage-safe split recipe for the splits query; boundaries are
+# computed once by split_boundaries and embedded as hex literals in
+# BOTH engines, so no float arithmetic crosses the engine boundary
+SPLIT_FRACTIONS = {"val": 0.15, "test": 0.15}
+
+
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-wholesale train/val/test assignment (splits.assign_splits):
+    every page of a host shares its split — the standard guard against
+    near-dup leakage across the train/eval boundary. Map-only codegen:
+    md5 band membership against literal hex boundaries."""
+    from table_ocr_spark.operators.splits import assign_splits
+
+    docs = _read_par(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.lower(
+            F.concat(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("cdn.")).otherwise(
+                    F.lit("")
+                ),
+                F.col("source"),
+                F.lit(".example.com"),
+            )
+        ).alias("host"),
+    )
+    out = assign_splits(
+        pages, SPLIT_FRACTIONS, key_col="host", canonicalize_host=False
+    )
+    return out.select("doc_id", "host", "split")
+
+
 # expected kept tokens for the budget-sample query; a fixed literal so
 # the Spark recipe and the DuckDB oracle pin the identical integer
 TOKEN_BUDGET = 20_000
@@ -1136,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "token_budget_sample": q_token_budget_sample,
         "score_tiers_continuous": q_score_tiers_continuous,
+        "leakage_safe_splits": q_leakage_safe_splits,
     }
 
 
@@ -2089,6 +2122,25 @@ def oracle_sql() -> dict[str, str]:
              CAST((SELECT count(*) FROM cuts WHERE s.score > cuts.c)
                   AS BIGINT) AS tier
       FROM s
+    """
+
+    # leakage-safe splits: the hex band boundaries come from the SAME
+    # split_boundaries() call the Spark query uses — literals in both
+    # engines, md5 recipe identical to the stratified_sample oracle
+    from table_ocr_spark.operators.splits import split_boundaries
+
+    (_, b_val), (_, b_test) = split_boundaries(SPLIT_FRACTIONS)
+    sql["leakage_safe_splits"] = f"""
+      WITH pages AS (
+        SELECT doc_id,
+               lower(CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END
+                     || source || '.example.com') AS host
+        FROM documents)
+      SELECT doc_id, host,
+             CASE WHEN substring(md5(host), 1, 16) < '{b_val}' THEN 'val'
+                  WHEN substring(md5(host), 1, 16) < '{b_test}' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM pages
     """
 
     return sql

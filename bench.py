@@ -89,6 +89,7 @@ R3_NEW = [
     "dedup_survivors",
     "token_budget_sample",
     "score_tiers_continuous",
+    "leakage_safe_splits",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW

@@ -1,0 +1,89 @@
+"""Leakage-safe train/validation/test split assignment.
+
+Splitting a crawl corpus by DOCUMENT leaks: near-identical pages from
+one site land on both sides of the train/eval boundary and the eval
+set stops measuring generalization. The standard guard is to split by
+SITE — every document whose (canonical) host hashes into the val
+band goes to val, wholesale. Same md5-prefix recipe as
+``operators/sampling.py``: membership is a pure function of
+(key, fractions), reproducible on any engine, stable under
+repartitioning and corpus growth (a host keeps its split as new pages
+arrive — the property that makes incremental crawls safe).
+
+Grouping key = the canonical full host
+(:func:`~table_ocr_spark.operators.urlnorm.host_canonical`). For
+eTLD+1 grouping (blog.foo.com and shop.foo.com forced together),
+pass a precomputed registrable-domain column with
+``canonicalize_host=False`` — deriving eTLD+1 needs the public-suffix
+list, which is a lookup table, not logic this operator should pin.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.sampling import _hash_prefix, _threshold_hex
+from table_ocr_spark.operators.urlnorm import host_canonical
+
+
+def split_boundaries(fractions: Dict[str, float]) -> list:
+    """[(split_name, upper_hex_boundary)] — cumulative md5-prefix
+    bands in dict order (insertion order is the pinned order; the
+    recipe is the (name, fraction) list, not a set). Boundary hex
+    strings are computed HERE, in one place, and embedded as literals
+    by both the Spark expression and any SQL mirror — so no float
+    arithmetic ever crosses an engine boundary."""
+    if not fractions:
+        raise ValueError("split_boundaries: empty fractions")
+    cum = 0.0
+    out = []
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(
+                f"split_boundaries: fraction for {name!r} must be in "
+                f"[0,1], got {f}"
+            )
+        cum += f
+        if cum > 1.0 + 1e-9:
+            raise ValueError(
+                f"split_boundaries: fractions sum past 1.0 at {name!r}"
+            )
+        out.append((name, _threshold_hex(min(cum, 1.0))))
+    return out
+
+
+def assign_splits(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    rest: str = "train",
+    key_col: str = "url",
+    canonicalize_host: bool = True,
+) -> DataFrame:
+    """``df`` plus a ``split`` column: the named splits take their
+    md5-prefix bands in dict order, everything past the last boundary
+    is ``rest``. All rows sharing a grouping key share a split —
+    site-level leakage safety when the key is the host. Map-only
+    codegen (md5 + chained comparisons against literal hex
+    boundaries); nothing shuffles, nothing collects. A NULL key (no
+    parseable host) compares NULL against every boundary and falls
+    through to ``rest`` — deterministic, and conservative when rest
+    is train."""
+    if rest in fractions:
+        raise ValueError(
+            f"assign_splits: rest split {rest!r} also has an explicit "
+            "fraction — give it either a band or the remainder, not both"
+        )
+    key = F.col(key_col)
+    if canonicalize_host:
+        key = host_canonical(key)
+    prefix = _hash_prefix(key)
+    expr = None
+    for name, hexbound in split_boundaries(fractions):
+        cond = prefix < F.lit(hexbound)
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    return df.withColumn("split", expr.otherwise(rest))

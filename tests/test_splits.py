@@ -1,0 +1,91 @@
+"""Leakage-safe splits: site-wholesale assignment, deterministic
+bands, validation, and the NULL-key fallthrough."""
+
+import hashlib
+
+import pytest
+
+from table_ocr_spark.operators.splits import assign_splits, split_boundaries
+
+
+def _urls_df(spark):
+    rows = []
+    for h in range(40):
+        for p in range(5):
+            rows.append((f"https://site{h}.example.com/page/{p}",))
+    return spark.createDataFrame(rows, "url string")
+
+
+def test_same_host_same_split_always(spark):
+    out = assign_splits(
+        _urls_df(spark), {"val": 0.2, "test": 0.2}
+    ).collect()
+    by_host = {}
+    for r in out:
+        host = r["url"].split("/")[2]
+        by_host.setdefault(host, set()).add(r["split"])
+    # wholesale: every host's pages share one split
+    assert all(len(s) == 1 for s in by_host.values())
+    seen = {s for ss in by_host.values() for s in ss}
+    assert seen <= {"val", "test", "train"} and len(seen) > 1
+
+
+def test_membership_matches_closed_form(spark):
+    # recompute membership in pure python from the recipe alone
+    out = assign_splits(
+        _urls_df(spark), {"val": 0.25, "test": 0.25}
+    ).collect()
+    bounds = split_boundaries({"val": 0.25, "test": 0.25})
+    for r in out:
+        host = r["url"].split("/")[2]
+        prefix = hashlib.md5(host.encode()).hexdigest()[:16]
+        want = "train"
+        for name, b in bounds:
+            if prefix < b:
+                want = name
+                break
+        assert r["split"] == want
+
+
+def test_partitioning_invariance(spark):
+    df = _urls_df(spark)
+    a = {r["url"]: r["split"] for r in
+         assign_splits(df.repartition(2), {"val": 0.3}).collect()}
+    b = {r["url"]: r["split"] for r in
+         assign_splits(df.repartition(13), {"val": 0.3}).collect()}
+    assert a == b
+
+
+def test_null_key_falls_through_to_rest(spark):
+    df = spark.createDataFrame([(None,), ("https://x.example/a",)], "url string")
+    rows = {r["url"]: r["split"] for r in
+            assign_splits(df, {"val": 1.0}, rest="train").collect()}
+    assert rows[None] == "train"
+    assert rows["https://x.example/a"] == "val"
+
+
+def test_precomputed_domain_column(spark):
+    # eTLD+1 grouping via a caller-supplied column, no canonicalization
+    df = spark.createDataFrame(
+        [("a", "foo.com"), ("b", "foo.com"), ("c", "bar.org")],
+        "doc_id string, domain string",
+    )
+    out = assign_splits(
+        df, {"val": 0.5}, key_col="domain", canonicalize_host=False
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_dom.values())
+
+
+def test_validation_errors(spark):
+    df = _urls_df(spark)
+    with pytest.raises(ValueError, match="empty"):
+        split_boundaries({})
+    with pytest.raises(ValueError, match="sum past"):
+        split_boundaries({"a": 0.7, "b": 0.7})
+    with pytest.raises(ValueError, match="must be in"):
+        split_boundaries({"a": -0.1})
+    with pytest.raises(ValueError, match="rest split"):
+        assign_splits(df, {"train": 0.5}, rest="train")
