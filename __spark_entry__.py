@@ -2129,7 +2129,13 @@ def oracle_sql() -> dict[str, str]:
     # engines, md5 recipe identical to the stratified_sample oracle
     from table_ocr_spark.operators.splits import split_boundaries
 
-    (_, b_val), (_, b_test) = split_boundaries(SPLIT_FRACTIONS)
+    # CASE branches built from the returned (name, boundary) pairs —
+    # hardcoding names here would silently mislabel bands if
+    # SPLIT_FRACTIONS were reordered or resized
+    branches = "\n                  ".join(
+        f"WHEN substring(md5(host), 1, 16) < '{b}' THEN '{name}'"
+        for name, b in split_boundaries(SPLIT_FRACTIONS)
+    )
     sql["leakage_safe_splits"] = f"""
       WITH pages AS (
         SELECT doc_id,
@@ -2137,8 +2143,7 @@ def oracle_sql() -> dict[str, str]:
                      || source || '.example.com') AS host
         FROM documents)
       SELECT doc_id, host,
-             CASE WHEN substring(md5(host), 1, 16) < '{b_val}' THEN 'val'
-                  WHEN substring(md5(host), 1, 16) < '{b_test}' THEN 'test'
+             CASE {branches}
                   ELSE 'train' END AS split
       FROM pages
     """

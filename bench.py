@@ -153,6 +153,10 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     HEAVY = {
         "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dup_lsh",
         "dup_span_stats", "embedding_near_dup",
+        # the iterative CC queries run 15+ sequential job barriers, so
+        # a co-tenant spike inflates them 2-3x where map-only queries
+        # inflate ~20% — they need the extra trial most
+        "duplicate_clusters", "dedup_survivors",
     }
     times: dict[str, float] = {}
     for name in HEADLINE:

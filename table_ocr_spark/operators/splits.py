@@ -67,10 +67,9 @@ def assign_splits(
     is ``rest``. All rows sharing a grouping key share a split —
     site-level leakage safety when the key is the host. Map-only
     codegen (md5 + chained comparisons against literal hex
-    boundaries); nothing shuffles, nothing collects. A NULL key (no
-    parseable host) compares NULL against every boundary and falls
-    through to ``rest`` — deterministic, and conservative when rest
-    is train."""
+    boundaries); nothing shuffles, nothing collects. A NULL or
+    unparseable key (no host in the url) falls through to ``rest`` —
+    deterministic, and conservative when rest is train."""
     if rest in fractions:
         raise ValueError(
             f"assign_splits: rest split {rest!r} also has an explicit "
@@ -78,7 +77,13 @@ def assign_splits(
         )
     key = F.col(key_col)
     if canonicalize_host:
-        key = host_canonical(key)
+        # host_canonical yields '' (not NULL) for a schemeless or
+        # otherwise unparseable url; '' must not hash as one giant
+        # pseudo-site that lands wholesale in whatever band covers
+        # md5('') — null it so those rows take the documented
+        # fallthrough to rest
+        host = host_canonical(key)
+        key = F.when(F.length(host) > 0, host)
     prefix = _hash_prefix(key)
     expr = None
     for name, hexbound in split_boundaries(fractions):

@@ -89,3 +89,17 @@ def test_validation_errors(spark):
         split_boundaries({"a": -0.1})
     with pytest.raises(ValueError, match="rest split"):
         assign_splits(df, {"train": 0.5}, rest="train")
+
+
+def test_unparseable_url_falls_through_to_rest(spark):
+    # host_canonical yields '' (not NULL) for schemeless urls; ''
+    # must not become one giant md5('')-keyed pseudo-site inside a
+    # val/test band (review r3 finding)
+    df = spark.createDataFrame(
+        [("example.com/no-scheme",), ("https://real.example/a",)],
+        "url string",
+    )
+    # md5('')[:16] ~ fraction 0.829 — a 0.9 band would swallow it
+    rows = {r["url"]: r["split"] for r in
+            assign_splits(df, {"val": 0.9}, rest="train").collect()}
+    assert rows["example.com/no-scheme"] == "train"
