@@ -1064,6 +1064,25 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "split")
 
 
+# pinned BM25 query set; idf="rational" because ln() is libm-dependent
+# across engines while one correctly-rounded division is not
+BM25_QUERIES = {"q_dup": "dup merge scan", "q_spark": "spark hash join"}
+BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval (retrieval.bm25_topk): broadcast
+    query-term stats, map-only scoring with a pinned left-fold over
+    query terms, per-query top-k window over the candidate set."""
+    from table_ocr_spark.operators.retrieval import bm25_topk
+
+    docs = _read_par(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        list(BM25_QUERIES.items()), "query_id string, query_text string"
+    )
+    return bm25_topk(docs, qdf, k=BM25_K, idf="rational", max_df_ratio=1.0)
+
+
 # expected kept tokens for the budget-sample query; a fixed literal so
 # the Spark recipe and the DuckDB oracle pin the identical integer
 TOKEN_BUDGET = 20_000
@@ -1169,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "score_tiers_continuous": q_score_tiers_continuous,
         "leakage_safe_splits": q_leakage_safe_splits,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2146,6 +2166,52 @@ def oracle_sql() -> dict[str, str]:
              CASE {branches}
                   ELSE 'train' END AS split
       FROM pages
+    """
+
+    # BM25 mirror: every float chain is written in EXACTLY the shape
+    # the operator's column expression evaluates — rational idf (one
+    # correctly-rounded division), explicit left-fold over query terms
+    # in first-occurrence order, same parenthesization — so scores are
+    # bit-identical. Generated per term to keep the shapes in one place.
+    def _bm25_contrib(term: str) -> str:
+        tf = f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
+        c = f"(SELECT c FROM v WHERE w = '{term}')"
+        idf_sql = f"(((SELECT n FROM st) - {c} + 0.5) / ({c} + 0.5))"
+        return (f"({idf_sql} * ({tf} * 2.2) / "
+                f"({tf} + 1.2 * (0.25 + 0.75 * dl / (SELECT a FROM st))))")
+
+    def _bm25_query_select(qid: str, text: str) -> str:
+        seen: dict = {}
+        for t in text.split():
+            seen.setdefault(t, None)
+        chain = " + ".join(_bm25_contrib(t) for t in seen)
+        return (f"SELECT '{qid}' AS query_id, doc_id, {chain} AS score "
+                "FROM d")
+
+    selects = "\n        UNION ALL ".join(
+        _bm25_query_select(qid, text) for qid, text in BM25_QUERIES.items()
+    )
+    sql["bm25_topk"] = f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+      st AS (SELECT count(*) AS n,
+                    CAST(sum(len(toks)) AS DOUBLE) / count(*) AS a
+             FROM t),
+      v AS (SELECT w, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_distinct(toks)) AS w FROM t)
+            GROUP BY w),
+      scored AS (
+        {selects}
+      ),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM scored WHERE score > 0
+      )
+      SELECT query_id, doc_id, score, rank
+      FROM ranked WHERE rank <= {BM25_K}
     """
 
     return sql

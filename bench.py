@@ -90,6 +90,7 @@ R3_NEW = [
     "token_budget_sample",
     "score_tiers_continuous",
     "leakage_safe_splits",
+    "bm25_topk",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW
