@@ -2174,8 +2174,14 @@ def oracle_sql() -> dict[str, str]:
     # in first-occurrence order, same parenthesization — so scores are
     # bit-identical. Generated per term to keep the shapes in one place.
     def _bm25_contrib(term: str) -> str:
-        tf = f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
-        c = f"(SELECT c FROM v WHERE w = '{term}')"
+        # escape quotes (terms are an extension point), and COALESCE
+        # the df subquery: a corpus-absent term has no row in v, and a
+        # NULL df would poison the whole score chain — with df=0 the
+        # contribution is tf-driven and tf is 0 everywhere, matching
+        # the operator's drop-unseen-terms behavior numerically
+        q = term.replace("'", "''")
+        tf = f"CAST(len(list_filter(toks, x -> x = '{q}')) AS DOUBLE)"
+        c = f"COALESCE((SELECT c FROM v WHERE w = '{q}'), 0)"
         idf_sql = f"(((SELECT n FROM st) - {c} + 0.5) / ({c} + 0.5))"
         return (f"({idf_sql} * ({tf} * 2.2) / "
                 f"({tf} + 1.2 * (0.25 + 0.75 * dl / (SELECT a FROM st))))")

@@ -6,8 +6,8 @@ Spark shape — broadcast-stats scoring, NOT a posting-list join:
 queries are few by definition (an eval set, a dedupe probe, a
 labeling batch), so every corpus-global statistic BM25 needs — per-
 term document frequency over the QUERY vocabulary, document count,
-average document length — fits on the driver after one filtered
-aggregation pass, and scoring becomes a single MAP-ONLY pass over the
+average document length — fits on the driver after ONE
+aggregation pass (per-term df via array_contains sums), and scoring becomes a single MAP-ONLY pass over the
 corpus: per document, an explicit left-to-right sum of per-term
 contributions computed from its own token array. Nothing
 corpus-sized ever shuffles on a term; the only exchange is the final
@@ -51,14 +51,19 @@ from table_ocr_spark.operators.textstats import tokens
 
 
 def _py_tokens(text: str) -> list:
-    """Driver-side twin of textstats.tokens — must stay identical."""
-    return [w for w in re.split(r"\s+", text or "") if w != ""]
+    """Driver-side twin of textstats.tokens. The character class is
+    Java's ASCII \\s spelled out — Python's \\s is Unicode-aware
+    (NBSP etc.) and would split query text where Spark does not,
+    silently making such terms unmatchable."""
+    return [w for w in re.split("[ \t\n\x0b\f\r]+", text or "") if w != ""]
 
 
-def _empty_result(docs, query_id_col: str, id_col: str) -> DataFrame:
-    """Zero-row result preserving the caller's id column type."""
+def _empty_result(docs, queries, query_id_col: str, id_col: str) -> DataFrame:
+    """Zero-row result preserving both id column types — the empty
+    and non-empty paths must return the same schema."""
+    qid_type = queries.schema[query_id_col].dataType
     return docs.select(
-        F.lit(None).cast("string").alias(query_id_col),
+        F.lit(None).cast(qid_type).alias(query_id_col),
         F.col(id_col),
         F.lit(0.0).alias("score"),
         F.lit(0).alias("rank"),
@@ -84,7 +89,7 @@ def bm25_topk(
     query whose every term is unseen or df-pruned returns no rows; a
     document scores only if it shares >= 1 surviving term (score > 0).
 
-    One filtered aggregation pass for the stats, one map-only scoring
+    One aggregation pass for ALL the stats, one map-only scoring
     pass (all queries scored in a single scan via an exploded struct
     array), one top-k window over candidates. The window partitions
     by query — fine because queries are few and candidates are
@@ -105,35 +110,40 @@ def bm25_topk(
         )
     qterms = {}
     for r in qrows:
+        qid = r[query_id_col]
+        if qid in qterms:
+            raise ValueError(
+                f"bm25_topk: duplicate query id {qid!r} — later rows "
+                "would silently shadow earlier ones"
+            )
         seen: dict = {}
         for t in _py_tokens(r[query_text_col]):
             seen.setdefault(t, None)
-        qterms[r[query_id_col]] = list(seen)
+        qterms[qid] = list(seen)
     vocab = sorted({t for ts in qterms.values() for t in ts})
     if not vocab:
-        return _empty_result(docs, query_id_col, id_col)
+        return _empty_result(docs, queries, query_id_col, id_col)
 
     toked = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
+    # ONE aggregation pass for every corpus statistic: doc count,
+    # token total, and per-term df via array_contains — the vocabulary
+    # is query-bounded, so the agg width is small and the corpus is
+    # read exactly twice overall (stats + scoring)
     stats = toked.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("_toks")).alias("dl_sum")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("_toks")).alias("dl_sum"),
+        *[
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"_df{i}")
+            for i, t in enumerate(vocab)
+        ],
     ).collect()[0]
     n_docs, dl_sum = stats["n"], stats["dl_sum"] or 0
     if n_docs == 0:
-        return _empty_result(docs, query_id_col, id_col)
+        return _empty_result(docs, queries, query_id_col, id_col)
     avgdl = dl_sum / n_docs
-    df_rows = (
-        toked.select(
-            F.col(id_col),
-            F.explode(F.array_distinct("_toks")).alias("_t"),
-        )
-        .filter(F.col("_t").isin(vocab))
-        .groupBy("_t")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .collect()
-    )
-    dfs = {r["_t"]: r["_df"] for r in df_rows}
+    dfs = {t: (stats[f"_df{i}"] or 0) for i, t in enumerate(vocab)}
 
     def _idf(term: str):
         d = dfs.get(term, 0)
@@ -170,7 +180,7 @@ def bm25_topk(
             F.struct(F.lit(qid).alias("qid"), score.alias("score"))
         )
     if not structs:
-        return _empty_result(docs, query_id_col, id_col)
+        return _empty_result(docs, queries, query_id_col, id_col)
     scored = (
         toked.select(
             F.col(id_col), F.explode(F.array(*structs)).alias("_q")
