@@ -141,6 +141,31 @@ def main() -> int:
         print(f"blocked_hosts {n_total} x 10k-entry list: "
               f"{time.perf_counter()-t0:.1f} s, kept {kept}")
 
+        # retrieval + splits at the same corpus size
+        from table_ocr_spark.operators.retrieval import bm25_topk
+        from table_ocr_spark.operators.splits import assign_splits
+
+        qdf = spark.createDataFrame(
+            [("q1", "dup merge scan"), ("q2", "spark hash join")],
+            "query_id string, query_text string",
+        )
+        t0 = time.perf_counter()
+        top = bm25_topk(big, qdf, k=10, max_df_ratio=1.0)
+        n_top = top.count()
+        print(f"bm25_topk {n_total} x 2 queries: "
+              f"{time.perf_counter()-t0:.1f} s, {n_top} result rows")
+        assert n_top == 20, "bm25 should fill k for both queries"
+
+        t0 = time.perf_counter()
+        split_counts = {
+            r["split"]: r["c"]
+            for r in assign_splits(urls, {"val": 0.1, "test": 0.1})
+            .groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        print(f"assign_splits {n_total}: {time.perf_counter()-t0:.1f} s, "
+              f"{split_counts}")
+        assert set(split_counts) == {"train", "val", "test"}
+
         # round-3 tier surface at the same corpus size
         from table_ocr_spark.operators.dedup import (
             cluster_survivors,
