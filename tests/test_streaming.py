@@ -317,3 +317,53 @@ def test_streaming_dedup_then_extract_matches_batch_pipeline(spark, tmp_path):
         r["text"] for r in survivors
     )
     assert len(got) == 12  # 4 re-deliveries + 4 mirrors all dropped
+
+
+def test_map_only_corpus_ops_compose_with_streaming(spark, tmp_path):
+    """The round-3 map-only operators (split assignment, blocklist
+    filter, tier labeling against precomputed cutoffs) are stateless
+    expressions, so they must run UNCHANGED inside a streaming plan —
+    the property that lets an incremental crawl pipeline reuse the
+    batch operators. availableNow over a file source, results equal
+    the batch run."""
+    import pyspark.sql.functions as F
+
+    from table_ocr_spark.operators.splits import assign_splits
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    src = str(tmp_path / "src")
+    rows = [
+        (i, f"https://site{i % 7}.example.com/p/{i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    df.write.mode("overwrite").parquet(src)
+
+    def transform(frame):
+        kept = filter_blocked_hosts(frame, ["site0.example.com"])
+        return assign_splits(kept, {"val": 0.3}, rest="train")
+
+    batch = {
+        (r["doc_id"], r["split"])
+        for r in transform(spark.read.parquet(src)).collect()
+    }
+
+    stream_in = spark.readStream.schema("doc_id long, url string").parquet(src)
+    q = (
+        transform(stream_in)
+        .writeStream.format("memory")
+        .queryName("maponly_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["split"])
+        for r in spark.sql("SELECT * FROM maponly_stream").collect()
+    }
+    assert got == batch
+    assert all(
+        not u.startswith("https://site0.") for _, u in
+        [(r["doc_id"], r["url"]) for r in
+         spark.sql("SELECT * FROM maponly_stream").collect()]
+    )
