@@ -1064,6 +1064,30 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "split")
 
 
+LINE_RM_MIN_DF = 5
+
+
+def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (textstats.
+    remove_repeated_lines): per-source header lines (doc-df ~100) and
+    a universal footer (doc-df = corpus) are deleted everywhere while
+    unique body lines survive in order."""
+    from table_ocr_spark.operators.textstats import remove_repeated_lines
+
+    docs = _read_par(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("header "),
+            F.col("source"),
+            F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\ncommon footer line"),
+        ).alias("text"),
+    )
+    return remove_repeated_lines(pages, min_doc_df=LINE_RM_MIN_DF)
+
+
 # pinned BM25 query set; idf="rational" because ln() is libm-dependent
 # across engines while one correctly-rounded division is not
 BM25_QUERIES = {"q_dup": "dup merge scan", "q_spark": "spark hash join"}
@@ -1189,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_tiers_continuous": q_score_tiers_continuous,
         "leakage_safe_splits": q_leakage_safe_splits,
         "bm25_topk": q_bm25_topk,
+        "remove_repeated_lines": q_remove_repeated_lines,
     }
 
 
@@ -2218,6 +2243,38 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT query_id, doc_id, score, rank
       FROM ranked WHERE rank <= {BM25_K}
+    """
+
+    # repeated-line removal: same trimmed-key rule (' \t\r' set), same
+    # distinct-doc threshold, order-preserving reassembly; NOT EXISTS
+    # instead of NOT IN (immune to 3VL even though tk is never NULL)
+    sql["remove_repeated_lines"] = f"""
+      WITH base AS (
+        SELECT doc_id,
+               'header ' || source || chr(10) || coalesce(text, '')
+                 || chr(10) || 'common footer line' AS t
+        FROM documents),
+      l AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                   unnest(arr) AS line
+            FROM (SELECT doc_id, str_split(t, chr(10)) AS arr FROM base)),
+      k AS (SELECT doc_id, pos, line,
+                   trim(line, ' ' || chr(9) || chr(13)) AS tk FROM l),
+      b AS (SELECT tk FROM k WHERE length(tk) > 0 GROUP BY tk
+            HAVING count(DISTINCT doc_id) >= {LINE_RM_MIN_DF}),
+      kept AS (SELECT * FROM k
+               WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.tk = k.tk)),
+      agg AS (SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+              FROM k GROUP BY doc_id)
+      SELECT tot.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+             tot.n_lines,
+             CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT)
+               AS n_dropped
+      FROM tot LEFT JOIN agg USING (doc_id)
     """
 
     return sql

@@ -91,6 +91,7 @@ R3_NEW = [
     "score_tiers_continuous",
     "leakage_safe_splits",
     "bm25_topk",
+    "remove_repeated_lines",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW

@@ -300,6 +300,81 @@ def line_repetition_stats(
     )
 
 
+def remove_repeated_lines(
+    df: DataFrame,
+    min_doc_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate line REMOVAL (the C4/CCNet move —
+    :func:`line_repetition_stats` measures within-document repetition;
+    this deletes lines repeated ACROSS documents: nav bars, cookie
+    banners, footers). A line is boilerplate iff its trimmed form
+    (the pinned ``' \\t\\r'`` set, same as the stats kernel) occurs in
+    >= ``min_doc_df`` DISTINCT documents; all its occurrences are
+    removed (boilerplate has no canonical copy worth keeping).
+    Whitespace-only lines are structure, never counted or removed.
+
+    Output: (id_col, text_clean, n_lines, n_kept, n_dropped) — one row
+    per input doc, text_clean = '' when every line was boilerplate.
+
+    Scale shape: posexplode the line stream (narrow: id, pos, line) →
+    two-phase distinct-doc count per trimmed line (map-side partial) →
+    LEFT ANTI join back → per-doc re-assembly via
+    array_sort(struct(pos, line)). The line keys ship RAW, not
+    hashed: boilerplate lines are Zipfian short strings, the measured
+    regime where lz4 beats hash-narrowing (BASELINE.md exchange-key
+    measurement) — and a hash collision here would DELETE an innocent
+    line, a worse failure than a wider exchange. No broadcast of the
+    boilerplate set: its size is corpus-dependent (every near-dup line
+    at low ``min_doc_df``), so the general plan is the anti-join;
+    Spark downgrades it to broadcast automatically when it is small.
+    """
+    if min_doc_df < 2:
+        raise ValueError(
+            f"min_doc_df must be >= 2 (1 would delete every line), "
+            f"got {min_doc_df}"
+        )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    lines = base.select(
+        "_id", F.posexplode(F.split("_t", "\n")).alias("_pos", "_line")
+    ).withColumn("_k", F.expr(r"trim(BOTH ' \t\r' FROM _line)"))
+    boiler = (
+        lines.filter(F.length("_k") > 0)
+        .groupBy("_k")
+        .agg(F.countDistinct("_id").alias("_ddf"))
+        .filter(F.col("_ddf") >= min_doc_df)
+        .select("_k")
+    )
+    kept = lines.join(boiler, "_k", "left_anti")
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
 # pinned PII patterns (portable subset: no lookarounds, same semantics
 # under Java regex and RE2)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
