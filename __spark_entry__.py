@@ -1079,7 +1079,7 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(
             F.lit("header "),
-            F.col("source"),
+            F.coalesce(F.col("source"), F.lit("")),
             F.lit("\n"),
             F.coalesce(F.col("text"), F.lit("")),
             F.lit("\ncommon footer line"),
@@ -2248,17 +2248,20 @@ def oracle_sql() -> dict[str, str]:
     # repeated-line removal: same trimmed-key rule (' \t\r' set), same
     # distinct-doc threshold, order-preserving reassembly; NOT EXISTS
     # instead of NOT IN (immune to 3VL even though tk is never NULL)
+    from table_ocr_spark.operators.textstats import LINE_TRIM_CHARS
+
+    trim_chars = " || ".join(f"chr({ord(c)})" for c in LINE_TRIM_CHARS)
     sql["remove_repeated_lines"] = f"""
       WITH base AS (
         SELECT doc_id,
-               'header ' || source || chr(10) || coalesce(text, '')
+               'header ' || coalesce(source, '') || chr(10) || coalesce(text, '')
                  || chr(10) || 'common footer line' AS t
         FROM documents),
       l AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
                    unnest(arr) AS line
             FROM (SELECT doc_id, str_split(t, chr(10)) AS arr FROM base)),
       k AS (SELECT doc_id, pos, line,
-                   trim(line, ' ' || chr(9) || chr(13)) AS tk FROM l),
+                   trim(line, {trim_chars}) AS tk FROM l),
       b AS (SELECT tk FROM k WHERE length(tk) > 0 GROUP BY tk
             HAVING count(DISTINCT doc_id) >= {LINE_RM_MIN_DF}),
       kept AS (SELECT * FROM k

@@ -226,6 +226,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# the pinned line-trim set, shared by the per-doc stats kernel, the
+# corpus-level line-removal operator, and (via interpolation in
+# __spark_entry__) their SQL oracles — one definition, or the
+# bit-exact contract silently forks
+LINE_TRIM_CHARS = " \t\r"
+
+
 def _line_stats_udf():
     """text -> (n_lines, dup_lines, line_chars, dup_line_chars) in one
     Arrow batch: per-document Counter over trimmed non-empty lines.
@@ -246,9 +253,9 @@ def _line_stats_udf():
             # that trims unicode whitespace DuckDB's trim() does not,
             # and the oracle contract would diverge on CRLF corpora)
             lines = [
-                ln.strip(" \t\r")
+                ln.strip(LINE_TRIM_CHARS)
                 for ln in (t or "").split("\n")
-                if ln.strip(" \t\r") != ""
+                if ln.strip(LINE_TRIM_CHARS) != ""
             ]
             c = Counter(lines)
             n = len(lines)
@@ -341,7 +348,9 @@ def remove_repeated_lines(
     )
     lines = base.select(
         "_id", F.posexplode(F.split("_t", "\n")).alias("_pos", "_line")
-    ).withColumn("_k", F.expr(r"trim(BOTH ' \t\r' FROM _line)"))
+    ).withColumn(
+        "_k", F.expr(f"trim(BOTH '{LINE_TRIM_CHARS}' FROM _line)")
+    )
     boiler = (
         lines.filter(F.length("_k") > 0)
         .groupBy("_k")
@@ -360,7 +369,11 @@ def remove_repeated_lines(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    # n_lines is a per-document statistic: derive it map-side from the
+    # split width instead of a third corpus-line explode + exchange
+    totals = base.select(
+        "_id", F.size(F.split("_t", "\n")).alias("n_lines")
+    )
     return (
         totals.join(reassembled, "_id", "left")
         .select(
