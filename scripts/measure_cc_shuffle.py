@@ -68,7 +68,7 @@ def cc_shape(spark, docs, pairs, subgraph_only: bool):
         init = edges.select(F.col("src").alias("id")).distinct()
     else:
         init = docs.select(F.col("doc_id").alias("id"))
-    labels = _truncate_plan(init.withColumn("lbl", F.col("id")))
+    labels, _ = _truncate_plan(init.withColumn("lbl", F.col("id")))
     prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
                       ).collect()[0]["s"]
     rounds = 0
@@ -84,7 +84,7 @@ def cc_shape(spark, docs, pairs, subgraph_only: bool):
         jumped = merged.join(l2, merged["lbl"] == l2["_jid"]).select(
             "id", F.least("lbl", "_jlbl").alias("lbl")
         )
-        labels = _truncate_plan(jumped)
+        labels, _ = _truncate_plan(jumped)
         new = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
                          ).collect()[0]["s"]
         rounds += 1

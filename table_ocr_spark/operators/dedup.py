@@ -632,7 +632,7 @@ def duplicate_span_stats(
     return out
 
 
-def _truncate_plan(df: DataFrame) -> DataFrame:
+def _truncate_plan(df: DataFrame):
     """Cut the logical plan of an iteratively-rebuilt frame. Uses the
     reliable checkpoint when the session has a checkpoint dir (the
     cluster deployment: survives executor loss), else a localCheckpoint
@@ -648,13 +648,19 @@ def _truncate_plan(df: DataFrame) -> DataFrame:
     first: RDD checkpointing writes its files in a SECOND pass that
     recomputes the un-cached plan (the classic persist-before-
     checkpoint rule), so without the cache every cluster iteration
-    would run its joins twice. ContextCleaner drops the cache when
-    the frame's RDD goes out of scope after the caller rebinds."""
+    would run its joins twice.
+
+    Returns ``(checkpointed, cached)`` — ``cached`` is the persisted
+    input frame (None on the localCheckpoint path). The CALLER must
+    ``cached.unpersist()`` once the NEXT round's checkpoint has
+    materialized: relying on ContextCleaner GC lets up to max_iters
+    cached label frames pile up in executor storage on a large dup
+    subgraph (ADVICE r3)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         df.persist()
-        return df.checkpoint(eager=False)
-    return df.localCheckpoint(eager=False)
+        return df.checkpoint(eager=False), df
+    return df.localCheckpoint(eager=False), None
 
 
 def duplicate_clusters(
@@ -726,7 +732,7 @@ def duplicate_clusters(
     ).select("e.src", "e.dst")
     edges.persist()
     # src covers every endpoint after symmetrization
-    labels = _truncate_plan(
+    labels, cached = _truncate_plan(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
@@ -782,17 +788,27 @@ def duplicate_clusters(
             merged.join(l2, merged["lbl"] == l2["_jid"])
             .select("id", F.least("lbl", "_jlbl").alias("lbl"))
         )
-        labels = _truncate_plan(jumped)
+        prev_cached = cached
+        labels, cached = _truncate_plan(jumped)
         if int_ids:
             new_sum = _label_sum(labels)
             done = new_sum == prev_sum
             prev_sum = new_sum
         else:
             done = _n_changed(labels, prev_labels) == 0
+        # the probe materialized this round's checkpoint, so last
+        # round's cached frame (which fed the checkpoint write) is dead
+        # — drop it NOW instead of waiting for ContextCleaner GC
+        # (ADVICE r3: up to max_iters cached label frames otherwise
+        # accumulate in executor storage on a large dup subgraph)
+        if prev_cached is not None:
+            prev_cached.unpersist()
         if done:
             converged = True
             break
     edges.unpersist()
+    if cached is not None:
+        cached.unpersist()
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters: no convergence in {max_iters} iterations "
@@ -863,11 +879,16 @@ def cluster_survivors(
     # NaN* scores (rank 1) after all real scores (rank 0) — negation
     # does not order-reverse NaN (-NaN is NaN, which Spark sorts
     # LARGEST), so NaN must be routed through the rank, not the
-    # negated key. The double cast makes the negation overflow-safe
-    # for integer scores at Long.MIN. -score turns the min into an
-    # argmax, and the id rides UN-negated so string ids (urls) work.
-    score_d = F.col("_score").cast("double")
-    missing = F.col("_score").isNull() | F.isnan(score_d)
+    # negated key. try_cast (not cast) makes the double conversion
+    # total: under ANSI a plain cast of one unparseable string score
+    # aborts the whole job, and on non-ANSI engines its NULL would
+    # sort ahead of every real score in the negated key — try_cast
+    # NULLs route through the missing rank instead (ADVICE r3). The
+    # double width also makes the negation overflow-safe for integer
+    # scores at Long.MIN. -score turns the min into an argmax, and
+    # the id rides UN-negated so string ids (urls) work.
+    score_d = F.col("_score").try_cast("double")
+    missing = score_d.isNull() | F.isnan(score_d)
     best = (
         joined.groupBy("cluster_id")
         .agg(

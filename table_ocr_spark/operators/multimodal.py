@@ -82,7 +82,10 @@ def parse_jpeg_dimensions(b: bytes) -> tuple:
             raise ValueError("malformed JPEG segment length")
         # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            if i + 9 > n:
+            # a valid SOF payload is >= 7 bytes (precision + h + w + nf
+            # + 1 component); a shorter declared seg_len would make the
+            # unpack below read bytes of the NEXT segment as dimensions
+            if seg_len < 7 or i + 2 + seg_len > n:
                 raise ValueError("truncated SOF segment")
             h, w = struct.unpack(">HH", b[i + 5 : i + 9])
             return int(w), int(h)

@@ -213,9 +213,16 @@ def filter_blocked_hosts(
         # the verdict is a pure function of HOST, so it is computed
         # once per DISTINCT host (Zipf-bounded: ~10^7-8 hosts per
         # 10^12 docs) and equi-joined back — never a full-row exchange
-        bl = blocked.select(
-            _canon_domain_col(F.col(blocked.columns[0])).alias("_bdom")
-        ).distinct()
+        # entries that canonicalize to '' ('.', ':80', 'user@') would
+        # match the '' host host_canonical yields for every schemeless/
+        # unparseable url and silently drop all such rows (ADVICE r3)
+        bl = (
+            blocked.select(
+                _canon_domain_col(F.col(blocked.columns[0])).alias("_bdom")
+            )
+            .where(F.col("_bdom").isNotNull() & (F.col("_bdom") != ""))
+            .distinct()
+        )
         hosts = with_host.select("_blh_host").distinct()
         ex = hosts.withColumn("_sfx", F.explode_outer(suffixes))
         verdicts = (
@@ -225,7 +232,8 @@ def filter_blocked_hosts(
         )
         hits = with_host.join(verdicts, "_blh_host", "left")
     else:
-        bl_set = sorted({_canon_domain(b) for b in blocked})
+        # '' entries excluded for the same reason as the DataFrame path
+        bl_set = sorted({d for d in map(_canon_domain, blocked) if d})
         matches = F.filter(
             suffixes, lambda s: s.isin(*bl_set) if bl_set else F.lit(False)
         )

@@ -409,3 +409,59 @@ def test_survivor_nan_scores_treated_as_missing(spark):
     )
     assert rows[2]["keep"] and not rows[1]["keep"] and not rows[3]["keep"]
     assert rows[8]["keep"] and not rows[9]["keep"]
+
+
+def test_survivor_unparseable_string_scores_fall_to_missing_rank(spark):
+    # ADVICE r4: scores arriving as strings (a real upstream shape —
+    # CSV sidecars) must not abort under ANSI when one value is
+    # unparseable, and the bad value must lose to every real score
+    # instead of winning via a NULL-first sort on the negated key
+    from table_ocr_spark.operators.dedup import cluster_survivors
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)],
+        "doc_id long, cluster_id long",
+    )
+    sc = spark.createDataFrame(
+        [(1, "not-a-number"), (2, "0.25"), (3, "0.9"),
+         (8, "oops"), (9, "junk")],
+        "doc_id long, quality_score string",
+    )
+    rows = {r["doc_id"]: r for r in cluster_survivors(cl, sc).collect()}
+    assert rows[3]["keep"] and not rows[1]["keep"] and not rows[2]["keep"]
+    # all-unparseable cluster: pure min-id fallback
+    assert rows[8]["keep"] and not rows[9]["keep"]
+
+
+def test_duplicate_clusters_unpersists_iteration_caches(spark):
+    # ADVICE r4: on the reliable-checkpoint path every round persists
+    # its label frame to make the checkpoint write one-pass; those
+    # caches must be dropped explicitly as rounds retire, not left to
+    # ContextCleaner GC
+    import tempfile
+
+    from table_ocr_spark.operators.dedup import duplicate_clusters
+
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    d = tempfile.mkdtemp(prefix="cc_ckpt_")
+    sc.setCheckpointDir(d)
+    try:
+        docs = spark.createDataFrame(
+            [(i,) for i in range(40)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+        )
+        out = duplicate_clusters(docs, pairs)
+        assert all(r["cluster_id"] == 0 for r in out.collect())
+        # everything the iteration persisted (edges + per-round
+        # label frames) is explicitly released by return time
+        assert jsc.getPersistentRDDs().size() <= before
+    finally:
+        # unset so the rest of the session-scoped suite stays on the
+        # localCheckpoint path (scala setter: Option[String] = None)
+        getattr(jsc, "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )

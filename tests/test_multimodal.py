@@ -184,3 +184,29 @@ def test_pil_parity_when_available(spark):
 
     img = Image.open(io.BytesIO(make_real_png(320, 200)))
     assert (img.width, img.height) == (320, 200)
+
+
+def test_jpeg_sof_segment_length_guard():
+    # ADVICE r4: a SOF whose declared seg_len is 2-6 must raise, not
+    # return bytes of the NEXT segment as dimensions
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from table_ocr_spark.operators.multimodal import parse_jpeg_dimensions
+
+    for seg_len in (2, 3, 6):
+        bad = (
+            b"\xff\xd8"
+            + b"\xff\xc0" + _struct.pack(">H", seg_len) + b"\x00" * seg_len
+            + b"\xff\xdb" + _struct.pack(">H", 8) + b"\x01\x02\x03\x04\x05\x06"
+        )
+        with _pytest.raises(ValueError):
+            parse_jpeg_dimensions(bad)
+    # a well-formed SOF still parses
+    good = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
+        + _struct.pack(">HH", 240, 320) + b"\x01" + b"\x00" * 3
+    )
+    assert parse_jpeg_dimensions(good) == (320, 240)

@@ -248,3 +248,27 @@ def test_blocklist_entries_are_canonicalized_too(spark):
             assert audit[1]["blocked"], entry
             assert audit[1]["blocked_domain"] == "bad.com", entry
             assert audit[2]["blocked"] is False
+
+
+def test_blocklist_empty_canonical_entries_are_ignored(spark):
+    # ADVICE r4: entries that canonicalize to '' ('.', ':80', 'user@')
+    # must not match the '' host that host_canonical yields for
+    # schemeless/unparseable urls — that would silently drop every
+    # such row
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(1, "not a url at all"), (2, "relative/path.html"),
+         (3, "http://bad.com/x"), (4, "http://fine.org/")],
+        "doc_id long, url string",
+    )
+    junk = [".", "...", ":80", "user@", "bad.com"]
+    for blocklist in (junk, spark.createDataFrame([(b,) for b in junk], "host string")):
+        kept = {r["doc_id"] for r in filter_blocked_hosts(df, blocklist).collect()}
+        assert kept == {1, 2, 4}, type(blocklist)
+        audit = {
+            r["doc_id"]: r
+            for r in filter_blocked_hosts(df, blocklist, keep_blocked=True).collect()
+        }
+        assert audit[1]["blocked"] is False and audit[2]["blocked"] is False
+        assert audit[3]["blocked_domain"] == "bad.com"
