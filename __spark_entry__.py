@@ -890,6 +890,36 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 grouping (urlnorm.registrable_domain, pinned PSL
+    snapshot): hosts constructed per document to cover every rule
+    class — exact multi-label suffix (co.uk), the default ``*`` rule
+    (plain .com), a private-section sandbox (github.io), a wildcard
+    rule (*.kawasaki.jp), an exception rule (!city.kawasaki.jp), and
+    a host that IS a public suffix (NULL). Like url_canonicalize,
+    the oracle emits the EXPECTED registrable domain from the same
+    closed-form construction — ground truth by construction, not a
+    DuckDB twin of the matcher."""
+    from table_ocr_spark.operators.urlnorm import registrable_domain
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m6 = F.col("doc_id") % 6
+    host = (
+        F.when(m6 == 0, F.concat(F.lit("blog.site"), did, F.lit(".co.uk")))
+        .when(m6 == 1, F.concat(F.lit("shop.site"), did, F.lit(".com")))
+        .when(m6 == 2, F.concat(F.lit("user"), did, F.lit(".github.io")))
+        .when(m6 == 3, F.concat(F.lit("x"), did, F.lit(".foo.kawasaki.jp")))
+        .when(m6 == 4, F.concat(F.lit("sub"), did, F.lit(".city.kawasaki.jp")))
+        .otherwise(F.lit("co.uk"))
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        registrable_domain(host, host_input=True).alias("site"),
+    )
+
+
 def q_page_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-range slice on TRUE multi-page documents — the reference's
     actual slice axis (``table_ocr/core.py:187-192``: pages
@@ -1196,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "page_range_extract": q_page_range_extract,
         "url_canonicalize": q_url_canonicalize,
+        "registrable_domain": q_registrable_domain,
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "pack_sequences": q_pack_sequences,
@@ -1614,6 +1645,29 @@ def oracle_sql() -> dict[str, str]:
              'https://www.site-' || CAST(doc_id % 7 AS VARCHAR) || '.com/' ||
              lang || '/item/' || CAST(doc_id AS VARCHAR) ||
              '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) || '&ref=rss' AS url
+      FROM documents
+    """
+
+    # closed-form eTLD+1 expectations, hand-derived from the PSL spec
+    # per construction class (exact co.uk / default com / private
+    # github.io / wildcard *.kawasaki.jp / exception !city.kawasaki.jp
+    # / public-suffix host -> NULL)
+    sql["registrable_domain"] = """
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'blog.site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+          WHEN 1 THEN 'shop.site' || CAST(doc_id AS VARCHAR) || '.com'
+          WHEN 2 THEN 'user' || CAST(doc_id AS VARCHAR) || '.github.io'
+          WHEN 3 THEN 'x' || CAST(doc_id AS VARCHAR) || '.foo.kawasaki.jp'
+          WHEN 4 THEN 'sub' || CAST(doc_id AS VARCHAR) || '.city.kawasaki.jp'
+          ELSE 'co.uk' END AS host,
+        CASE doc_id % 6
+          WHEN 0 THEN 'site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+          WHEN 1 THEN 'site' || CAST(doc_id AS VARCHAR) || '.com'
+          WHEN 2 THEN 'user' || CAST(doc_id AS VARCHAR) || '.github.io'
+          WHEN 3 THEN 'x' || CAST(doc_id AS VARCHAR) || '.foo.kawasaki.jp'
+          WHEN 4 THEN 'city.kawasaki.jp'
+          ELSE NULL END AS site
       FROM documents
     """
 

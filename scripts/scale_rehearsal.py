@@ -206,15 +206,42 @@ def main() -> int:
             print(f"bm25_topk 32-query batch [{engine}] {n_total} docs: "
                   f"{time.perf_counter()-t0:.1f} s, {n_b} rows")
 
+        # eTLD+1 default (r4): subdomained urls over 20k distinct
+        # registrable sites — www./cdn. of one site must cohere
+        split_urls = big.select(
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(
+                    F.lit("cdn.")
+                ),
+                F.lit("site"),
+                (F.col("doc_id") % 20_000).cast("string"),
+                F.lit(".co.uk/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
         t0 = time.perf_counter()
         split_counts = {
             r["split"]: r["c"]
-            for r in assign_splits(urls, {"val": 0.1, "test": 0.1})
+            for r in assign_splits(split_urls, {"val": 0.1, "test": 0.1})
             .groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
         }
-        print(f"assign_splits {n_total}: {time.perf_counter()-t0:.1f} s, "
-              f"{split_counts}")
+        print(f"assign_splits (etld1) {n_total}: "
+              f"{time.perf_counter()-t0:.1f} s, {split_counts}")
         assert set(split_counts) == {"train", "val", "test"}
+        # subdomain cohesion: no registrable site straddles splits
+        straddlers = (
+            assign_splits(split_urls, {"val": 0.1, "test": 0.1})
+            .select(
+                F.regexp_extract("url", r"(site\d+\.co\.uk)", 1).alias("s"),
+                "split",
+            )
+            .groupBy("s")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert straddlers == 0, f"{straddlers} sites straddle splits"
 
         # round-3 tier surface at the same corpus size
         from table_ocr_spark.operators.dedup import (

@@ -10,12 +10,18 @@ band goes to val, wholesale. Same md5-prefix recipe as
 repartitioning and corpus growth (a host keeps its split as new pages
 arrive — the property that makes incremental crawls safe).
 
-Grouping key = the canonical full host
-(:func:`~table_ocr_spark.operators.urlnorm.host_canonical`). For
-eTLD+1 grouping (blog.foo.com and shop.foo.com forced together),
-pass a precomputed registrable-domain column with
-``canonicalize_host=False`` — deriving eTLD+1 needs the public-suffix
-list, which is a lookup table, not logic this operator should pin.
+Grouping key (``site_key``): the DEFAULT is the eTLD+1 registrable
+domain (:func:`~table_ocr_spark.operators.urlnorm.
+registrable_domain`, pinned public-suffix-list snapshot documented in
+:mod:`table_ocr_spark.psl_snapshot`) — ``blog.foo.com`` and
+``shop.foo.com`` are ONE site and land in one split, while two
+github.io customers stay independent sites (the PSL private section).
+This closes the subdomain-leakage hole by default (r3 verdict #3).
+``site_key="host"`` groups by the canonical full host (the pre-r4
+behavior); ``site_key="column"`` uses ``key_col`` as-is (caller
+precomputed the grouping key). A host the PSL maps to no registrable
+domain (it IS a public suffix, or an IPv4 literal) falls back to the
+full canonical host — still deterministic, still site-wholesale.
 """
 
 from __future__ import annotations
@@ -60,23 +66,32 @@ def assign_splits(
     fractions: Dict[str, float],
     rest: str = "train",
     key_col: str = "url",
-    canonicalize_host: bool = True,
+    site_key: str = "etld1",
+    psl_rules=None,
 ) -> DataFrame:
     """``df`` plus a ``split`` column: the named splits take their
     md5-prefix bands in dict order, everything past the last boundary
     is ``rest``. All rows sharing a grouping key share a split —
-    site-level leakage safety when the key is the host. Map-only
-    codegen (md5 + chained comparisons against literal hex
-    boundaries); nothing shuffles, nothing collects. A NULL or
-    unparseable key (no host in the url) falls through to ``rest`` —
-    deterministic, and conservative when rest is train."""
+    site-level leakage safety at the granularity ``site_key`` picks
+    (module docstring; default eTLD+1). Map-only (md5 + chained
+    comparisons against literal hex boundaries; the eTLD+1 derivation
+    is a per-url label-arity fold); nothing shuffles, nothing
+    collects. A NULL or unparseable key (no host in the url) falls
+    through to ``rest`` — deterministic, and conservative when rest
+    is train. ``psl_rules`` overrides the pinned snapshot (pass
+    ``load_psl_file(...)`` output for a full production list)."""
     if rest in fractions:
         raise ValueError(
             f"assign_splits: rest split {rest!r} also has an explicit "
             "fraction — give it either a band or the remainder, not both"
         )
+    if site_key not in ("etld1", "host", "column"):
+        raise ValueError(
+            f"assign_splits: site_key must be 'etld1', 'host' or "
+            f"'column', got {site_key!r}"
+        )
     key = F.col(key_col)
-    if canonicalize_host:
+    if site_key != "column":
         # host_canonical yields '' (not NULL) for a schemeless or
         # otherwise unparseable url; '' must not hash as one giant
         # pseudo-site that lands wholesale in whatever band covers
@@ -84,6 +99,15 @@ def assign_splits(
         # fallthrough to rest
         host = host_canonical(key)
         key = F.when(F.length(host) > 0, host)
+        if site_key == "etld1":
+            from table_ocr_spark.operators.urlnorm import (
+                registrable_domain,
+            )
+
+            key = F.coalesce(
+                registrable_domain(key, rules=psl_rules, host_input=True),
+                key,
+            )
     prefix = _hash_prefix(key)
     expr = None
     for name, hexbound in split_boundaries(fractions):

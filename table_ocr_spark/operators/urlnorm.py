@@ -134,12 +134,95 @@ def _canon_domain(s: str) -> str:
     return s.rstrip(".")
 
 
+def registrable_domain(
+    url: Column, rules=None, host_input: bool = False
+) -> Column:
+    """eTLD+1 / "registrable domain" of a url (or host, with
+    ``host_input=True``) column — the SITE identity one level coarser
+    than :func:`host_canonical`: ``blog.foo.com`` and ``shop.foo.com``
+    both yield ``foo.com``, while two github.io customers stay
+    distinct (``a.github.io`` -> ``a.github.io``; the PSL private
+    section makes the sandbox domain itself the public suffix).
+
+    Implements the full Public Suffix List algorithm
+    (https://publicsuffix.org/list/): exception rules win outright,
+    else the LONGEST matching exact/wildcard rule is the public
+    suffix, else the default ``*`` rule (rightmost label); the
+    registrable domain is the public suffix plus one label. NULL when
+    the host is empty/unparseable, IS itself a public suffix, or is
+    an IPv4 literal (IP hosts have no DNS site hierarchy — group
+    them by full address via :func:`host_canonical` instead).
+
+    ``rules`` defaults to the pinned snapshot
+    (:mod:`table_ocr_spark.psl_snapshot`, provenance documented
+    there); pass ``load_psl_file(path)`` output for a full pinned
+    production list.
+
+    Scale shape: map-only. The candidate-suffix fold runs at
+    host-label arity (~4) against literal rule arrays — the same
+    per-url-policy HOF budget as the rest of this module; nothing
+    shuffles, nothing collects. The rule sets embed as plan literals
+    (snapshot: ~190 entries; a full PSL is ~10k — still literal-safe,
+    matching the blocklist InSet guidance)."""
+    from table_ocr_spark.psl_snapshot import PSL_SNAPSHOT, parse_rules
+
+    exact, wild, exc = parse_rules(PSL_SNAPSHOT if rules is None else rules)
+
+    def _contains(values, col):
+        if not values:
+            return F.lit(False)
+        return F.array_contains(
+            F.array(*[F.lit(v) for v in sorted(values)]), col
+        )
+
+    host = _canon_domain_col(url) if host_input else host_canonical(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def _cand(i):
+        # candidate suffix starting at 1-indexed label i, its parent
+        # (for wildcard rules), and its label count
+        return F.struct(
+            (n - i + 1).alias("slen"),
+            F.array_join(F.slice(labels, i, n), ".").alias("sfx"),
+            F.array_join(F.slice(labels, i + 1, n), ".").alias("par"),
+        )
+
+    agg = F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), _cand),
+        F.struct(
+            F.lit(0).alias("exc"),  # best exception ps length
+            F.lit(1).alias("norm"),  # best exact/wildcard ps length
+        ),
+        lambda acc, c: F.struct(
+            F.greatest(
+                acc["exc"],
+                F.when(_contains(exc, c["sfx"]), c["slen"] - 1).otherwise(0),
+            ).alias("exc"),
+            F.greatest(
+                acc["norm"],
+                F.when(_contains(exact, c["sfx"]), c["slen"]).otherwise(0),
+                F.when(
+                    (c["par"] != "") & _contains(wild, c["par"]), c["slen"]
+                ).otherwise(0),
+            ).alias("norm"),
+        ),
+    )
+    ps_len = F.when(agg["exc"] > 0, agg["exc"]).otherwise(agg["norm"])
+    is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return F.when(
+        (host != "") & ~is_ipv4 & (n > ps_len),
+        F.array_join(F.slice(labels, n - ps_len, ps_len + 1), "."),
+    )
+
+
 def filter_blocked_hosts(
     df: DataFrame,
     blocked,
     url_col: str = "url",
     include_subdomains: bool = True,
     keep_blocked: bool = False,
+    block_registrable: bool = False,
 ) -> DataFrame:
     """Domain-blocklist filtering (the UT1/adult-blocklist stage every
     crawl pipeline runs before training): drop rows whose url host is
@@ -161,6 +244,16 @@ def filter_blocked_hosts(
     contract, so an input already carrying them raises (no silent
     clobber); the filter path computes on internal columns and returns
     EXACTLY the input schema untouched.
+
+    ``block_registrable=True`` widens every blocklist ENTRY to its
+    eTLD+1 registrable domain (:func:`registrable_domain`, pinned PSL
+    snapshot) before matching: a list carrying deep hosts like
+    ``tracker.ads.bad.co.uk`` then blocks the whole ``bad.co.uk``
+    site. Entries with no registrable domain (public suffixes, IPs)
+    keep their canonical form — blocking ``github.io`` itself stays
+    possible, deliberately. Off by default: a curated list's exact
+    entries are a policy choice this operator must not silently
+    widen.
 
     Subdomain semantics are suffix-at-label-boundary: ``a.bad.com``
     and ``bad.com`` match ``bad.com``; ``notbad.com`` does NOT. The
@@ -216,10 +309,13 @@ def filter_blocked_hosts(
         # entries that canonicalize to '' ('.', ':80', 'user@') would
         # match the '' host host_canonical yields for every schemeless/
         # unparseable url and silently drop all such rows (ADVICE r3)
-        bl = (
-            blocked.select(
-                _canon_domain_col(F.col(blocked.columns[0])).alias("_bdom")
+        entry = _canon_domain_col(F.col(blocked.columns[0]))
+        if block_registrable:
+            entry = F.coalesce(
+                registrable_domain(entry, host_input=True), entry
             )
+        bl = (
+            blocked.select(entry.alias("_bdom"))
             .where(F.col("_bdom").isNotNull() & (F.col("_bdom") != ""))
             .distinct()
         )
@@ -233,7 +329,14 @@ def filter_blocked_hosts(
         hits = with_host.join(verdicts, "_blh_host", "left")
     else:
         # '' entries excluded for the same reason as the DataFrame path
-        bl_set = sorted({d for d in map(_canon_domain, blocked) if d})
+        canon_entries = (d for d in map(_canon_domain, blocked) if d)
+        if block_registrable:
+            from table_ocr_spark.psl_snapshot import registrable_domain_py
+
+            canon_entries = (
+                registrable_domain_py(d) or d for d in canon_entries
+            )
+        bl_set = sorted(set(canon_entries))
         matches = F.filter(
             suffixes, lambda s: s.isin(*bl_set) if bl_set else F.lit(False)
         )

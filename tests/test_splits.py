@@ -17,8 +17,11 @@ def _urls_df(spark):
 
 
 def test_same_host_same_split_always(spark):
+    # site_key="host": every _urls_df host shares the registrable
+    # domain example.com, so the band math is tested at host
+    # granularity (eTLD+1 grouping has its own tests below)
     out = assign_splits(
-        _urls_df(spark), {"val": 0.2, "test": 0.2}
+        _urls_df(spark), {"val": 0.2, "test": 0.2}, site_key="host"
     ).collect()
     by_host = {}
     for r in out:
@@ -33,7 +36,7 @@ def test_same_host_same_split_always(spark):
 def test_membership_matches_closed_form(spark):
     # recompute membership in pure python from the recipe alone
     out = assign_splits(
-        _urls_df(spark), {"val": 0.25, "test": 0.25}
+        _urls_df(spark), {"val": 0.25, "test": 0.25}, site_key="host"
     ).collect()
     bounds = split_boundaries({"val": 0.25, "test": 0.25})
     for r in out:
@@ -71,7 +74,7 @@ def test_precomputed_domain_column(spark):
         "doc_id string, domain string",
     )
     out = assign_splits(
-        df, {"val": 0.5}, key_col="domain", canonicalize_host=False
+        df, {"val": 0.5}, key_col="domain", site_key="column"
     ).collect()
     by_dom = {}
     for r in out:
@@ -103,3 +106,64 @@ def test_unparseable_url_falls_through_to_rest(spark):
     rows = {r["url"]: r["split"] for r in
             assign_splits(df, {"val": 0.9}, rest="train").collect()}
     assert rows["example.com/no-scheme"] == "train"
+
+
+def test_etld1_default_groups_subdomains_wholesale(spark):
+    # r3 verdict #3: blog.foo.com in train + shop.foo.com in test is
+    # the leakage hole eTLD+1 grouping must close BY DEFAULT
+    df = spark.createDataFrame(
+        [(f"https://{sub}.site{i}.co.uk/p/{j}",)
+         for i in range(40)
+         for sub in ("blog", "shop", "www", "cdn.static")
+         for j in range(2)],
+        "url string",
+    )
+    out = assign_splits(df, {"val": 0.3, "test": 0.3}).collect()
+    by_site = {}
+    for r in out:
+        site = r["url"].split(".", 1)[1].split("/")[0]  # siteN.co.uk
+        by_site.setdefault(site, set()).add(r["split"])
+    # every subdomain of a site shares one split, and with 40 sites
+    # at 30/30/40 bands all three splits are populated
+    assert all(len(s) == 1 for s in by_site.values())
+    assert {s for ss in by_site.values() for s in ss} == {
+        "train", "val", "test"
+    }
+    # host grouping (the pre-r4 behavior) splits the SAME corpus by
+    # full host — at least one site must straddle splits, otherwise
+    # this test would pass vacuously
+    host_out = assign_splits(df, {"val": 0.3, "test": 0.3},
+                             site_key="host").collect()
+    by_site_h = {}
+    for r in host_out:
+        site = r["url"].split(".", 1)[1].split("/")[0]
+        by_site_h.setdefault(site, set()).add(r["split"])
+    assert any(len(s) > 1 for s in by_site_h.values())
+
+
+def test_etld1_respects_private_suffixes_and_fallback(spark):
+    # two github.io customers are DIFFERENT sites (PSL private
+    # section); a host that IS a public suffix falls back to itself
+    df = spark.createDataFrame(
+        [("https://alice.github.io/a",), ("https://bob.github.io/b",),
+         ("https://deep.page.alice.github.io/c",),
+         ("https://github.io/landing",)],
+        "url string",
+    )
+    out = assign_splits(df, {"val": 0.5}).collect()
+    splits = {r["url"]: r["split"] for r in out}
+    # alice pages cohere across subdomain depth
+    assert (splits["https://alice.github.io/a"]
+            == splits["https://deep.page.alice.github.io/c"])
+    # determinism: same recipe, same assignment on a re-run
+    again = {r["url"]: r["split"]
+             for r in assign_splits(df, {"val": 0.5}).collect()}
+    assert again == splits
+
+
+def test_site_key_validation(spark):
+    import pytest as _pytest
+
+    df = _urls_df(spark)
+    with _pytest.raises(ValueError, match="site_key"):
+        assign_splits(df, {"val": 0.5}, site_key="domain")

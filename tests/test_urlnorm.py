@@ -272,3 +272,69 @@ def test_blocklist_empty_canonical_entries_are_ignored(spark):
         }
         assert audit[1]["blocked"] is False and audit[2]["blocked"] is False
         assert audit[3]["blocked_domain"] == "bad.com"
+
+
+def test_registrable_domain_matches_python_psl_twin(spark):
+    # full PSL rule-class sweep: exact multi-label, wildcard,
+    # exception, private-section, default rule, IP, public-suffix
+    # hosts — Spark expression vs the pure-Python algorithm twin
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.urlnorm import registrable_domain
+    from table_ocr_spark.psl_snapshot import registrable_domain_py
+
+    hosts = [
+        "blog.foo.com", "shop.foo.com", "foo.com", "com",
+        "a.github.io", "x.a.github.io", "github.io",
+        "b.co.uk", "a.b.co.uk", "co.uk", "x.sch.uk", "a.x.sch.uk",
+        "www.ck", "foo.www.ck", "x.ck", "a.x.ck",
+        "city.kawasaki.jp", "x.city.kawasaki.jp",
+        "foo.kawasaki.jp", "a.foo.kawasaki.jp", "co.jp", "t.co.jp",
+        "1.2.3.4", "", "a.b.c.d.e.example.org",
+        "x.blogspot.com", "deep.x.blogspot.com",
+        "example", "a.example", "trailing.dot.com.",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["rd"] for r in df.select(
+        "host",
+        registrable_domain(F.col("host"), host_input=True).alias("rd"),
+    ).collect()}
+    for h in hosts:
+        assert got[h] == registrable_domain_py(h), h
+
+
+def test_registrable_domain_from_url(spark):
+    from pyspark.sql import functions as F
+
+    from table_ocr_spark.operators.urlnorm import registrable_domain
+
+    df = spark.createDataFrame(
+        [("HTTPS://Blog.Example.CO.UK:443/x?y=1",),
+         ("https://user@sub.deep.foo.com/p",),
+         ("not a url",)],
+        "url string",
+    )
+    got = [r["rd"] for r in df.select(
+        registrable_domain(F.col("url")).alias("rd")).collect()]
+    assert got == ["example.co.uk", "foo.com", None]
+
+
+def test_block_registrable_widens_entries(spark):
+    from table_ocr_spark.operators.urlnorm import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(1, "https://www.bad.co.uk/x"), (2, "https://other.co.uk/y"),
+         (3, "https://clean.org/z")],
+        "doc_id long, url string",
+    )
+    deep_entry = ["tracker.ads.bad.co.uk"]
+    for bl in (deep_entry,
+               spark.createDataFrame([(deep_entry[0],)], "host string")):
+        # without widening, www.bad.co.uk is not under the deep entry
+        kept = {r["doc_id"]
+                for r in filter_blocked_hosts(df, bl).collect()}
+        assert kept == {1, 2, 3}, type(bl)
+        # widened to bad.co.uk, the whole site is blocked
+        kept_w = {r["doc_id"] for r in filter_blocked_hosts(
+            df, bl, block_registrable=True).collect()}
+        assert kept_w == {2, 3}, type(bl)
