@@ -82,6 +82,12 @@ def main() -> int:
     only = set(sys.argv[2:])
     # a typo'd query name must NOT yield a vacuous green gate
 
+    import os
+
+    # conditioned oracles (temperature_sample) gather their threshold
+    # inputs from the compared parquet — point them at THIS run's sf
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as entrymod
     from table_ocr_spark.session import get_spark
 

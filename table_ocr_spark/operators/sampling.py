@@ -97,7 +97,7 @@ def temperature_fractions(
     (a map literal cannot match a NULL key), so NULL-stratum rows are
     sampled at their computed rate instead of silently vanishing.
     """
-    if temperature <= 0:
+    if temperature <= 0:  # validate BEFORE the eager aggregate
         raise ValueError(f"temperature must be positive, got {temperature}")
     counts = {
         r["s"]: r["n"]
@@ -105,16 +105,37 @@ def temperature_fractions(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    return temperature_fractions_from_counts(
+        counts, temperature, total_fraction
+    )
+
+
+def temperature_fractions_from_counts(
+    counts: Dict, temperature: float = 0.7, total_fraction: float = 1.0
+) -> Dict:
+    """The pure fraction math of :func:`temperature_fractions`, split
+    out so an oracle can feed it counts gathered by ANOTHER engine
+    (the splits.py embed-as-literals recipe): fractions — and hence
+    the hex thresholds — become a deterministic function of the
+    counts MULTISET computed in exactly one place. Every float
+    reduction is ORDER-PINNED (strata sorted, NULL last) because the
+    caller's dict order is engine/collect-order dependent and float
+    addition does not commute in the low bits."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
     total = sum(counts.values())
     if total == 0:
         return {}
-    weights = {s: (n / total) ** temperature for s, n in counts.items()}
-    wsum = sum(weights.values())
+    order = sorted(counts, key=lambda s: (s is None, s))
+    weights = {s: (counts[s] / total) ** temperature for s in order}
+    wsum = 0.0
+    for s in order:
+        wsum += weights[s]
     # expected rows for stratum s: total_fraction * total * w_s / wsum;
     # fraction of the stratum's own rows, capped at 1.0
     return {
         s: min(1.0, total_fraction * total * (weights[s] / wsum) / counts[s])
-        for s in counts
+        for s in order
     }
 
 
