@@ -202,3 +202,97 @@ def build_training_corpus(
         n_after_sample=n_after_sample,
         n_after_budget=n_after_budget,
     )
+
+
+def materialize_tiered_corpus(
+    corpus: DataFrame,
+    path: str,
+    capacity: int = 2048,
+    seqs_per_shard: int = 1024,
+    tier_col: str = "tier",
+    id_col: str = "url",
+    text_col: str = "text",
+    weight_col: str | None = "n_tokens",
+) -> dict:
+    """Stage 13 — the STORAGE composition of the tier surface
+    (VERDICT r3 #6): a tiered corpus (what :func:`build_training_corpus`
+    returns with ``n_tiers``) becomes
+
+    - ``<path>/corpus/tier=K/`` — Hive layout, planning-time tier
+      pruning (:func:`~table_ocr_spark.sources.tiered.write_tiered`);
+    - ``<path>/shards/tier=K/shard=S/`` — per-tier loader-ready packed
+      index: ``pack_sequences`` (two-phase distributed prefix sum)
+      then ``write_training_shards`` (start_offset-sorted shards), so
+      each tier packs independently and no tier ever shuffles against
+      another.
+
+    url-keyed corpora get their numeric packing key as
+    ``xxhash64(url)`` (pack_sequences buckets by id range; a 64-bit
+    hash spreads ids so bucket occupancy ~1 and the bounded-collect
+    guard is driven by doc count — raise ``bucket_width`` past ~4M
+    docs/tier as the operator's error message instructs). A 64-bit
+    key collision (P ≈ n²/2^65 — ~3e-8 at 1M docs/tier) would give
+    two docs interleaved offsets in one packing slot; acceptable for
+    a loader index, flagged here rather than paid for with a
+    per-tier distinct-count pass. The per-tier
+    loop runs over the BOUNDED tier count (n_tiers, single digits) —
+    never over data.
+
+    Returns ``{tier: {"n_docs": ..., "n_seqs": ..., "n_shards": ...}}``
+    — one bounded aggregate per tier.
+    """
+    from table_ocr_spark.operators.packing import (
+        pack_sequences,
+        write_training_shards,
+    )
+    from table_ocr_spark.sources.tiered import read_tier, write_tiered
+
+    if tier_col not in corpus.columns:
+        raise ValueError(
+            f"materialize_tiered_corpus: no {tier_col!r} column — build "
+            "the corpus with n_tiers set (or append score_tiers output)"
+        )
+    corpus_path = f"{path}/corpus"
+    write_tiered(corpus, corpus_path, tier_col)
+    spark = corpus.sparkSession
+    tiers = sorted(
+        r[0]
+        for r in spark.read.parquet(corpus_path)
+        .select(tier_col).distinct().collect()
+    )
+    report: dict = {}
+    for t in tiers:
+        tier_df = read_tier(spark, corpus_path, t, tier_col)
+        # bucket_width=2^20 over the hash space would mean 2^44
+        # possible buckets; occupancy is what matters (≈ n_docs), but
+        # the operator's max_buckets guard sees OCCUPIED buckets only,
+        # so hash-sparse ids stay within the bounded-collect argument
+        keyed = tier_df.withColumn("_pack_id", F.xxhash64(F.col(id_col)))
+        packed = pack_sequences(
+            keyed,
+            capacity,
+            id_col="_pack_id",
+            text_col=text_col,
+            weight_col=(
+                weight_col if weight_col in tier_df.columns else None
+            ),
+        )
+        # re-attach the url so shards are self-describing
+        packed = packed.join(
+            keyed.select("_pack_id", id_col), "_pack_id"
+        ).drop("_pack_id")
+        write_training_shards(
+            packed, f"{path}/shards/tier={t}", seqs_per_shard
+        )
+        out = spark.read.parquet(f"{path}/shards/tier={t}")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.countDistinct("shard").alias("n_shards"),
+        ).collect()[0]
+        report[t] = {
+            "n_docs": agg["n_docs"],
+            "n_seqs": agg["n_seqs"],
+            "n_shards": agg["n_shards"],
+        }
+    return report

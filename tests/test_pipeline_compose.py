@@ -116,3 +116,55 @@ def test_training_corpus_tier_budget_stages(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="requires n_tiers"):
         build_training_corpus(pages, token_budget=100)
+
+
+def test_full_tier_chain_to_shards(spark, tmp_path):
+    # VERDICT r3 #6: extract -> quality -> dedup closure -> survivors
+    # -> tiers -> budget -> tier=K/ layout -> per-tier packed shards,
+    # end to end through the two public compositions
+    from table_ocr_spark.pipelines import materialize_tiered_corpus
+
+    pq = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pq, n_docs=120, seed=77, dup_frac=0.2)
+    pages = spark.read.parquet(pq)
+
+    corpus, rep = build_training_corpus(
+        pages, n_tiers=2, token_budget=10_000_000  # budget >> corpus
+    )
+    out = str(tmp_path / "tiered")
+    report = materialize_tiered_corpus(
+        corpus, out, capacity=64, seqs_per_shard=4
+    )
+
+    # every tier written, doc counts conserved end to end
+    assert set(report) == {0, 1}
+    assert sum(t["n_docs"] for t in report.values()) == rep.n_after_budget
+
+    # tier read is partition-pruned and matches the report
+    from table_ocr_spark.sources.tiered import read_tier
+
+    t0 = read_tier(spark, f"{out}/corpus", 0)
+    assert t0.count() == report[0]["n_docs"]
+    assert set(t0.columns) >= {"url", "text", "n_tokens", "tier"}
+
+    # shard contract per tier: start_offset-sorted inside each shard,
+    # offsets are the exclusive prefix sum of n_tokens, and the url
+    # rides along (self-describing loader index)
+    for t, stats in report.items():
+        shards = spark.read.parquet(f"{out}/shards/tier={t}")
+        assert shards.count() == stats["n_docs"]
+        assert {"url", "n_tokens", "start_offset", "seq_id", "shard"} <= set(
+            shards.columns
+        )
+        rows = sorted(
+            shards.collect(), key=lambda r: r["start_offset"]
+        )
+        running = 0
+        for r in rows:
+            assert r["start_offset"] == running
+            running += r["n_tokens"]
+        for shard_id in {r["shard"] for r in rows}:
+            offs = [r["start_offset"] for r in shards.filter(
+                F.col("shard") == shard_id).collect()]
+            # parquet row order within the shard file IS offset order
+            assert offs == sorted(offs)
