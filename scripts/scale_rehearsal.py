@@ -52,7 +52,13 @@ def main() -> int:
         "scale_rehearsal",
         master="local[32]",
         shuffle_partitions=64,
-        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            # progress bars emit \r-glued lines that swallow the
+            # timing prints when the output is piped — keep stdout
+            # line-oriented, this script IS its own report
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     work = tempfile.mkdtemp(prefix="tos_rehearsal_")
     try:

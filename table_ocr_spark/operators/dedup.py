@@ -663,11 +663,73 @@ def _truncate_plan(df: DataFrame):
     return df.localCheckpoint(eager=False), None
 
 
+def _cc_round_path(state_dir: str, rnd: int) -> str:
+    return f"{state_dir}/labels/round={rnd}"
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence probe (FS-agnostic — local/HDFS/S3A), the
+    same recipe as sources/catalog.py (never error-text matching)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _read_cc_meta(spark, state_dir: str):
+    """(round, done) of the last COMMITTED CC round, or None for a
+    fresh state dir."""
+    path = f"{state_dir}/meta"
+    if not _fs_exists(spark, path):
+        return None
+    row = spark.read.parquet(path).collect()[0]
+    return int(row["round"]), bool(row["done"])
+
+
+def _write_cc_meta(spark, state_dir: str, rnd: int, done: bool) -> None:
+    spark.createDataFrame(
+        [(rnd, done)], "round long, done boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/meta")
+
+
+def _cc_commit(spark, state_dir: str, labels: DataFrame, rnd: int) -> DataFrame:
+    """Durable round commit: labels → parquet, meta advances AFTER the
+    data write succeeds (a crash between the two resumes from this
+    round's data under the previous round's meta — the labels write is
+    simply redone, idempotent overwrite). Reading the file back both
+    truncates the plan (the checkpoint role) and makes the next round
+    independent of this driver's lineage graph."""
+    path = _cc_round_path(state_dir, rnd)
+    labels.write.mode("overwrite").parquet(path)
+    _write_cc_meta(spark, state_dir, rnd, False)
+    return spark.read.parquet(path)
+
+
+def _cc_finalize(docs: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    # sizes over the labeled subgraph only; everything else is a
+    # singleton and never shuffles for its size of 1
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
+    labeled = labels.join(sizes, "lbl")
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(labeled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lbl", F.col("id")).alias("cluster_id"),
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.coalesce(F.col("id") != F.col("lbl"), F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc
     labeled with the MIN doc id reachable through the pairs (its
@@ -717,7 +779,34 @@ def duplicate_clusters(
     the pair operators emit unique (id_a < id_b) pairs, and a
     duplicate edge cannot change a ``min()`` — dedup would cost an
     always-on shuffle to guard a harmless case.
+
+    RESTART CONTRACT (r3 verdict #7). Default (``state_dir=None``):
+    per-round checkpoints survive EXECUTOR loss (the reliable-
+    checkpoint path when the session has a checkpoint dir) but live
+    in this session — a DRIVER loss costs re-running every round from
+    scratch (bounded: O(log diameter) rounds, each one subgraph-sized
+    job wave). Pass ``state_dir`` to make rounds durable the way
+    extraction is (``plans/lineage.py``): each round's labels commit
+    to ``state_dir/labels/round=i/`` parquet with a meta row advancing
+    AFTER the data write, so a killed driver resumes from the last
+    complete round (the same ``pairs`` recipe must be passed again —
+    the pair operators are deterministic, so recomputing edges is
+    correct); a COMPLETED run short-circuits to the stored labels
+    without iterating (idempotent re-run, the lineage-table property).
+    The durable commit replaces the checkpoint as the plan-truncation
+    mechanism — one parquet write+read per round is the durability
+    price, paid only when asked for. Kill/resume pinned in
+    ``tests/test_dedup.py::test_duplicate_clusters_resumes_from_state_dir``.
     """
+    spark = docs.sparkSession
+    resume_meta = None
+    if state_dir is not None:
+        resume_meta = _read_cc_meta(spark, state_dir)
+        if resume_meta is not None and resume_meta[1]:
+            labels = spark.read.parquet(
+                _cc_round_path(state_dir, resume_meta[0])
+            )
+            return _cc_finalize(docs, labels, id_col)
     edges = pairs.select(
         F.explode(
             F.array(
@@ -732,11 +821,20 @@ def duplicate_clusters(
     ).select("e.src", "e.dst")
     edges.persist()
     # src covers every endpoint after symmetrization
-    labels, cached = _truncate_plan(
+    init = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
     )
+    cached = None
+    start_round = 0
+    if state_dir is None:
+        labels, cached = _truncate_plan(init)
+    elif resume_meta is not None:
+        start_round = resume_meta[0]
+        labels = spark.read.parquet(_cc_round_path(state_dir, start_round))
+    else:
+        labels = _cc_commit(spark, state_dir, init, 0)
     # convergence probe: integer ids use the monotone exact label sum
     # (decimal(38,0) — one aggregate scan, no long overflow at 10^12
     # ids); any other orderable id type (urls!) compares against the
@@ -763,10 +861,12 @@ def duplicate_clusters(
 
     if int_ids:
         prev_sum = _label_sum(labels)
-    else:
+    elif state_dir is None:
         labels.count()  # materialize the init checkpoint
     converged = False
+    rnd = start_round
     for _ in range(max_iters):
+        rnd += 1
         # only the changed-row probe needs last round's labels; on the
         # integer path holding the reference would delay the
         # ContextCleaner cache drop by a round
@@ -789,7 +889,10 @@ def duplicate_clusters(
             .select("id", F.least("lbl", "_jlbl").alias("lbl"))
         )
         prev_cached = cached
-        labels, cached = _truncate_plan(jumped)
+        if state_dir is None:
+            labels, cached = _truncate_plan(jumped)
+        else:
+            labels = _cc_commit(spark, state_dir, jumped, rnd)
         if int_ids:
             new_sum = _label_sum(labels)
             done = new_sum == prev_sum
@@ -814,23 +917,16 @@ def duplicate_clusters(
             f"duplicate_clusters: no convergence in {max_iters} iterations "
             "(graph diameter > 2^max_iters is not a realistic dedup corpus; "
             "check the pair input for id-space corruption)"
+            + (
+                f" — durable state kept at {state_dir}; a re-call with a "
+                "higher max_iters resumes from the last committed round"
+                if state_dir is not None
+                else ""
+            )
         )
-    # sizes over the labeled subgraph only; everything else is a
-    # singleton and never shuffles for its size of 1
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("n"))
-    labeled = labels.join(sizes, "lbl")
-    return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(labeled, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("lbl", F.col("id")).alias("cluster_id"),
-            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
-            F.coalesce(F.col("id") != F.col("lbl"), F.lit(False)).alias(
-                "is_dup"
-            ),
-        )
-    )
+    if state_dir is not None:
+        _write_cc_meta(spark, state_dir, rnd, True)
+    return _cc_finalize(docs, labels, id_col)
 
 
 def cluster_survivors(

@@ -465,3 +465,65 @@ def test_duplicate_clusters_unpersists_iteration_caches(spark):
         getattr(jsc, "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None)
         )
+
+
+def test_duplicate_clusters_resumes_from_state_dir(spark, tmp_path):
+    # r4 restart contract: a run killed mid-iteration (here: max_iters
+    # exhausted, the deterministic stand-in for a driver loss — the
+    # loop genuinely stops with rounds committed) must resume from the
+    # last durable round, not from scratch, and converge to the same
+    # labels as an uninterrupted run
+    import os
+
+    import pytest as _pytest
+
+    from table_ocr_spark.operators.dedup import duplicate_clusters
+
+    ids = list(range(60))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in ids[:-1]], "id_a long, id_b long"
+    )
+    state = str(tmp_path / "cc_state")
+
+    with _pytest.raises(RuntimeError, match="resumes from the last"):
+        duplicate_clusters(docs, pairs, max_iters=2,
+                           state_dir=state).collect()
+    committed = sorted(os.listdir(os.path.join(state, "labels")))
+    assert committed == ["round=0", "round=1", "round=2"]
+
+    # resume: picks up at round 2 and finishes
+    resumed = duplicate_clusters(docs, pairs, max_iters=25,
+                                 state_dir=state)
+    fresh = duplicate_clusters(docs, pairs, max_iters=25)
+    as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert as_rows(resumed) == as_rows(fresh)
+    assert all(r["cluster_id"] == 0 for r in resumed.collect())
+
+    # a completed state short-circuits: no new round directories, and
+    # the stored labels are returned even without recomputing pairs
+    n_rounds = len(os.listdir(os.path.join(state, "labels")))
+    again = duplicate_clusters(
+        docs, spark.createDataFrame([], "id_a long, id_b long"),
+        state_dir=state,
+    )
+    assert as_rows(again) == as_rows(fresh)
+    assert len(os.listdir(os.path.join(state, "labels"))) == n_rounds
+
+
+def test_duplicate_clusters_state_dir_string_ids(spark, tmp_path):
+    # the changed-row convergence probe (url ids) must also work
+    # against durable round files
+    from table_ocr_spark.operators.dedup import duplicate_clusters
+
+    ids = [f"u://{i:03d}" for i in range(40)]
+    docs = spark.createDataFrame([(u,) for u in ids], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)],
+        "id_a string, id_b string",
+    )
+    out = duplicate_clusters(docs, pairs,
+                             state_dir=str(tmp_path / "cc_s"))
+    rows = out.collect()
+    assert {r["cluster_id"] for r in rows} == {ids[0]}
+    assert all(r["cluster_size"] == 40 for r in rows)
