@@ -865,6 +865,17 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(_dup_corpus(spark, sf_dir), k=5)
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate REMOVAL (operators/dedup.
+    remove_duplicate_spans, the deletion half of dup_span_stats —
+    Lee et al.'s ExactSubstr axis with pinned remove-all semantics):
+    every token covered by a corpus-repeated 5-gram is dropped;
+    untouched docs pass through byte-identical."""
+    from table_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_dup_corpus(spark, sf_dir), k=5)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score (operators/textstats): mean
     -ln p(token) under the corpus's own unigram distribution — the
@@ -1481,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pack_sequences": q_pack_sequences,
         "dup_span_stats": q_dup_span_stats,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
         "novel_documents": q_novel_documents,
         "blocked_hosts": q_blocked_hosts,
         "dsir_weights": q_dsir_weights,
@@ -1814,6 +1826,45 @@ def oracle_sql() -> dict[str, str]:
                    / greatest(g.n_tokens, 1), 6) AS dup_frac,
              coalesce(a.n_spans, 0) AS n_spans
       FROM g LEFT JOIN agg a USING (doc_id)
+    """
+
+    # same corpus + coverage CTEs as dup_span_stats; removal = anti-join
+    # of the token stream against the covered-position set, reassembled
+    # in position order. Docs with no covered position keep their
+    # ORIGINAL text (the operator's byte-identical pass-through).
+    sql["remove_duplicate_spans"] = f"""
+      WITH corpus AS ({_DUP_CORPUS_SQL}),
+      t AS (SELECT doc_id, text, {_TOKS} AS t FROM corpus),
+      g AS (SELECT doc_id,
+                   list_transform(generate_series(1, len(t)-4),
+                     i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+                     AS grams
+            FROM t),
+      ex AS (SELECT doc_id,
+                    CAST(unnest(generate_series(1, len(grams))) - 1 AS BIGINT) AS pos,
+                    unnest(grams) AS gram
+             FROM g),
+      hot AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) >= 2),
+      d AS (SELECT doc_id, pos FROM ex WHERE gram IN (SELECT gram FROM hot)),
+      cov AS (SELECT DISTINCT doc_id,
+                     CAST(unnest(generate_series(pos, pos + 4)) AS BIGINT) AS pos
+              FROM d),
+      drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+                FROM cov GROUP BY doc_id),
+      tl AS (SELECT doc_id,
+                    CAST(unnest(generate_series(1, len(t))) - 1 AS BIGINT) AS pos,
+                    unnest(t) AS tok
+             FROM t),
+      kept AS (SELECT tl.doc_id, string_agg(tl.tok, ' ' ORDER BY tl.pos) AS cleaned
+               FROM tl ANTI JOIN cov USING (doc_id, pos)
+               GROUP BY tl.doc_id)
+      SELECT t.doc_id,
+             CASE WHEN dr.doc_id IS NULL THEN t.text
+                  ELSE coalesce(k.cleaned, '') END AS text_clean,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(len(t.t) - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept,
+             coalesce(dr.n_dropped, 0) AS n_dropped
+      FROM t LEFT JOIN drops dr USING (doc_id) LEFT JOIN kept k USING (doc_id)
     """
 
     sql["unigram_logprob"] = f"""

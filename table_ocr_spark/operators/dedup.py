@@ -632,6 +632,149 @@ def duplicate_span_stats(
     return out
 
 
+def _strip_positions_udf(k: int):
+    """(token array, dup-gram start positions) ->
+    struct(text_clean, n_dropped): union of the ``[p, p+k)`` ranges by
+    a sorted two-pointer sweep, O(n_tokens + n_positions) per doc —
+    never the O(n_tokens x n_spans) per-token ``exists`` an expression
+    HOF would interpret. Rows with no dup positions return
+    text_clean=NULL (the caller passes the ORIGINAL text through
+    untouched — reassembly would gratuitously re-normalize their
+    whitespace)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("text_clean", T.StringType()),
+            T.StructField("n_dropped", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(toks, starts):  # type: ignore[no-untyped-def]
+        texts, dropped = [], []
+        for t, ps in zip(toks, starts):
+            if ps is None or len(ps) == 0:
+                texts.append(None)
+                dropped.append(0)
+                continue
+            t = list(t) if t is not None else []
+            ps = sorted(ps)
+            kept: list = []
+            n_drop = 0
+            j = 0
+            cover_end = -1  # exclusive end of the covered run so far
+            for i in range(len(t)):
+                while j < len(ps) and ps[j] <= i:
+                    e = ps[j] + k
+                    if e > cover_end:
+                        cover_end = e
+                    j += 1
+                if i < cover_end:
+                    n_drop += 1
+                else:
+                    kept.append(t[i])
+            texts.append(" ".join(kept))
+            dropped.append(n_drop)
+        return pd.DataFrame({"text_clean": texts, "n_dropped": dropped})
+
+    return udf
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate REMOVAL — the deletion half of
+    :func:`duplicate_span_stats` (Lee et al. 2022's ExactSubstr axis:
+    doc-level dedup keeps both pages when only a PASSAGE is shared).
+    A token position is covered iff the k-gram starting there occurs
+    >= ``min_count`` times corpus-wide (byte-identical coverage rule
+    to the stats operator); ALL covered tokens are removed — the
+    :func:`~table_ocr_spark.operators.textstats.remove_repeated_lines`
+    convention (corpus-repeated passages are boilerplate with no
+    canonical copy worth keeping). True ExactSubstr keep-one-copy
+    semantics need maximal-duplicate-substring machinery (suffix
+    arrays); at gram granularity "keep one occurrence" is ill-defined
+    under overlapping islands, so this operator deliberately pins
+    remove-all and says so.
+
+    Output: (id_col, text_clean, n_tokens, n_kept, n_dropped). Docs
+    with NO covered position pass their original text through
+    byte-identical; docs with removals are reassembled as the kept
+    token stream joined by single spaces (token-space output — the
+    pinned tokenizer's view, same caveat as the stats operator).
+    ``text_clean = ''`` when every token was covered; NULL text passes
+    through NULL.
+
+    Scale shape: the corpus TOKEN STREAM never shuffles (contrast
+    ``remove_repeated_lines``, which ships the line stream — ~20x
+    fewer rows). Exchanges: gram keys twice (count with map-side
+    combine, then the >= min_count semi-join back), covered start
+    positions once (``groupBy(id).collect_list`` — dup-position-sized,
+    not corpus-sized), and one doc-level hash join corpus<->positions.
+    Removal itself is a map-only Arrow kernel after that join.
+
+    Key width: the stats operator ships bare ``xxhash64(gram)`` and
+    documents the tolerance ("use the composite recipe if a consumer
+    deletes text based on spans" — this IS that consumer), so grams
+    here ship the 192-bit ``(xxhash64, unhex(md5))`` composite: 24
+    bytes/key (vs 40 for the hex-md5 form ``exact_dedup`` uses for its
+    one-per-document keys; grams are one-per-token, so the binary form
+    pays) — still narrower than the raw ~30-60-byte 5-gram string, and
+    a collision can no longer delete innocent text."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            _gram_seq_udf(k)(tokens(F.col(text_col)))
+        ).alias("pos", "_g"),
+    ).select(
+        "id",
+        "pos",
+        F.xxhash64("_g").alias("_g64"),
+        F.unhex(F.md5("_g")).alias("_g128"),
+    )
+    hot = (
+        ex.groupBy("_g64", "_g128")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_g64", "_g128")
+    )
+    dup_pos = (
+        ex.join(hot, ["_g64", "_g128"], "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_ps"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    strip = _strip_positions_udf(k)
+    res = base.join(dup_pos, "id", "left").withColumn(
+        "_r", strip(tokens(F.col("_text")), F.col("_ps"))
+    )
+    return res.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("_ps").isNull(), F.col("_text"))
+        .otherwise(F.col("_r.text_clean"))
+        .alias("text_clean"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_r.n_dropped"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(F.col("_r.n_dropped"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def _truncate_plan(df: DataFrame):
     """Cut the logical plan of an iteratively-rebuilt frame. Uses the
     reliable checkpoint when the session has a checkpoint dir (the

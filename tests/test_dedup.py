@@ -191,6 +191,85 @@ def test_duplicate_span_stats_hand_case(spark):
     assert g2[1]["n_spans"] == 2 and g2[1]["n_dup_tokens"] == 6
 
 
+def test_remove_duplicate_spans_hand_case(spark):
+    from table_ocr_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 toks
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one alpha beta gamma delta"),
+            (2, "prefix words here " + shared + " tail mark"),
+            (3, "totally  unrelated\ttext   with odd   whitespace kept"),
+            (4, shared),  # every token covered
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=5).collect()}
+    # remove-all: the shared passage vanishes from EVERY occurrence
+    assert got[1]["text_clean"] == "unique one alpha beta gamma delta"
+    assert got[2]["text_clean"] == "prefix words here tail mark"
+    assert got[1]["n_dropped"] == 10 and got[2]["n_dropped"] == 10
+    # untouched doc passes through BYTE-identical (odd whitespace kept)
+    assert got[3]["text_clean"] == (
+        "totally  unrelated\ttext   with odd   whitespace kept"
+    )
+    assert got[3]["n_dropped"] == 0 and got[3]["n_kept"] == 7
+    # all-covered doc -> empty string; NULL/empty pass through
+    assert got[4]["text_clean"] == "" and got[4]["n_kept"] == 0
+    assert got[5]["text_clean"] is None and got[5]["n_tokens"] == 0
+    assert got[6]["text_clean"] == ""
+    # coverage rule is BIT-identical to the stats operator
+    stats = {r["doc_id"]: r["n_dup_tokens"]
+             for r in duplicate_span_stats(df, k=5).collect()}
+    assert all(r["n_dropped"] == stats[i] for i, r in got.items())
+
+
+def test_remove_duplicate_spans_overlapping_islands(spark):
+    from table_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    # k=3: "p q r s" shared -> grams at positions 2,3 of doc 1 overlap
+    # into one covered run [2,5]; kept = tokens outside it
+    df = spark.createDataFrame(
+        [(1, "a b p q r s x y"), (2, "m n p q r s")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=3).collect()}
+    assert got[1]["text_clean"] == "a b x y"
+    assert got[2]["text_clean"] == "m n"
+    assert got[1]["n_kept"] == 4 and got[1]["n_dropped"] == 4
+
+    # within-document repetition alone also triggers (count >= 2 is
+    # occurrence-based, exactly like the stats operator)
+    df2 = spark.createDataFrame(
+        [(1, "u v w pad1 pad2 u v w")], "doc_id long, text string"
+    )
+    g2 = remove_duplicate_spans(df2, k=3).collect()[0]
+    assert g2["text_clean"] == "pad1 pad2" and g2["n_dropped"] == 6
+
+
+def test_remove_duplicate_spans_partition_invariant(spark):
+    from table_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "x1 x2 x3 x4 x5 x6"
+    rows = [(i, f"head{i} {shared} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r["doc_id"], r["text_clean"], r["n_dropped"])
+        for r in remove_duplicate_spans(df.repartition(2), k=5).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text_clean"], r["n_dropped"])
+        for r in remove_duplicate_spans(df.repartition(13), k=5).collect()
+    )
+    assert a == b
+    assert all(t == f"head{i} tail{i}" for i, t, _ in a)
+
+
 def test_null_text_rows_survive_all_dedup_operators(spark):
     # crawl corpora routinely carry NULL text; no operator may crash
     from table_ocr_spark.operators.dedup import (
