@@ -97,6 +97,7 @@ R3_NEW = [
 # round-4 operators
 R4_NEW = [
     "registrable_domain",
+    "remove_duplicate_spans",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
