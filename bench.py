@@ -168,7 +168,10 @@ def _mk_session(cpus: int):
     )
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], list[float], dict[str, float]]:
+    """Returns (times, per-group host probes, query->probe map)."""
     import __spark_entry__ as em
 
     qs = _bench_queries(em)

@@ -819,20 +819,62 @@ def _fs_exists(spark, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _cc_marker_path(state_dir: str, rnd: int, done: bool) -> str:
+    return f"{state_dir}/meta/{'done' if done else 'round'}_{rnd}"
+
+
 def _read_cc_meta(spark, state_dir: str):
     """(round, done) of the last COMMITTED CC round, or None for a
-    fresh state dir."""
-    path = f"{state_dir}/meta"
-    if not _fs_exists(spark, path):
+    fresh state dir. Scans the per-round marker dirs newest-first and
+    SKIPS any marker that is unreadable or empty — a marker caught
+    mid-write by a driver kill: the previous round's marker plus the
+    idempotent labels overwrite mean that round is merely recomputed,
+    never lost (review r4: the original single overwritten meta file
+    could be destroyed by a kill during its own rewrite, stranding
+    resume permanently)."""
+    meta = f"{state_dir}/meta"
+    if not _fs_exists(spark, meta):
         return None
-    row = spark.read.parquet(path).collect()[0]
-    return int(row["round"]), bool(row["done"])
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(meta)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    markers = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("done_"):
+            markers.append((int(name[5:]), True))
+        elif name.startswith("round_"):
+            markers.append((int(name[6:]), False))
+    # newest round first; a done marker outranks the same round's
+    # in-progress marker
+    for rnd, done in sorted(markers, reverse=True):
+        try:
+            rows = (
+                spark.read.parquet(_cc_marker_path(state_dir, rnd, done))
+                .collect()
+            )
+        except Exception:
+            continue  # partial marker from a crashed write
+        if not rows:
+            continue
+        if _fs_exists(spark, _cc_round_path(state_dir, rnd)):
+            return rnd, done
+    return None
 
 
 def _write_cc_meta(spark, state_dir: str, rnd: int, done: bool) -> None:
+    """One write-ONCE marker dir per (round, done) state: no marker a
+    resume might depend on is ever rewritten, so a driver kill can only
+    corrupt the marker of the round being committed — which the reader
+    skips. Data N is only ever (re)written while the newest marker is
+    N-1, so a readable marker N implies fully-committed round-N labels.
+    mode="overwrite" here only clears a partial marker left by a
+    previous crash of this SAME write."""
     spark.createDataFrame(
         [(rnd, done)], "round long, done boolean"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _cc_marker_path(state_dir, rnd, done)
+    )
 
 
 def _cc_commit(spark, state_dir: str, labels: DataFrame, rnd: int) -> DataFrame:

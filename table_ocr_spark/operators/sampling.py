@@ -123,6 +123,12 @@ def temperature_fractions_from_counts(
     addition does not commute in the low bits."""
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
+    # drop zero-count strata BEFORE the weight math: a caller feeding
+    # externally-gathered counts routinely pre-seeds strata (e.g.
+    # dict.fromkeys(all_langs, 0)), and a zero-count stratum has no
+    # rows to sample — its fraction is meaningless and its weight of
+    # 0.0 would otherwise divide by counts[s]=0 below (review r4)
+    counts = {s: c for s, c in counts.items() if c != 0}
     total = sum(counts.values())
     if total == 0:
         return {}

@@ -169,11 +169,14 @@ def registrable_domain(
     exact, wild, exc = parse_rules(PSL_SNAPSHOT if rules is None else rules)
 
     def _contains(values, col):
+        # isin compiles to InSet (hash probe) above ~10 values — an
+        # O(1) lookup per candidate suffix, so a full ~10k-rule
+        # production PSL costs the same per host as the ~190-entry
+        # snapshot (review r4: array_contains over a literal array was
+        # an O(|rules|) string scan inside the per-host fold)
         if not values:
             return F.lit(False)
-        return F.array_contains(
-            F.array(*[F.lit(v) for v in sorted(values)]), col
-        )
+        return col.isin(*sorted(values))
 
     host = _canon_domain_col(url) if host_input else host_canonical(url)
     labels = F.split(host, r"\.")
@@ -209,7 +212,11 @@ def registrable_domain(
         ),
     )
     ps_len = F.when(agg["exc"] > 0, agg["exc"]).otherwise(agg["norm"])
-    is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    # pinned IP-literal rule, IDENTICAL to registrable_domain_py: four
+    # labels, each nonempty and all ASCII digits (Java \d is ASCII-only)
+    # — any-length labels, so '1234.5.6.7' is IP-like on BOTH engines
+    # (review r4: the twins previously disagreed on >3-digit labels)
+    is_ipv4 = host.rlike(r"^\d+(\.\d+){3}$")
     return F.when(
         (host != "") & ~is_ipv4 & (n > ps_len),
         F.array_join(F.slice(labels, n - ps_len, ps_len + 1), "."),

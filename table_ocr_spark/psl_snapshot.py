@@ -158,8 +158,12 @@ def registrable_domain_py(host: str, rules=None):
         return None
     labels = h.split(".")
     n = len(labels)
-    if n == 4 and all(p.isdigit() for p in labels):
-        return None  # IPv4 literal — not in the DNS name hierarchy
+    # pinned IP-literal rule, IDENTICAL to the Spark twin's
+    # rlike('^\\d+(\\.\\d+){3}$'): four labels, each nonempty and all
+    # ASCII digits. isascii() matters — Python isdigit() accepts
+    # unicode digits that Java's ASCII-only \d would reject.
+    if n == 4 and all(p and p.isascii() and p.isdigit() for p in labels):
+        return None  # IP literal — not in the DNS name hierarchy
     exc_len = 0
     norm_len = 1
     for i in range(n):

@@ -590,6 +590,59 @@ def test_duplicate_clusters_resumes_from_state_dir(spark, tmp_path):
     assert len(os.listdir(os.path.join(state, "labels"))) == n_rounds
 
 
+def test_duplicate_clusters_resumes_past_corrupt_marker(spark, tmp_path):
+    # review r4: a driver kill mid-marker-write must not strand resume.
+    # Markers are write-once per round; the reader skips an unreadable/
+    # empty marker and falls back to the previous committed round,
+    # whose labels data is guaranteed intact (data N is only rewritten
+    # while the newest marker is N-1).
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from table_ocr_spark.operators.dedup import duplicate_clusters
+
+    ids = list(range(40))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in ids[:-1]], "id_a long, id_b long"
+    )
+    state = str(tmp_path / "cc_state")
+    with _pytest.raises(RuntimeError, match="resumes from the last"):
+        duplicate_clusters(docs, pairs, max_iters=2,
+                           state_dir=state).collect()
+
+    # simulate a kill during the round-2 marker write: the marker dir
+    # exists but holds no readable parquet
+    marker = os.path.join(state, "meta", "round_2")
+    shutil.rmtree(marker)
+    os.makedirs(marker)
+    open(os.path.join(marker, "part-00000.parquet"), "wb").close()
+
+    resumed = duplicate_clusters(docs, pairs, max_iters=25,
+                                 state_dir=state)
+    fresh = duplicate_clusters(docs, pairs, max_iters=25)
+    as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert as_rows(resumed) == as_rows(fresh)
+
+    # and a partial DONE marker degrades to one recomputed round, not
+    # a from-scratch run or a crash
+    done_markers = [
+        d for d in os.listdir(os.path.join(state, "meta"))
+        if d.startswith("done_")
+    ]
+    assert len(done_markers) == 1
+    dm = os.path.join(state, "meta", done_markers[0])
+    shutil.rmtree(dm)
+    os.makedirs(dm)
+    n_label_dirs = len(os.listdir(os.path.join(state, "labels")))
+    again = duplicate_clusters(docs, pairs, state_dir=state)
+    assert as_rows(again) == as_rows(fresh)
+    # exactly one extra (idempotently recomputed) round committed
+    assert len(os.listdir(os.path.join(state, "labels"))) <= n_label_dirs + 1
+
+
 def test_duplicate_clusters_state_dir_string_ids(spark, tmp_path):
     # the changed-row convergence probe (url ids) must also work
     # against durable round files

@@ -259,6 +259,22 @@ def test_temperature_fractions_rebalance_tail_languages(spark):
     assert temperature_fractions(empty) == {}
 
 
+def test_temperature_fractions_skip_zero_count_strata():
+    # review r4: externally-gathered counts routinely pre-seed strata
+    # with 0 (dict.fromkeys); a zero-count stratum must be skipped, not
+    # divide by zero — and must not perturb the other fractions
+    from table_ocr_spark.operators.sampling import (
+        temperature_fractions_from_counts,
+    )
+
+    base = temperature_fractions_from_counts({"en": 900, "fr": 100})
+    seeded = temperature_fractions_from_counts(
+        {"en": 900, "fr": 100, "de": 0, "xx": 0}
+    )
+    assert seeded == base
+    assert temperature_fractions_from_counts({"en": 0}) == {}
+
+
 def test_temperature_sample_null_stratum_not_dropped(spark):
     # review r3 pass 3: NULL lang (lang-id failure) was counted in the
     # mix math but dropped by the map-literal lookup — crawl corpora

@@ -291,6 +291,10 @@ def test_registrable_domain_matches_python_psl_twin(spark):
         "city.kawasaki.jp", "x.city.kawasaki.jp",
         "foo.kawasaki.jp", "a.foo.kawasaki.jp", "co.jp", "t.co.jp",
         "1.2.3.4", "", "a.b.c.d.e.example.org",
+        # IP-like edge cases (review r4: the twins diverged here —
+        # pinned to four nonempty all-ASCII-digit labels on BOTH sides)
+        "1234.5.6.7", "999.999.999.999", "1.2.3.4.5", "1.2.3",
+        "1.2.3.com", "١٢٣.٤.٥.٦",
         "x.blogspot.com", "deep.x.blogspot.com",
         "example", "a.example", "trailing.dot.com.",
     ]
