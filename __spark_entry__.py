@@ -1203,8 +1203,14 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed tier-extraction pipeline: quality score → global
     tiers → proportional token-budget sample, with the exact-integer
     membership rule (u64(md5) * T_s < B_s * 2^64 — no float anywhere,
-    bit-reproducible on any engine)."""
-    from table_ocr_spark.operators.sampling import token_budget_sample
+    bit-reproducible on any engine) ⊕ (tagged union) the round-4
+    data-constrained twin ``token_budget_upsample`` at budget =
+    (5·T_total)//2 — every tier repeats for 2 full epochs plus an
+    exact-integer residual half-epoch, E[tokens] = budget exactly."""
+    from table_ocr_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_upsample,
+    )
     from table_ocr_spark.operators.textstats import token_stats
     from table_ocr_spark.operators.tiers import score_tiers
 
@@ -1213,7 +1219,32 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = token_budget_sample(
         tiers, TOKEN_BUDGET, strata_col="tier", weight_col="n_tokens"
     )
-    return kept.select("doc_id", "tier", "n_tokens")
+    sample_part = kept.select(
+        F.lit("sample").alias("part"),
+        "doc_id",
+        "tier",
+        "n_tokens",
+        F.lit(0).cast("long").alias("epoch"),
+    )
+    # the upsample budget derives from the data as an exact integer so
+    # the multi-epoch regime is exercised at EVERY sf (a fixed literal
+    # tuned to sf0.01 would degenerate to the sample at sf0.1)
+    total = int(
+        tiers.agg(
+            F.sum(F.col("n_tokens").cast("decimal(38,0)")).alias("t")
+        ).collect()[0]["t"]
+    )
+    up = token_budget_upsample(
+        tiers, (5 * total) // 2, strata_col="tier", weight_col="n_tokens"
+    )
+    up_part = up.select(
+        F.lit("upsample").alias("part"),
+        "doc_id",
+        "tier",
+        "n_tokens",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+    return sample_part.unionByName(up_part)
 
 
 # ---------------------------------------------------------------------------
@@ -2490,13 +2521,32 @@ def oracle_sql() -> dict[str, str]:
       g AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS gt FROM d),
       b AS (SELECT tier, ts,
                    least(({TOKEN_BUDGET}::HUGEINT * ts) // g.gt, ts) AS bs
-            FROM tot, g)
-      SELECT d.doc_id, d.tier, d.n_tokens
+            FROM tot, g),
+      -- round-4 upsample part: budget = (5*T_total)//2, proportional
+      -- B_s = budget*ts//gt UNCAPPED; epochs = B_s//ts full passes +
+      -- the exact-integer residual rule on B_s mod ts
+      ub AS (SELECT tier, ts,
+                    (((5::HUGEINT * g.gt) // 2) * ts) // g.gt AS bs
+             FROM tot, g),
+      up AS (SELECT tier, ts, bs // ts AS ep, bs % ts AS rs
+             FROM ub WHERE ts > 0)
+      SELECT 'sample' AS part, d.doc_id, d.tier, d.n_tokens,
+             CAST(0 AS BIGINT) AS epoch
       FROM d JOIN b USING (tier)
       WHERE CAST(CAST(concat('0x',
                   substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
                 AS UBIGINT) AS HUGEINT) * b.ts
             < b.bs * 18446744073709551616::HUGEINT
+      UNION ALL
+      SELECT 'upsample', d.doc_id, d.tier, d.n_tokens,
+             CAST(unnest(generate_series(0,
+               CAST(up.ep AS BIGINT) - 1
+               + CASE WHEN CAST(CAST(concat('0x',
+                       substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+                     AS UBIGINT) AS HUGEINT) * up.ts
+                     < up.rs * 18446744073709551616::HUGEINT
+                 THEN 1 ELSE 0 END)) AS BIGINT)
+      FROM d JOIN up USING (tier)
     """
 
     # continuous-score tiers: same pinned rank definition, score =

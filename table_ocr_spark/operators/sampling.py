@@ -161,6 +161,7 @@ def token_budget_fractions(
     weight_col: str = "n_tokens",
     mix: Dict | None = None,
     max_strata: int = 10_000,
+    cap_at_total: bool = True,
 ) -> Dict:
     """Per-stratum (kept_budget B_s, total T_s) integer pairs for
     :func:`token_budget_sample` — the "give me a 20 B-token corpus,
@@ -180,8 +181,11 @@ def token_budget_fractions(
       Strata absent from ``mix`` get ``B_s = 0``.
 
     ``B_s`` caps at ``T_s`` (a stratum cannot yield more tokens than
-    it has; excess budget is NOT redistributed — closed-form beats
-    clever, same deliberate choice as :func:`temperature_fractions`).
+    it has in one pass; excess budget is NOT redistributed —
+    closed-form beats clever, same deliberate choice as
+    :func:`temperature_fractions`). ``cap_at_total=False`` returns the
+    RAW ``B_s`` for :func:`token_budget_upsample`, whose multi-epoch
+    semantics make an over-total budget meaningful.
     Weights must be non-negative; per-stratum totals are enforced
     below the decimal(38,0) exactness bound (~5.4e18 tokens).
     """
@@ -225,7 +229,7 @@ def token_budget_fractions(
             b_s = budget * t_s // t_total if t_total else 0
         else:
             b_s = budget * int(round(mix.get(s, 0.0) * 10**6)) // 10**6
-        out[s] = (min(b_s, t_s), t_s)
+        out[s] = (min(b_s, t_s) if cap_at_total else b_s, t_s)
     return out
 
 
@@ -279,6 +283,96 @@ def token_budget_sample(
     ).cast(dec)
     u64 = F.conv(_hash_prefix(F.col(key)), 16, 10).cast(dec)
     return df.filter(u64 * t_lit < rhs)
+
+
+def token_budget_upsample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "tier",
+    weight_col: str = "n_tokens",
+    mix: Dict | None = None,
+    key: str = "doc_id",
+    max_strata: int = 10_000,
+    max_epochs: int = 1_000,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """The data-constrained twin of :func:`token_budget_sample`
+    (Muennighoff et al.'s regime — the budget EXCEEDS what one pass
+    over a stratum can supply, so high-value strata repeat for
+    multiple epochs): stratum ``s`` emits ``epochs_s = B_s // T_s``
+    full passes (``epoch_col`` = 0..epochs_s-1) plus one residual
+    pass (``epoch_col`` = epochs_s) whose membership is the SAME
+    exact-integer rule on the remainder — row in iff
+    ``u64(md5(key)) * T_s < (B_s mod T_s) * 2^64``. Everything stays
+    integer (Spark decimal(38,0) ≡ DuckDB HUGEINT), so the output
+    multiset is bit-reproducible across engines and partitionings and
+    ``E[emitted tokens in s] = epochs_s*T_s + (B_s mod T_s) = B_s``
+    EXACTLY — for any budget, under or over the corpus size
+    (:func:`token_budget_sample` silently caps at one pass; this
+    operator exists for the other side of that cap).
+
+    A budget at or under ``T_s`` degenerates to the sample semantics
+    (epochs_s = 0, every emitted row carries epoch 0) with the
+    identical kept-row set. Pinned edge: a stratum whose total weight
+    is 0 takes epochs_s = 0 and puts its WHOLE budget on the residual
+    rule, where ``u64 * 0 < B_s * 2^64`` keeps every row iff
+    ``B_s > 0`` — mirroring :func:`token_budget_sample` on weightless
+    strata.
+
+    Scale shape: one bounded driver aggregate for the (B_s, T_s)
+    plan, then a map-only ``explode(sequence(...))`` over the corpus —
+    no shuffle, no join; downstream shard packing re-keys on
+    ``(key, epoch_col)``. Output amplification is caller-chosen and
+    fail-fast-guarded by ``max_epochs`` (a fat-finger budget of 10^6x
+    the corpus would otherwise materialize 10^6 copies of every row).
+    """
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"token_budget_upsample: input already has a {epoch_col!r} "
+            "column — pass epoch_col= to avoid the clobber"
+        )
+    fr = token_budget_fractions(
+        df, budget, strata_col, weight_col, mix, max_strata,
+        cap_at_total=False,
+    )
+    plan = {}
+    for s, (b_s, t_s) in fr.items():
+        ep, r_s = (b_s // t_s, b_s % t_s) if t_s > 0 else (0, b_s)
+        if ep > max_epochs:
+            raise ValueError(
+                f"token_budget_upsample: stratum {s!r} would repeat for "
+                f"{ep} epochs (> max_epochs={max_epochs}) — budget "
+                f"{b_s} vs stratum total {t_s}; raise max_epochs only "
+                "if that amplification is intended"
+            )
+        plan[s] = (ep, r_s, t_s)
+    null_plan = plan.pop(None, (0, 0, 0))
+    dec = "decimal(38,0)"
+    s_col = F.col(strata_col)
+
+    def _lit_map(idx, as_dec=False, scale=1):
+        pairs = []
+        for s, p in plan.items():
+            pairs += [F.lit(s), F.lit(str(p[idx] * scale))]
+        default = F.lit(str(null_plan[idx] * scale))
+        col = (
+            F.coalesce(F.create_map(*pairs)[s_col], default)
+            if pairs
+            else default
+        )
+        return col.cast(dec) if as_dec else col.cast("int")
+
+    epochs_lit = _lit_map(0)
+    rhs = _lit_map(1, as_dec=True, scale=_U64)
+    t_lit = _lit_map(2, as_dec=True)
+    u64 = F.conv(_hash_prefix(F.col(key)), 16, 10).cast(dec)
+    n_copies = epochs_lit + F.when(u64 * t_lit < rhs, 1).otherwise(0)
+    # Spark sequence(0, -1) DESCENDS instead of being empty — rows with
+    # zero copies must take the explicit empty array (explode drops them)
+    seq = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(epoch_col, F.explode(seq))
 
 
 def temperature_sample(

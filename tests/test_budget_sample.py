@@ -124,3 +124,60 @@ def test_null_weight_in_mixed_stratum_rejected(spark):
     )
     with pytest.raises(ValueError, match="NULL or negative"):
         token_budget_fractions(df, 10)
+
+
+def test_upsample_multi_epoch_exact_rule(spark):
+    # budget 2.5x the stratum total: every doc gets epochs {0,1}; the
+    # residual epoch 2 lands on exactly the md5-rule members for
+    # R = B mod T — bit-pinned against the Python twin
+    from table_ocr_spark.operators.sampling import token_budget_upsample
+
+    df = _df(spark, [(i, 0, 10) for i in range(100)])  # T = 1000
+    per_doc = {}
+    for r in token_budget_upsample(df, 2500).collect():
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    assert all(len(v) in (2, 3) for v in per_doc.values())
+    expect3 = {i for i in range(100) if _python_member(i, 500, 1000)}
+    assert {d for d, v in per_doc.items() if len(v) == 3} == expect3
+
+
+def test_upsample_under_budget_degenerates_to_sample(spark):
+    from table_ocr_spark.operators.sampling import token_budget_upsample
+
+    df = _df(spark, [(i, i % 2, 10 + i) for i in range(60)])
+    up = token_budget_upsample(df, 300).collect()
+    assert {r["doc_id"] for r in up} == _kept_ids(
+        token_budget_sample(df, 300)
+    )
+    assert all(r["epoch"] == 0 for r in up)
+
+
+def test_upsample_guards(spark):
+    from table_ocr_spark.operators.sampling import token_budget_upsample
+
+    df = _df(spark, [(1, 0, 10)])
+    with pytest.raises(ValueError, match="max_epochs"):
+        token_budget_upsample(df, 10**6, max_epochs=100)
+    with pytest.raises(ValueError, match="epoch"):
+        token_budget_upsample(df.withColumn("epoch", df.doc_id), 10)
+
+
+def test_upsample_null_and_zero_weight_strata(spark):
+    # NULL stratum rides via the fallback plan; zero-weight stratum
+    # keeps all rows once iff its budget is positive (sample parity)
+    from table_ocr_spark.operators.sampling import token_budget_upsample
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 10), (3, "z", 0)],
+        "doc_id long, tier string, n_tokens long",
+    )
+    out = token_budget_upsample(
+        df, 100, mix={None: 0.8, "z": 0.2}
+    ).collect()
+    by_doc = {r["doc_id"]: r["epoch"] for r in out}
+    # NULL stratum: B=80, T=20 -> 4 full epochs each
+    assert sorted(e for r in out for e in [r["epoch"]] if r["doc_id"] == 1) \
+        == [0, 1, 2, 3]
+    # zero-weight stratum with positive budget: one epoch-0 copy
+    assert by_doc.get(3) == 0
