@@ -72,6 +72,7 @@ def build_training_corpus(
     token_budget: int | None = None,
     tier_mix: dict | None = None,
     near_dedup: str = "cluster",
+    allow_upsampling: bool = False,
 ) -> tuple[DataFrame, CorpusReport]:
     """pages(url, warc_ts, html, ...) → (corpus(url, text, n_emails,
     n_phones), per-stage counts). The returned DataFrame is unevaluated;
@@ -81,7 +82,13 @@ def build_training_corpus(
     down-sample. ``n_tiers`` appends a global quality-tier column
     (and ``n_tokens``); ``token_budget`` (requires ``n_tiers``)
     down-samples to that many kept tokens in expectation, split per
-    tier by ``tier_mix`` shares (default: proportional)."""
+    tier by ``tier_mix`` shares (default: proportional).
+    ``allow_upsampling=True`` routes the budget stage through
+    :func:`~table_ocr_spark.operators.sampling.token_budget_upsample`
+    instead: a budget past one corpus pass repeats tiers for multiple
+    epochs (an ``epoch`` column appears on the output) — the
+    data-constrained mix recipe; without it an over-corpus budget
+    silently caps at one pass."""
     # argument contract checks BEFORE the first materializing job —
     # a typo must fail in milliseconds, not after hours of extraction
     if near_dedup not in ("cluster", "pairwise"):
@@ -183,9 +190,16 @@ def build_training_corpus(
             tiers.select("url", "n_tokens", "tier"), "url"
         ).cache()
         if token_budget is not None:
-            from table_ocr_spark.operators.sampling import token_budget_sample
+            from table_ocr_spark.operators.sampling import (
+                token_budget_sample,
+                token_budget_upsample,
+            )
 
-            corpus = token_budget_sample(
+            budget_op = (
+                token_budget_upsample if allow_upsampling
+                else token_budget_sample
+            )
+            corpus = budget_op(
                 corpus, token_budget, strata_col="tier",
                 weight_col="n_tokens", mix=tier_mix, key="url",
             )

@@ -117,6 +117,24 @@ def test_training_corpus_tier_budget_stages(spark, tmp_path):
     with _pytest.raises(ValueError, match="requires n_tiers"):
         build_training_corpus(pages, token_budget=100)
 
+    # allow_upsampling: a budget past one corpus pass repeats docs for
+    # multiple epochs; tokens emitted land on the budget in expectation
+    corpus3, rep3 = build_training_corpus(
+        pages, n_tiers=3, token_budget=2 * full_tokens,
+        allow_upsampling=True,
+    )
+    rows3 = corpus3.collect()
+    assert "epoch" in corpus3.columns
+    assert rep3.n_after_budget > len(rows)  # amplified past one pass
+    emitted = sum(r["n_tokens"] for r in rows3)
+    assert abs(emitted - 2 * full_tokens) / (2 * full_tokens) < 0.25
+    # the capped sampler cannot: same budget without the flag keeps
+    # at most one copy of everything
+    corpus4, rep4 = build_training_corpus(
+        pages, n_tiers=3, token_budget=2 * full_tokens
+    )
+    assert rep4.n_after_budget == len(rows)
+
 
 def test_full_tier_chain_to_shards(spark, tmp_path):
     # VERDICT r3 #6: extract -> quality -> dedup closure -> survivors
