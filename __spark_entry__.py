@@ -1215,7 +1215,11 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.tiers import score_tiers
 
     stats = token_stats(_read_par(spark, sf_dir, "documents"))
-    tiers = score_tiers(stats, "quality_score", n_tiers=4)
+    # cache: FIVE consumers below (sample filter, total agg, both
+    # fractions collects, both union branches) would otherwise each
+    # recompute token_stats + the two tier window passes from scratch
+    # — bench-visible redundancy, not operator cost (review r4)
+    tiers = score_tiers(stats, "quality_score", n_tiers=4).cache()
     kept = token_budget_sample(
         tiers, TOKEN_BUDGET, strata_col="tier", weight_col="n_tokens"
     )

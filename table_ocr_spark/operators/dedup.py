@@ -841,10 +841,16 @@ def _read_cc_meta(spark, state_dir: str):
     markers = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if name.startswith("done_"):
-            markers.append((int(name[5:]), True))
-        elif name.startswith("round_"):
-            markers.append((int(name[6:]), False))
+        try:
+            if name.startswith("done_"):
+                markers.append((int(name[5:]), True))
+            elif name.startswith("round_"):
+                markers.append((int(name[6:]), False))
+        except ValueError:
+            # a stray artifact matching the prefix (S3N '_$folder$'
+            # markers, tooling files) must be ignored, not strand
+            # resume with an uncaught parse error (review r4)
+            continue
     # newest round first; a done marker outranks the same round's
     # in-progress marker
     for rnd, done in sorted(markers, reverse=True):
@@ -859,6 +865,20 @@ def _read_cc_meta(spark, state_dir: str):
             continue
         if _fs_exists(spark, _cc_round_path(state_dir, rnd)):
             return rnd, done
+    if not markers:
+        # legacy layout (pre-marker rounds wrote ONE overwritten parquet
+        # file at meta/ itself): read it the old way so an existing
+        # durable run is resumed, not silently restarted. After resume,
+        # new markers land as subdirectories; the legacy part files
+        # linger unread (review r4).
+        try:
+            rows = spark.read.parquet(meta).collect()
+        except Exception:
+            return None
+        if rows and _fs_exists(
+            spark, _cc_round_path(state_dir, int(rows[0]["round"]))
+        ):
+            return int(rows[0]["round"]), bool(rows[0]["done"])
     return None
 
 

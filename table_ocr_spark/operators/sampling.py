@@ -337,7 +337,13 @@ def token_budget_upsample(
     )
     plan = {}
     for s, (b_s, t_s) in fr.items():
-        ep, r_s = (b_s // t_s, b_s % t_s) if t_s > 0 else (0, b_s)
+        # weightless stratum: only the SIGN of the residual matters
+        # (u64*0 < r*2^64), so pin r to 1/0 — the raw uncapped B_s
+        # could overflow the decimal(38,0) rhs literal and silently
+        # flip keep-all into keep-none (review r4)
+        ep, r_s = (b_s // t_s, b_s % t_s) if t_s > 0 else (
+            0, 1 if b_s > 0 else 0
+        )
         if ep > max_epochs:
             raise ValueError(
                 f"token_budget_upsample: stratum {s!r} would repeat for "

@@ -97,6 +97,12 @@ def build_training_corpus(
         )
     if token_budget is not None and n_tiers is None:
         raise ValueError("token_budget requires n_tiers (budgets are per tier)")
+    if allow_upsampling and token_budget is None:
+        raise ValueError(
+            "allow_upsampling requires token_budget — without a budget "
+            "there is no upsampling stage to route through (this would "
+            "otherwise no-op silently after the full pipeline ran)"
+        )
     n_input = pages.count()
 
     deduped_pages = latest_capture(pages) if "warc_ts" in pages.columns else pages

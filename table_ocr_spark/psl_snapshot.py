@@ -153,7 +153,11 @@ def registrable_domain_py(host: str, rules=None):
     rule (exact or wildcard) is the public suffix; no match -> the
     default ``*`` rule (rightmost label)."""
     exact, wild, exc = parse_rules(PSL_SNAPSHOT if rules is None else rules)
-    h = (host or "").lower().strip(".")
+    # trailing dots only — the Spark twin's host canonicalizer keeps a
+    # LEADING dot (empty first label), so stripping it here made the
+    # twins diverge on malformed hosts like '.co.uk' (review r4); such
+    # hosts now yield the same odd-but-consistent result on both sides
+    h = (host or "").lower().rstrip(".")
     if not h:
         return None
     labels = h.split(".")

@@ -643,6 +643,55 @@ def test_duplicate_clusters_resumes_past_corrupt_marker(spark, tmp_path):
     assert len(os.listdir(os.path.join(state, "labels"))) <= n_label_dirs + 1
 
 
+def test_duplicate_clusters_reads_legacy_single_file_meta(spark, tmp_path):
+    # pre-marker state dirs wrote ONE overwritten parquet at meta/
+    # itself; the marker-era reader must still resume them (review r4:
+    # silently treating them as fresh discards the durable contract).
+    # Stray prefix-matching junk in meta/ must be skipped, not crash.
+    import os
+
+    from table_ocr_spark.operators.dedup import (
+        _cc_round_path,
+        _read_cc_meta,
+        duplicate_clusters,
+    )
+
+    ids = list(range(20))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in ids[:-1]], "id_a long, id_b long"
+    )
+    state = str(tmp_path / "cc_state")
+    out = duplicate_clusters(docs, pairs, state_dir=state)
+    expected = sorted(map(tuple, out.collect()))
+    final_round, done = _read_cc_meta(spark, state)
+    assert done
+
+    # rebuild the state dir in the LEGACY layout: same labels data,
+    # meta/ is itself a single-row parquet
+    legacy = str(tmp_path / "cc_legacy")
+    os.makedirs(legacy)
+    os.rename(
+        os.path.join(state, "labels"), os.path.join(legacy, "labels")
+    )
+    spark.createDataFrame(
+        [(final_round, True)], "round long, done boolean"
+    ).coalesce(1).write.parquet(os.path.join(legacy, "meta"))
+    # junk that matches the marker prefix must be ignored
+    open(os.path.join(legacy, "meta", "round_9_$folder$"), "w").close()
+
+    assert _read_cc_meta(spark, legacy) == (final_round, True)
+    again = duplicate_clusters(
+        docs, spark.createDataFrame([], "id_a long, id_b long"),
+        state_dir=legacy,
+    )
+    assert sorted(map(tuple, again.collect())) == expected
+    # the completed-run short-circuit used the stored labels: no new
+    # round directory appeared
+    assert len(os.listdir(os.path.join(legacy, "labels"))) == \
+        final_round + 1
+
+
 def test_duplicate_clusters_state_dir_string_ids(spark, tmp_path):
     # the changed-row convergence probe (url ids) must also work
     # against durable round files

@@ -295,6 +295,9 @@ def test_registrable_domain_matches_python_psl_twin(spark):
         # pinned to four nonempty all-ASCII-digit labels on BOTH sides)
         "1234.5.6.7", "999.999.999.999", "1.2.3.4.5", "1.2.3",
         "1.2.3.com", "١٢٣.٤.٥.٦",
+        # leading-dot malformed hosts (review r4: py strip('.') vs the
+        # Spark canonicalizer's trailing-only strip diverged here)
+        ".co.uk", ".1.2.3.4", ".foo.com", "..foo.com",
         "x.blogspot.com", "deep.x.blogspot.com",
         "example", "a.example", "trailing.dot.com.",
     ]
