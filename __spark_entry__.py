@@ -1175,6 +1175,54 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_lines(pages, min_doc_df=LINE_RM_MIN_DF)
 
 
+def _webtext_synth(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line webtext corpus for the line-rule
+    filters (documents.text is single-line word soup): each line
+    exercises one rule — a kept line, a too-short line, a blocklisted
+    line, a no-terminal-punctuation slice, a bullet line, an
+    ellipsis-ended line, and doc_id-keyed lorem-ipsum / brace lines
+    for the document flags. Mirrored literally in the oracle."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring(t, 1, 40), F.lit(" first line ends well.")),
+            F.lit("short one"),
+            F.lit("please enable javascript to continue."),
+            F.substring(t, 41, 40),
+            F.lit("- the bullet item stays in the text."),
+            F.lit("to be continued and more…"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("lorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("closing words of the document.")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("function() { return 1; }"),
+            ).otherwise(F.lit("the final line is here.")),
+        ).alias("text"),
+    )
+
+
+def q_webtext_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: C4 line-rule cleaning + Gopher line-shape rules
+    (webfilter.c4_clean ⋈ webfilter.gopher_line_rules) over the same
+    synthesized multi-line corpus — one row per doc, both operators'
+    auditable stats and pass flags side by side. Both map-only; the
+    only exchange in this composite is the 1:1 join itself."""
+    from table_ocr_spark.operators.webfilter import (
+        c4_clean,
+        gopher_line_rules,
+    )
+
+    docs = _read_par(spark, sf_dir, "documents")
+    pages = _webtext_synth(docs)
+    return c4_clean(pages).join(
+        gopher_line_rules(pages).drop("n_lines"), "doc_id"
+    )
+
+
 # pinned BM25 query set; idf="rational" because ln() is libm-dependent
 # across engines while one correctly-rounded division is not
 BM25_QUERIES = {"q_dup": "dup merge scan", "q_spark": "spark hash join"}
@@ -1483,7 +1531,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """48 keys — deliberately under the driver gate's observed 50-key
+    """50 keys — at (not over) the driver gate's observed 50-key
     snapshot limit (see the composite-queries comment above): every
     contract surface gets a driver-green CORRECTNESS row. Composite
     keys carry the same operator coverage the r3 per-component keys
@@ -1538,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": q_leakage_safe_splits,
         "bm25_topk": q_bm25_topk,
         "remove_repeated_lines": q_remove_repeated_lines,
+        "webtext_filters": q_webtext_filters,
     }
 
 
@@ -2683,6 +2732,103 @@ def oracle_sql() -> dict[str, str]:
              CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT)
                AS n_dropped
       FROM tot LEFT JOIN agg USING (doc_id)
+    """
+
+    # webtext line-rule filters: the synthesized corpus, the trim set,
+    # the regexes, and every threshold come from the same pinned
+    # constants the operators use (webfilter.py module doc) — the
+    # regex dialect subset used ([..], |, $, ^) is valid in both Java
+    # regex and RE2, so one string serves both engines.
+    from table_ocr_spark.operators import webfilter as _wf
+
+    def _sqlstr(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    _wt_line_block = " AND ".join(
+        f"NOT contains(lower(l), {_sqlstr(p)})" for p in _wf.C4_LINE_BLOCKLIST
+    )
+    _wt_doc_block = " OR ".join(
+        f"contains(lower(t), {_sqlstr(p)})" for p in _wf.C4_DOC_BLOCKLIST
+    )
+    _wt_stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(toksl, {_sqlstr(w)}) THEN 1 ELSE 0 END)"
+        for w in _wf.GOPHER_STOPWORDS
+    )
+    sql["webtext_filters"] = f"""
+      WITH base AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                 substr(coalesce(text, ''), 1, 40) || ' first line ends well.',
+                 'short one',
+                 'please enable javascript to continue.',
+                 substr(coalesce(text, ''), 41, 40),
+                 '- the bullet item stays in the text.',
+                 'to be continued and more' || chr(8230),
+                 CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+                      ELSE 'closing words of the document.' END,
+                 CASE WHEN doc_id % 11 = 0 THEN 'function() {{ return 1; }}'
+                      ELSE 'the final line is here.' END) AS t
+        FROM documents),
+      lined AS (
+        SELECT doc_id, t,
+               list_filter(
+                 list_transform(str_split(t, chr(10)),
+                                l -> trim(l, {trim_chars})),
+                 l -> l <> '') AS ls,
+               list_transform(
+                 list_filter(str_split_regex(t, '\\s+'), w -> w <> ''),
+                 w -> lower(w)) AS toksl,
+               list_filter(str_split_regex(t, '\\s+'), w -> w <> '') AS toks
+        FROM base),
+      kept AS (
+        SELECT doc_id, t, ls, toks, toksl,
+               list_filter(ls, l ->
+                 regexp_matches(l, {_sqlstr(_wf.C4_TERMINAL_PUNCT_RE)})
+                 AND len(list_filter(str_split_regex(l, '\\s+'),
+                                     w -> w <> ''))
+                     >= {_wf.C4_MIN_WORDS_PER_LINE}
+                 AND {_wt_line_block}) AS ks
+        FROM lined),
+      c4 AS (
+        SELECT doc_id,
+               array_to_string(ks, chr(10)) AS text_clean,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ks) AS BIGINT) AS n_kept,
+               CAST(len(ls) - len(ks) AS BIGINT) AS n_dropped,
+               ({_wt_doc_block}) AS has_doc_blocklist,
+               contains(t, '{{') AS has_brace,
+               (NOT ({_wt_doc_block}) AND NOT contains(t, '{{')
+                AND len(ks) >= {_wf.C4_MIN_KEPT_LINES}) AS c4_pass
+        FROM kept),
+      g AS (
+        SELECT doc_id,
+               round(len(list_filter(ls, l ->
+                       regexp_matches(l, {_sqlstr(_wf.GOPHER_BULLET_RE)})))
+                     / greatest(len(ls), 1), 6) AS bullet_start_frac,
+               round(len(list_filter(ls, l ->
+                       regexp_matches(l, {_sqlstr(_wf.GOPHER_ELLIPSIS_RE)})))
+                     / greatest(len(ls), 1), 6) AS ellipsis_end_frac,
+               round(len(list_filter(toks, w ->
+                       regexp_matches(w, '[A-Za-z]')))
+                     / greatest(len(toks), 1), 6) AS alpha_word_frac,
+               CAST({_wt_stop_sum} AS BIGINT) AS n_stopword_types
+        FROM kept)
+      SELECT c4.*, g.bullet_start_frac, g.ellipsis_end_frac,
+             g.alpha_word_frac, g.n_stopword_types,
+             (g.bullet_start_frac <= {_wf.GOPHER_MAX_BULLET_FRAC})
+               AS passes_bullet,
+             (g.ellipsis_end_frac <= {_wf.GOPHER_MAX_ELLIPSIS_FRAC})
+               AS passes_ellipsis,
+             (g.alpha_word_frac >= {_wf.GOPHER_MIN_ALPHA_FRAC})
+               AS passes_alpha,
+             (g.n_stopword_types >= {_wf.GOPHER_MIN_STOPWORDS})
+               AS passes_stopwords,
+             (g.bullet_start_frac <= {_wf.GOPHER_MAX_BULLET_FRAC}
+              AND g.ellipsis_end_frac <= {_wf.GOPHER_MAX_ELLIPSIS_FRAC}
+              AND g.alpha_word_frac >= {_wf.GOPHER_MIN_ALPHA_FRAC}
+              AND g.n_stopword_types >= {_wf.GOPHER_MIN_STOPWORDS})
+               AS gopher_line_pass
+      FROM c4 JOIN g USING (doc_id)
     """
 
     # conditioned oracle (r3 verdict #4): thresholds computed once in

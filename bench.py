@@ -98,6 +98,7 @@ R3_NEW = [
 R4_NEW = [
     "registrable_domain",
     "remove_duplicate_spans",
+    "webtext_filters",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
