@@ -727,6 +727,39 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_repetition_stats(docs)
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher A1.2 repetition ruleset (webfilter.
+    gopher_repetition_rules, one map-only Arrow kernel). The synthetic
+    documents are single-line word soup, so the query pins a
+    paragraph/repetition structure first, byte-identical in both
+    engines (substr/replace/concat only): paragraph p1 (multi-line via
+    the ' value '→newline trick) ⊕ paragraph p2 carrying a repeated
+    80-char run (guaranteed dup n-grams) ⊕ p1 again (guaranteed dup
+    lines AND paragraphs). The two line-rule columns are dropped here
+    because the composite joins line_repetition_stats, which owns
+    those names (their bit-identity is differential-tested)."""
+    from table_ocr_spark.operators.webfilter import gopher_repetition_rules
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    p1 = F.expr(
+        "replace(substring(coalesce(text,''), 1, 120), ' value ', '\n')"
+    )
+    rep = F.substring(t, 1, 80)
+    p2 = F.concat(
+        F.substring(t, 121, 120), F.lit(" "), rep, F.lit(" "), rep
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            p1, F.lit("\n\n"), p2, F.lit("\n\n"), p1
+        ).alias("text"),
+    )
+    return gopher_repetition_rules(synth).drop(
+        "dup_line_frac", "dup_line_char_frac"
+    )
+
+
 def q_novel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (dedup.novel_documents): this week's
     batch anti-joined by 192-bit content key against the seen
@@ -1351,9 +1384,12 @@ def q_quality_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_repetition ⊕ line_repetition, joined on doc_id."""
-    return q_doc_repetition(spark, sf_dir).join(
-        q_line_repetition(spark, sf_dir), "doc_id"
+    """doc_repetition ⊕ line_repetition ⊕ gopher_repetition (the full
+    A1.2 ruleset), joined on doc_id."""
+    return (
+        q_doc_repetition(spark, sf_dir)
+        .join(q_line_repetition(spark, sf_dir), "doc_id")
+        .join(q_gopher_repetition(spark, sf_dir), "doc_id")
     )
 
 
@@ -1686,6 +1722,136 @@ _ANN_BASE_SQL = """
         FROM s)
   WHERE rn <= {k}
 """
+
+
+def _gopher_repetition_sql() -> str:
+    """Full Gopher A1.2 repetition oracle, mirroring
+    webfilter.gopher_repetition_rules pin for pin: the paragraph-synth
+    corpus (substr/replace/concat, byte-identical to the Spark side),
+    duplicate line/paragraph group mass, top-{2,3,4}-gram mass with
+    the (count desc, char-len desc) tie-break (mass depends only on
+    those two, so the final string tie-break cannot change it), and
+    dup-{5..10}-gram POSITION-UNION coverage (DISTINCT covered token
+    index, each counted once). All arithmetic integer until one final
+    round(x, 6); flags compare the rounded fraction to the threshold
+    cast to DOUBLE (both engines then compare the same float64s)."""
+    from table_ocr_spark.operators.webfilter import GOPHER_REP_THRESHOLDS
+
+    synth = (
+        "replace(substr(coalesce(text,''),1,120), ' value ', chr(10))"
+        " || chr(10) || chr(10) || substr(coalesce(text,''),121,120)"
+        " || ' ' || substr(coalesce(text,''),1,80)"
+        " || ' ' || substr(coalesce(text,''),1,80)"
+        " || chr(10) || chr(10) || "
+        "replace(substr(coalesce(text,''),1,120), ' value ', chr(10))"
+    )
+    line_trim = "' ' || chr(9) || chr(13)"
+    para_trim = "' ' || chr(9) || chr(13) || chr(10)"
+    ctes = [
+        f"corpus AS (SELECT doc_id, {synth} AS text FROM documents)",
+        f"toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus)",
+        "tchars AS (SELECT doc_id, CAST(coalesce(list_sum("
+        "list_transform(t, w -> length(w))), 0) AS BIGINT) AS total "
+        "FROM toks)",
+        "ln AS (SELECT doc_id, trim(l, " + line_trim + ") AS u "
+        "FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l "
+        "FROM corpus) WHERE trim(l, " + line_trim + ") <> '')",
+        "pr AS (SELECT doc_id, trim(p, " + para_trim + ") AS u "
+        "FROM (SELECT doc_id, unnest(str_split_regex(text, '\\n{2,}')) "
+        "AS p FROM corpus) WHERE trim(p, " + para_trim + ") <> '')",
+    ]
+    for unit in ("ln", "pr"):
+        ctes.append(
+            f"{unit}c AS (SELECT doc_id, u, count(*) AS c, "
+            f"length(u) AS uc FROM {unit} GROUP BY doc_id, u)"
+        )
+        ctes.append(
+            f"{unit}agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, "
+            "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup, "
+            "CAST(sum(uc * c) AS BIGINT) AS chars, "
+            "CAST(sum(CASE WHEN c >= 2 THEN uc * c ELSE 0 END) AS BIGINT) "
+            f"AS dup_chars FROM {unit}c GROUP BY doc_id)"
+        )
+    for n in range(2, 11):
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, gi.i AS i, gi.g AS g, gi.glen AS glen "
+            "FROM (SELECT doc_id, unnest(list_transform("
+            f"generate_series(1, len(t)-{n}+1), "
+            f"i -> struct_pack(i := i, g := array_to_string(t[i:i+{n - 1}], ' '), "
+            f"glen := CAST(list_sum(list_transform(t[i:i+{n - 1}], "
+            "w -> length(w))) AS BIGINT)))) AS gi FROM toks))"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, g, count(*) AS c, max(glen) AS glen "
+            f"FROM g{n} GROUP BY doc_id, g)"
+        )
+    for n in (2, 3, 4):
+        ctes.append(
+            f"top{n} AS (SELECT doc_id, c * glen AS mass FROM "
+            "(SELECT doc_id, c, glen, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY c DESC, glen DESC, g ASC) AS rn "
+            f"FROM c{n}) WHERE rn = 1 AND c >= 2)"
+        )
+    for n in range(5, 11):
+        ctes.append(
+            f"cov{n} AS (SELECT p.doc_id, "
+            "CAST(sum(length(tk.t[p.p])) AS BIGINT) AS cov FROM "
+            "(SELECT DISTINCT g.doc_id, g.i + s.s AS p "
+            f"FROM g{n} g JOIN c{n} c ON c.doc_id = g.doc_id AND c.g = g.g, "
+            f"(SELECT unnest(generate_series(0, {n - 1})) AS s) s "
+            "WHERE c.c >= 2) p JOIN toks tk ON tk.doc_id = p.doc_id "
+            "GROUP BY p.doc_id)"
+        )
+
+    def _frac(num: str, den: str) -> str:
+        return (
+            f"round(CAST(coalesce({num}, 0) AS DOUBLE) "
+            f"/ greatest(coalesce({den}, 0), 1), 6)"
+        )
+
+    fracs = {
+        "dup_line_frac": _frac("la.dup", "la.n"),
+        "dup_para_frac": _frac("pa.dup", "pa.n"),
+        "dup_line_char_frac": _frac("la.dup_chars", "la.chars"),
+        "dup_para_char_frac": _frac("pa.dup_chars", "pa.chars"),
+        **{
+            f"top_{n}gram_char_frac": _frac(f"t{n}.mass", "tc.total")
+            for n in (2, 3, 4)
+        },
+        **{
+            f"dup_{n}gram_char_frac": _frac(f"c{n}x.cov", "tc.total")
+            for n in range(5, 11)
+        },
+    }
+    fr_cols = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in fracs.items()
+    )
+    joins = (
+        "FROM corpus c JOIN tchars tc USING (doc_id) "
+        "LEFT JOIN lnagg la USING (doc_id) "
+        "LEFT JOIN pragg pa USING (doc_id) "
+        + " ".join(f"LEFT JOIN top{n} t{n} USING (doc_id)" for n in (2, 3, 4))
+        + " "
+        + " ".join(
+            f"LEFT JOIN cov{n} c{n}x USING (doc_id)" for n in range(5, 11)
+        )
+    )
+    ctes.append(f"fr AS (SELECT c.doc_id,\n             {fr_cols}\n      {joins})")
+    flags = {
+        name: f"({name} <= CAST({thr} AS DOUBLE))"
+        for name, thr in GOPHER_REP_THRESHOLDS.items()
+    }
+    # the two line fracs are owned by the line_repetition component in
+    # the composite join; keep only their flags here
+    out_fracs = [n for n in fracs if n not in ("dup_line_frac", "dup_line_char_frac")]
+    flag_cols = ", ".join(f"{e} AS passes_{n}" for n, e in flags.items())
+    conj = " AND ".join(flags.values())
+    return (
+        "WITH " + ",\n      ".join(ctes) + "\n      SELECT doc_id, "
+        + ", ".join(out_fracs)
+        + ", " + flag_cols
+        + f", ({conj}) AS repetition_pass FROM fr"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2859,7 +3025,8 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["repetition_profile"] = (
         f"SELECT * FROM ({sql.pop('doc_repetition')}) a "
-        f"JOIN ({sql.pop('line_repetition')}) b USING (doc_id)"
+        f"JOIN ({sql.pop('line_repetition')}) b USING (doc_id) "
+        f"JOIN ({_gopher_repetition_sql()}) c USING (doc_id)"
     )
     sql["extract_html_pdf"] = (
         "SELECT * FROM "

@@ -54,6 +54,30 @@ C4_TERMINAL_PUNCT_RE = "[.!?\"']$"
 C4_LINE_BLOCKLIST = ("javascript", "cookie", "privacy policy")
 C4_DOC_BLOCKLIST = ("lorem ipsum",)
 
+# --- Gopher repetition pins (Rae et al. 2021 A1.2, Table A1) ---
+# rule -> max allowed fraction; a doc passes a rule iff its ROUNDED
+# (6 dp) fraction is <= the threshold, and passes overall iff it
+# passes all 13. Values are the paper's; swap per-corpus in production.
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+# paragraph := segment of a split on /\n{2,}/ trimmed of this set
+# (segments produced by that split can still carry a single leading/
+# trailing '\n', unlike lines) — mirrored by the oracle's trim()
+PARA_TRIM_CHARS = " \t\r\n"
+
 # --- Gopher pins (Rae et al. 2021 A1.1) ---
 GOPHER_BULLET_RE = "^[-*•]"
 GOPHER_ELLIPSIS_RE = "(\\.\\.\\.|…)$"
@@ -366,4 +390,230 @@ def gopher_line_rules(
         (p_bullet & p_ellipsis & p_alpha & p_stop).alias(
             "gopher_line_pass"
         ),
+    )
+
+
+def _repetition_kernel_udf():
+    """text -> raw repetition counts in one Arrow batch; every
+    fraction and flag derives JVM-side from these integers, so the
+    only cross-engine arithmetic is one final round(x, 6) per column
+    (the same integers-out-of-the-kernel discipline as
+    textstats._line_stats_udf).
+
+    Emitted per document:
+    - line/paragraph duplicate-group mass: (n, dup_n, chars,
+      dup_chars) over trimmed non-empty lines (split '\\n', trim
+      LINE_TRIM_CHARS) and paragraphs (split /\\n{2,}/, trim
+      PARA_TRIM_CHARS); a unit is 'duplicated' iff its trimmed
+      content occurs >= 2 times in the SAME document.
+    - total_token_chars: sum of token lengths (tokens := _PY_WS
+      splits, empties dropped) — the denominator for every n-gram
+      fraction (whitespace-insensitive, unlike len(text)).
+    - top_{2,3,4}_mass: count * char-length of the most frequent
+      n-gram, 0 when the top count is < 2 (a singleton top gram is
+      not repetition); char-length of a gram := sum of its token
+      lengths. Tie-break (pinned, oracle-mirrored): max count, then
+      max char-length, then MIN space-joined gram string.
+    - cov_{5..10}: char mass of the UNION of token positions covered
+      by occurrences of n-grams appearing >= 2 times (each position
+      counted once — the Rae et al. 'take care not to count
+      characters twice' semantics; we pin position-union rather than
+      the greedy skip-ahead scan some implementations use, because
+      union is order-independent and exactly expressible in SQL).
+
+    Per-doc Counter work is exactly the measured Arrow-kernel regime
+    (textstats doctrine): the expression alternative is a corpus-wide
+    explode->groupBy per n — nine exchanges to compute map-side
+    facts."""
+    import pandas as pd
+
+    schema = (
+        "n_lines long, dup_lines long, line_chars long, "
+        "dup_line_chars long, n_paras long, dup_paras long, "
+        "para_chars long, dup_para_chars long, total_token_chars long, "
+        "top_2_mass long, top_3_mass long, top_4_mass long, "
+        "cov_5 long, cov_6 long, cov_7 long, cov_8 long, "
+        "cov_9 long, cov_10 long"
+    )
+
+    @F.pandas_udf(schema)
+    def udf(texts):  # type: ignore[no-untyped-def]
+        import re
+        from collections import Counter
+
+        ws = re.compile(_PY_WS)
+        para_split = re.compile("\n{2,}")
+        cols: dict[str, list[int]] = {
+            k: []
+            for k in (
+                "n_lines dup_lines line_chars dup_line_chars "
+                "n_paras dup_paras para_chars dup_para_chars "
+                "total_token_chars top_2_mass top_3_mass top_4_mass "
+                "cov_5 cov_6 cov_7 cov_8 cov_9 cov_10"
+            ).split()
+        }
+
+        def group_mass(units):
+            c = Counter(units)
+            n = len(units)
+            dup = sum(v for v in c.values() if v >= 2)
+            chars = sum(len(u) for u in units)
+            dup_chars = sum(len(u) * v for u, v in c.items() if v >= 2)
+            return n, dup, chars, dup_chars
+
+        for t in texts:
+            t = t or ""
+            lines = [
+                ln
+                for ln in (
+                    s.strip(LINE_TRIM_CHARS) for s in t.split("\n")
+                )
+                if ln
+            ]
+            paras = [
+                p
+                for p in (
+                    s.strip(PARA_TRIM_CHARS) for s in para_split.split(t)
+                )
+                if p
+            ]
+            for pre, (a, b, c_, d) in (
+                ("line", group_mass(lines)),
+                ("para", group_mass(paras)),
+            ):
+                cols[f"n_{pre}s"].append(a)
+                cols[f"dup_{pre}s"].append(b)
+                cols[f"{pre}_chars"].append(c_)
+                cols[f"dup_{pre}_chars"].append(d)
+            toks = [w for w in ws.split(t) if w]
+            lens = [len(w) for w in toks]
+            cols["total_token_chars"].append(sum(lens))
+            for n in (2, 3, 4):
+                mass = 0
+                if len(toks) >= n:
+                    c = Counter(
+                        tuple(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                    top_c = max(c.values())
+                    if top_c >= 2:
+                        # pinned tie-break: count desc, char-len
+                        # desc, joined string asc
+                        g = min(
+                            (k for k, v in c.items() if v == top_c),
+                            key=lambda k: (
+                                -sum(len(w) for w in k),
+                                " ".join(k),
+                            ),
+                        )
+                        mass = top_c * sum(len(w) for w in g)
+                cols[f"top_{n}_mass"].append(mass)
+            for n in range(5, 11):
+                cov = 0
+                if len(toks) >= n:
+                    grams = [
+                        tuple(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    ]
+                    c = Counter(grams)
+                    covered = bytearray(len(toks))
+                    for i, g in enumerate(grams):
+                        if c[g] >= 2:
+                            for j in range(i, i + n):
+                                covered[j] = 1
+                    cov = sum(
+                        ln for ln, hit in zip(lens, covered) if hit
+                    )
+                cols[f"cov_{n}"].append(cov)
+        return pd.DataFrame(cols)
+
+    return udf
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The complete Gopher within-document repetition ruleset (Rae et
+    al. 2021 A1.2): duplicate line/paragraph fractions by count AND by
+    character mass, top-{2,3,4}-gram character fraction, and
+    duplicate-{5..10}-gram character coverage — the thirteen rules of
+    Table A1, each as an auditable fraction column plus a pass flag,
+    with ``repetition_pass`` as the conjunction.
+
+    :func:`textstats.line_repetition_stats` covers only the two LINE
+    rules; this operator subsumes them (bit-identical fractions —
+    differential-tested) and adds the paragraph and n-gram axes.
+
+    Pinned semantics (mirrored by the oracle SQL; see
+    :func:`_repetition_kernel_udf` for each definition): fractions are
+    integer-count ratios rounded 6 dp; line/paragraph fractions are
+    over within-doc duplicate groups; n-gram fractions are over total
+    token chars; a doc with no units passes everything (0 <= thr).
+    Flags compare the ROUNDED fraction to the threshold so float noise
+    cannot fork engines.
+
+    Map-only: one Arrow kernel pass per document, no Exchange
+    (plan-asserted in tests). 100-TB shape: per-doc Counters are
+    microseconds each and embarrassingly parallel; the alternative —
+    explode + groupBy per unit type and gram width — is NINE corpus
+    exchanges for map-side facts (the textstats doctrine, measured).
+
+    Reference parity note: the reference has no webtext layer
+    (table_ocr/core.py processes OCR result JSON); this is the
+    crawl-cleaning stage its extraction output would feed.
+    """
+    thr = dict(GOPHER_REP_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(f"unknown repetition rules: {sorted(unknown)}")
+        thr.update(thresholds)
+    st = df.select(
+        F.col(id_col),
+        _repetition_kernel_udf()(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("_r"),
+    )
+
+    def frac(num: str, den: str) -> Column:
+        return F.round(
+            F.col(f"_r.{num}")
+            / F.greatest(F.col(f"_r.{den}"), F.lit(1)),
+            6,
+        )
+
+    fracs = {
+        "dup_line_frac": frac("dup_lines", "n_lines"),
+        "dup_para_frac": frac("dup_paras", "n_paras"),
+        "dup_line_char_frac": frac("dup_line_chars", "line_chars"),
+        "dup_para_char_frac": frac("dup_para_chars", "para_chars"),
+        **{
+            f"top_{n}gram_char_frac": frac(
+                f"top_{n}_mass", "total_token_chars"
+            )
+            for n in (2, 3, 4)
+        },
+        **{
+            f"dup_{n}gram_char_frac": frac(
+                f"cov_{n}", "total_token_chars"
+            )
+            for n in range(5, 11)
+        },
+    }
+    out = st.select(
+        F.col(id_col), *[c.alias(name) for name, c in fracs.items()]
+    )
+    passes = [
+        (F.col(name) <= F.lit(thr[name])).alias(f"passes_{name}")
+        for name in fracs
+    ]
+    conj = None
+    for name in fracs:
+        p = F.col(f"passes_{name}")
+        conj = p if conj is None else (conj & p)
+    return out.select("*", *passes).select(
+        "*", conj.alias("repetition_pass")
     )

@@ -233,9 +233,12 @@ class TestRobustness:
         rows = "".join(
             "<tr><td rowspan=1000 colspan=1000>x</td></tr>" for _ in range(200)
         )
-        t0 = time.perf_counter()
+        # CPU time, not wall time: the budget guards algorithmic work,
+        # and wall time flakes when co-tenant load deschedules the
+        # process mid-parse (observed in a full-suite run)
+        t0 = time.process_time()
         r = extract_html("<table>" + rows + "</table>")
-        assert time.perf_counter() - t0 < 3.0
+        assert time.process_time() - t0 < 3.0
         assert len(r.cells) == 200
 
     def test_aria_and_data_span_attrs_ignored(self):

@@ -195,3 +195,136 @@ class TestEngineTwins:
             c4_clean(docs, engine="pandas")
         with pytest.raises(ValueError):
             gopher_line_rules(docs, engine="pandas")
+
+
+class TestGopherRepetition:
+    """webfilter.gopher_repetition_rules: the full A1.2 ruleset —
+    hand-computed fractions, position-union coverage, tie-breaks,
+    NULL/empty behavior, bit-identity of the line rules with
+    textstats.line_repetition_stats, and the map-only plan contract."""
+
+    @pytest.fixture(scope="class")
+    def rep_docs(self, spark):
+        rows = [
+            # para A (2 dup lines) ⊕ unique para ⊕ para A again:
+            # lines n=5 dup=4; line chars 54 dup 20; paras n=3 dup=2,
+            # chars 56 dup 22; tokens=17, token chars=42
+            (
+                1,
+                "x y z\nx y z\n\nunique middle paragraph words here\n\n"
+                "x y z\nx y z",
+            ),
+            # "a b c d e" twice, 10 of 15 single-char tokens covered
+            # at n=5; no 6-gram repeats; top 2-gram mass 2*2=4 of 15
+            (2, "a b c d e q r s t u a b c d e"),
+            (3, ""),
+            (4, None),
+            # top-2-gram tie-break: ("bb","bb") and ("c","c") both
+            # occur twice; max char-len wins -> mass 2*4=8 of 15
+            (5, "bb bb x bb bb y c c z c c"),
+            # singleton top gram is NOT repetition: every 2-gram
+            # occurs once -> top_2gram mass 0
+            (6, "p q r s"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture(scope="class")
+    def rep(self, rep_docs):
+        from table_ocr_spark.operators.webfilter import (
+            gopher_repetition_rules,
+        )
+
+        return {
+            r.doc_id: r.asDict()
+            for r in gopher_repetition_rules(rep_docs).collect()
+        }
+
+    def test_line_para_fractions(self, rep):
+        a = rep[1]
+        assert a["dup_line_frac"] == 0.8
+        assert a["dup_line_char_frac"] == round(20 / 54, 6)
+        assert a["dup_para_frac"] == 0.666667
+        assert a["dup_para_char_frac"] == round(22 / 56, 6)
+        assert not a["passes_dup_line_frac"]
+        assert not a["repetition_pass"]
+
+    def test_dup_gram_position_union(self, rep):
+        b = rep[2]
+        assert b["dup_5gram_char_frac"] == 0.666667
+        assert b["dup_6gram_char_frac"] == 0.0
+        assert b["top_2gram_char_frac"] == round(4 / 15, 6)
+
+    def test_top_gram_tiebreak_max_charlen(self, rep):
+        # both candidate grams have count 2; ("bb","bb") has char
+        # len 4 vs ("c","c") len 2 -> mass 8 over 15 token chars
+        assert rep[5]["top_2gram_char_frac"] == round(8 / 15, 6)
+
+    def test_singleton_top_gram_is_zero(self, rep):
+        assert rep[6]["top_2gram_char_frac"] == 0.0
+        assert rep[6]["repetition_pass"]
+
+    def test_empty_and_null_pass(self, rep):
+        for did in (3, 4):
+            assert rep[did]["repetition_pass"], did
+            fracs = [
+                v
+                for k, v in rep[did].items()
+                if k.endswith("_frac") and not k.startswith("passes_")
+            ]
+            assert fracs and all(v == 0.0 for v in fracs), did
+
+    def test_line_rules_bit_identical_to_textstats(self, spark):
+        from table_ocr_spark.operators.textstats import (
+            line_repetition_stats,
+        )
+        from table_ocr_spark.operators.webfilter import (
+            gopher_repetition_rules,
+        )
+
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("header line\nbody "),
+                F.col("id").cast("string"),
+                F.lit(" words\nheader line\n\ttrailing\t\n  \n"),
+                F.when(F.col("id") % 3 == 0, F.lit("header line")).otherwise(
+                    F.lit("unique tail")
+                ),
+            ).alias("text"),
+        )
+        a = {
+            r.doc_id: (r.dup_line_frac, r.dup_line_char_frac)
+            for r in gopher_repetition_rules(docs).collect()
+        }
+        b = {
+            r.doc_id: (r.dup_line_frac, r.dup_line_char_frac)
+            for r in line_repetition_stats(docs).collect()
+        }
+        assert a == b
+
+    def test_map_only_plan(self, rep_docs):
+        from table_ocr_spark.operators.webfilter import (
+            gopher_repetition_rules,
+        )
+
+        plan = (
+            gopher_repetition_rules(rep_docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_threshold_override_and_unknown_rule(self, rep_docs):
+        from table_ocr_spark.operators.webfilter import (
+            gopher_repetition_rules,
+        )
+
+        # doc 2's dup_5gram_char_frac = 0.666667 passes a loose bound
+        loose = gopher_repetition_rules(
+            rep_docs, thresholds={"dup_5gram_char_frac": 0.7}
+        )
+        r = _row(loose, 2)
+        assert r.passes_dup_5gram_char_frac
+        with pytest.raises(ValueError):
+            gopher_repetition_rules(rep_docs, thresholds={"nope": 0.5})
