@@ -1369,10 +1369,28 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language perplexity bucketing (ccnet.ccnet_buckets):
+    exact per-lang terciles of the 6-dp unigram score via ONE grouped
+    histogram exchange, labels map-only. Only (doc_id, bucket) enter
+    the composite — n_tokens/avg_neg_logprob are owned by the
+    unigram_logprob component it joins against (bit-equality of the
+    score is therefore implicitly re-checked through the bucket)."""
+    from table_ocr_spark.operators.ccnet import ccnet_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return ccnet_buckets(docs).select(
+        "doc_id", F.col("bucket").alias("ccnet_bucket")
+    )
+
+
 def q_fingerprint_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_fingerprint ⊕ unigram_logprob, joined on doc_id."""
-    return q_fingerprint(spark, sf_dir).join(
-        q_unigram_logprob(spark, sf_dir), "doc_id"
+    """doc_fingerprint ⊕ unigram_logprob ⊕ ccnet_buckets, joined on
+    doc_id."""
+    return (
+        q_fingerprint(spark, sf_dir)
+        .join(q_unigram_logprob(spark, sf_dir), "doc_id")
+        .join(q_ccnet_buckets(spark, sf_dir), "doc_id")
     )
 
 
@@ -3015,9 +3033,46 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN ({sql.pop('lang_id')}) b USING (doc_id) "
         f"JOIN ({sql.pop('token_counts')}) c USING (doc_id)"
     )
+    # ccnet_buckets: per-lang exact terciles of the SAME rounded score
+    # the unigram component verifies. rk-th-smallest is deterministic
+    # under row_number tie order (the VALUE at a rank depends only on
+    # the multiset); the rank targets mirror tiers._rank_targets'
+    # integer-ceil + DISTINCT rule — when a group is so small that
+    # ceil(n/3) == ceil(2n/3), the second cutoff does not exist, hence
+    # the rank-inequality guard on c2.
+    _ccnet_sql = f"""
+      WITH ex AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+      counts AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+      total AS (SELECT sum(c) AS t FROM counts),
+      scored AS (
+        SELECT e.id, round(avg(-ln(CAST(c.c AS DOUBLE) / total.t)), 6) AS s
+        FROM ex e JOIN counts c USING (tok), total
+        GROUP BY e.id),
+      sc AS (SELECT id AS doc_id, s FROM scored
+             UNION ALL
+             SELECT doc_id, 0.0 FROM documents
+             WHERE doc_id NOT IN (SELECT id FROM scored)),
+      langed AS (SELECT s.doc_id, s.s, coalesce(d.lang, '') AS g
+                 FROM sc s JOIN documents d USING (doc_id)),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY s) AS rk,
+                        count(*) OVER (PARTITION BY g) AS n
+                 FROM langed),
+      cuts AS (SELECT g, max(n) AS n,
+                      max(CASE WHEN rk = (n + 2) // 3 THEN s END) AS c1,
+                      max(CASE WHEN rk = (2 * n + 2) // 3 THEN s END) AS c2
+               FROM ranked GROUP BY g)
+      SELECT l.doc_id,
+             CASE (CASE WHEN l.s > c.c1 THEN 1 ELSE 0 END
+                   + CASE WHEN (2 * c.n + 2) // 3 <> (c.n + 2) // 3
+                               AND l.s > c.c2 THEN 1 ELSE 0 END)
+               WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+             END AS ccnet_bucket
+      FROM langed l JOIN cuts c USING (g)
+    """
     sql["fingerprint_logprob"] = (
         f"SELECT * FROM ({sql.pop('doc_fingerprint')}) a "
-        f"JOIN ({sql.pop('unigram_logprob')}) b USING (doc_id)"
+        f"JOIN ({sql.pop('unigram_logprob')}) b USING (doc_id) "
+        f"JOIN ({_ccnet_sql}) c USING (doc_id)"
     )
     sql["quality_pii"] = (
         f"SELECT * FROM ({sql.pop('quality_filter')}) a "

@@ -300,3 +300,92 @@ def score_tiers(
         term = F.when(score > F.lit(c), 1).otherwise(0)
         tier = term if tier is None else tier + term
     return df.withColumn("tier", tier.cast("long"))
+
+
+def grouped_tier_cutoffs(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_tiers: int,
+    max_distinct_scores: int = 2_000_000,
+    max_groups: int = 1_000,
+) -> dict:
+    """Exact per-GROUP tier boundaries — the CCNet shape (per-language
+    perplexity terciles; Wenzek et al. 2020 compute one threshold set
+    per language) — in ONE distributed pass: a ``groupBy(group,
+    score)`` histogram with map-side combine, a bounded driver
+    collect, then a per-group forward sweep over sorted (score, count)
+    rows. The shuffle carries |distinct (group, score)| rows, never
+    corpus rows, and the collect is ENFORCED <= ``max_distinct_scores``
+    TOTAL across groups (the :func:`tier_cutoffs` sentinel-limit
+    pattern) — quantize the score (round) before calling, exactly as
+    :func:`tier_cutoffs` requires. Unbounded continuous scores should
+    go through :func:`tier_cutoffs_continuous` per group instead (k
+    bounded range-refinement jobs); this engine fails fast rather
+    than guessing.
+
+    Returns ``{group_value: [c_1..c_{T-1}]}`` with the same pinned
+    DISTINCT integer-ceil rank targets as the global engines
+    (:func:`_rank_targets`), so a group with fewer rows than tiers
+    yields fewer cutoffs, matching a rank-dedup'd SQL oracle. NULL
+    group keys are coalesced to ``''`` (the assign_splits pin); NULL
+    or NaN scores are rejected — neither has a rank.
+
+    100-TB shape: one exchange of quantized-histogram width, driver
+    memory O(distinct (group, score) pairs) enforced, cutoffs re-enter
+    the plan as literals so labeling stays map-only."""
+    if n_tiers < 2:
+        raise ValueError(f"n_tiers must be >= 2, got {n_tiers}")
+    hist = (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias(
+                "g"
+            ),
+            F.col(score_col).alias("s"),
+        )
+        .groupBy("g", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = hist.limit(max_distinct_scores + 1).collect()
+    if len(rows) > max_distinct_scores:
+        raise ValueError(
+            f"grouped_tier_cutoffs: more than {max_distinct_scores} "
+            f"distinct (group, score) pairs — quantize {score_col!r} "
+            "(round) before tiering, or run tier_cutoffs_continuous "
+            "per group"
+        )
+    by_group: dict = {}
+    for r in rows:
+        if r["s"] is None:
+            raise ValueError(
+                f"grouped_tier_cutoffs: NULL values in {score_col!r}; "
+                "a NULL has no rank — filter or impute upstream"
+            )
+        if isinstance(r["s"], float) and math.isnan(r["s"]):
+            raise ValueError(
+                f"grouped_tier_cutoffs: NaN values in {score_col!r} "
+                "have no well-defined rank — fail instead of "
+                "silently mis-sorting"
+            )
+        by_group.setdefault(r["g"], []).append((r["s"], r["c"]))
+    if len(by_group) > max_groups:
+        raise ValueError(
+            f"grouped_tier_cutoffs: {len(by_group)} groups exceeds "
+            f"max_groups={max_groups} — the labeling CASE chain is "
+            "per-group literal work; raise the cap deliberately if "
+            "the group column really has this cardinality"
+        )
+    out: dict = {}
+    for g, pairs in by_group.items():
+        pairs.sort(key=lambda p: p[0])
+        n = sum(c for _, c in pairs)
+        cutoffs = []
+        it = iter(pairs)
+        s, cum = next(it)
+        for rank in _rank_targets(n, n_tiers):
+            while cum < rank:
+                s, c = next(it)
+                cum += c
+            cutoffs.append(s)
+        out[g] = cutoffs
+    return out

@@ -229,3 +229,124 @@ def test_continuous_huge_span_no_overflow(spark):
         _cont_df(spark, scores), "s", 4, bucket_count=32, max_collect=64
     )
     assert got == _py_cutoffs(scores, 4)
+
+
+# ---------------------------------------------------------------------------
+# grouped_tier_cutoffs + ccnet_buckets (per-language CCNet bucketing)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_df(spark, rows):
+    return spark.createDataFrame(rows, "g string, s double")
+
+
+def test_grouped_cutoffs_exact(spark):
+    from table_ocr_spark.operators.tiers import (
+        _rank_targets,
+        grouped_tier_cutoffs,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 10)]  # 9 rows 1..9
+    rows += [("b", 5.0), ("b", 5.0), ("b", 7.0)]  # ties
+    rows += [("c", 42.0)]  # single row -> collapsed ranks
+    got = grouped_tier_cutoffs(_grouped_df(spark, rows), "s", "g", 3)
+    # a: ranks ceil(9/3)=3, ceil(18/3)=6 -> values 3.0, 6.0
+    assert got["a"] == [3.0, 6.0]
+    # b: n=3 -> ranks 1, 2 -> sorted [5,5,7] -> 5.0, 5.0
+    assert got["b"] == [5.0, 5.0]
+    # c: n=1 -> distinct ranks {1} -> ONE cutoff
+    assert got["c"] == [42.0]
+    assert _rank_targets(1, 3) == [1]
+
+
+def test_grouped_cutoffs_null_group_coalesced(spark):
+    from table_ocr_spark.operators.tiers import grouped_tier_cutoffs
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("x", 3.0)], "g string, s double"
+    )
+    got = grouped_tier_cutoffs(df, "s", "g", 2)
+    assert set(got) == {"", "x"}
+    assert got[""] == [1.0]
+
+
+def test_grouped_cutoffs_fail_fasts(spark):
+    from table_ocr_spark.operators.tiers import grouped_tier_cutoffs
+
+    base = _grouped_df(spark, [("a", 1.0), ("a", 2.0)])
+    with pytest.raises(ValueError, match="n_tiers"):
+        grouped_tier_cutoffs(base, "s", "g", 1)
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_tier_cutoffs(
+            spark.createDataFrame([("a", None)], "g string, s double"),
+            "s",
+            "g",
+            2,
+        )
+    with pytest.raises(ValueError, match="NaN"):
+        grouped_tier_cutoffs(
+            spark.createDataFrame(
+                [("a", float("nan")), ("a", 1.0)], "g string, s double"
+            ),
+            "s",
+            "g",
+            2,
+        )
+    many = spark.range(40).select(
+        F.col("id").cast("string").alias("g"),
+        F.col("id").cast("double").alias("s"),
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        grouped_tier_cutoffs(many, "s", "g", 2, max_distinct_scores=10)
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_tier_cutoffs(many, "s", "g", 2, max_groups=5)
+
+
+def test_ccnet_buckets_terciles_and_pins(spark):
+    from table_ocr_spark.operators.ccnet import ccnet_buckets
+
+    rows = []
+    for i in range(9):
+        # doc i: 3 common tokens + i unique rare tokens -> avg
+        # neg-logprob strictly increases with i
+        rows.append(
+            (i, "the the the " + " ".join(f"r{i}x{j}" for j in range(i)), "en")
+        )
+    rows += [(100, "der der baum", "de"), (101, "der selten", "de")]
+    rows += [(200, "solo doc words", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+    en = sorted(
+        (got[i].avg_neg_logprob, i) for i in range(9)
+    )
+    assert [got[i].bucket for _, i in en] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # 2-doc language: collapsed ranks -> head/middle only
+    de = sorted([got[100], got[101]], key=lambda r: r.avg_neg_logprob)
+    assert [r.bucket for r in de] == ["head", "middle"]
+    # NULL lang is its own '' group; single doc -> head
+    assert got[200].lang == "" and got[200].bucket == "head"
+
+
+def test_ccnet_ties_sit_in_lower_bucket(spark):
+    from table_ocr_spark.operators.ccnet import ccnet_buckets
+
+    # four identical docs: every score equals every cutoff; strict >
+    # puts ALL of them in head
+    df = spark.createDataFrame(
+        [(i, "same words here", "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    got = ccnet_buckets(df).collect()
+    assert {r.bucket for r in got} == {"head"}
+
+
+def test_ccnet_label_validation(spark):
+    from table_ocr_spark.operators.ccnet import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(1, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="labels"):
+        ccnet_buckets(df, labels=("only",))
