@@ -1188,11 +1188,17 @@ LINE_RM_MIN_DF = 5
 
 
 def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level boilerplate line removal (textstats.
-    remove_repeated_lines): per-source header lines (doc-df ~100) and
-    a universal footer (doc-df = corpus) are deleted everywhere while
-    unique body lines survive in order."""
-    from table_ocr_spark.operators.textstats import remove_repeated_lines
+    """Corpus-level boilerplate removal at BOTH granularities, tagged
+    union: line variant (textstats.remove_repeated_lines — per-source
+    header lines, doc-df ~100, and a universal footer, doc-df =
+    corpus, deleted everywhere while unique body lines survive in
+    order) ⊕ paragraph variant (remove_repeated_paragraphs over a
+    blank-line-separated synth of the same shape; the unit count
+    renames to n_units so the two schemas align)."""
+    from table_ocr_spark.operators.textstats import (
+        remove_repeated_lines,
+        remove_repeated_paragraphs,
+    )
 
     docs = _read_par(spark, sf_dir, "documents")
     pages = docs.select(
@@ -1205,7 +1211,25 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\ncommon footer line"),
         ).alias("text"),
     )
-    return remove_repeated_lines(pages, min_doc_df=LINE_RM_MIN_DF)
+    line = remove_repeated_lines(
+        pages, min_doc_df=LINE_RM_MIN_DF
+    ).withColumnRenamed("n_lines", "n_units")
+    pdocs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("header "),
+            F.coalesce(F.col("source"), F.lit("")),
+            F.lit("\n\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n\ncommon footer para"),
+        ).alias("text"),
+    )
+    para = remove_repeated_paragraphs(
+        pdocs, min_doc_df=LINE_RM_MIN_DF
+    ).withColumnRenamed("n_paras", "n_units")
+    return _tagged_union(
+        "granularity", [("line", line), ("paragraph", para)]
+    )
 
 
 def _webtext_synth(docs: DataFrame) -> DataFrame:
@@ -2883,21 +2907,29 @@ def oracle_sql() -> dict[str, str]:
       FROM ranked WHERE rank <= {BM25_K}
     """
 
-    # repeated-line removal: same trimmed-key rule (' \t\r' set), same
-    # distinct-doc threshold, order-preserving reassembly; NOT EXISTS
-    # instead of NOT IN (immune to 3VL even though tk is never NULL)
-    from table_ocr_spark.operators.textstats import LINE_TRIM_CHARS
+    # repeated-unit removal at both granularities: same trimmed-key
+    # rule (line: ' \t\r'; paragraph: ' \t\r\n'), same distinct-doc
+    # threshold, order-preserving reassembly; NOT EXISTS instead of
+    # NOT IN (immune to 3VL even though tk is never NULL). One
+    # parameterized body builds both variants — granularity differs
+    # only in the split (str_split '\n' vs str_split_regex '\n{2,}'),
+    # the trim set, and the rejoin separator.
+    from table_ocr_spark.operators.textstats import (
+        LINE_TRIM_CHARS,
+        PARA_TRIM_CHARS,
+    )
 
-    trim_chars = " || ".join(f"chr({ord(c)})" for c in LINE_TRIM_CHARS)
-    sql["remove_repeated_lines"] = f"""
+    def _removal_sql(split_expr, trim_chars, sep_expr, synth_sep):
+        return f"""
       WITH base AS (
         SELECT doc_id,
-               'header ' || coalesce(source, '') || chr(10) || coalesce(text, '')
-                 || chr(10) || 'common footer line' AS t
+               'header ' || coalesce(source, '') || {synth_sep}
+                 || coalesce(text, '')
+                 || {synth_sep} || 'common footer {{unit}}' AS t
         FROM documents),
       l AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
                    unnest(arr) AS line
-            FROM (SELECT doc_id, str_split(t, chr(10)) AS arr FROM base)),
+            FROM (SELECT doc_id, {split_expr} AS arr FROM base)),
       k AS (SELECT doc_id, pos, line,
                    trim(line, {trim_chars}) AS tk FROM l),
       b AS (SELECT tk FROM k WHERE length(tk) > 0 GROUP BY tk
@@ -2905,18 +2937,36 @@ def oracle_sql() -> dict[str, str]:
       kept AS (SELECT * FROM k
                WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.tk = k.tk)),
       agg AS (SELECT doc_id,
-                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     string_agg(line, {sep_expr} ORDER BY pos) AS text_clean,
                      count(*) AS n_kept
               FROM kept GROUP BY doc_id),
-      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units
               FROM k GROUP BY doc_id)
       SELECT tot.doc_id, coalesce(agg.text_clean, '') AS text_clean,
-             tot.n_lines,
+             tot.n_units,
              CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
-             CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT)
+             CAST(tot.n_units - coalesce(agg.n_kept, 0) AS BIGINT)
                AS n_dropped
       FROM tot LEFT JOIN agg USING (doc_id)
     """
+
+    _line_trim = " || ".join(f"chr({ord(c)})" for c in LINE_TRIM_CHARS)
+    _para_trim = " || ".join(f"chr({ord(c)})" for c in PARA_TRIM_CHARS)
+    trim_chars = _line_trim  # the webtext_filters oracle below trims lines
+    _line_rm = _removal_sql(
+        "str_split(t, chr(10))", _line_trim, "chr(10)", "chr(10)"
+    ).replace("{unit}", "line")
+    _para_rm = _removal_sql(
+        "str_split_regex(t, '\\n{2,}')",
+        _para_trim,
+        "chr(10) || chr(10)",
+        "chr(10) || chr(10)",
+    ).replace("{unit}", "para")
+    _rm_cols = "doc_id, text_clean, n_units, n_kept, n_dropped"
+    sql["remove_repeated_lines"] = (
+        f"SELECT 'line' AS granularity, {_rm_cols} FROM ({_line_rm}) "
+        f"UNION ALL SELECT 'paragraph', {_rm_cols} FROM ({_para_rm})"
+    )
 
     # webtext line-rule filters: the synthesized corpus, the trim set,
     # the regexes, and every threshold come from the same pinned

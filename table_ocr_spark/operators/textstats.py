@@ -337,51 +337,114 @@ def remove_repeated_lines(
     at low ``min_doc_df``), so the general plan is the anti-join;
     Spark downgrades it to broadcast automatically when it is small.
     """
+    return _remove_repeated_units(
+        df,
+        min_doc_df,
+        text_col,
+        id_col,
+        split_pat="\n",
+        trim_chars=LINE_TRIM_CHARS,
+        join_sep="\n",
+        n_col="n_lines",
+    )
+
+
+# paragraph := segment of a split on /\n{2,}/ trimmed of this set (a
+# segment produced by that split can still carry a single leading/
+# trailing '\n', unlike a line) — shared with webfilter's repetition
+# kernel and the SQL oracles
+PARA_SPLIT_RE = "\n{2,}"
+PARA_TRIM_CHARS = " \t\r\n"
+
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    min_doc_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate PARAGRAPH removal — the coarser
+    granularity of :func:`remove_repeated_lines` (CCNet dedups at the
+    paragraph level: multi-line footer blocks, legal disclaimers,
+    cookie-consent walls that line-level df splits across several
+    keys). A paragraph is a ``\\n{2,}``-separated segment; it is
+    boilerplate iff its ``' \\t\\r\\n'``-trimmed form occurs in >=
+    ``min_doc_df`` DISTINCT documents, and all its occurrences are
+    removed. Kept paragraphs re-join with ``'\\n\\n'`` in original
+    order — multi-blank-line runs normalize to one blank line, the
+    single deliberate lossy pin (a line-lossless variant would have to
+    carry the separator widths through the shuffle for bytes nobody
+    keys on).
+
+    Output: (id_col, text_clean, n_paras, n_kept, n_dropped). Same
+    plan shape and raw-key rationale as the line variant (docstring
+    above)."""
+    return _remove_repeated_units(
+        df,
+        min_doc_df,
+        text_col,
+        id_col,
+        split_pat=PARA_SPLIT_RE,
+        trim_chars=PARA_TRIM_CHARS,
+        join_sep="\n\n",
+        n_col="n_paras",
+    )
+
+
+def _remove_repeated_units(
+    df: DataFrame,
+    min_doc_df: int,
+    text_col: str,
+    id_col: str,
+    split_pat: str,
+    trim_chars: str,
+    join_sep: str,
+    n_col: str,
+) -> DataFrame:
     if min_doc_df < 2:
         raise ValueError(
-            f"min_doc_df must be >= 2 (1 would delete every line), "
+            f"min_doc_df must be >= 2 (1 would delete every unit), "
             f"got {min_doc_df}"
         )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     )
-    lines = base.select(
-        "_id", F.posexplode(F.split("_t", "\n")).alias("_pos", "_line")
-    ).withColumn(
-        "_k", F.expr(f"trim(BOTH '{LINE_TRIM_CHARS}' FROM _line)")
-    )
+    units = base.select(
+        "_id",
+        F.posexplode(F.split("_t", split_pat)).alias("_pos", "_line"),
+    ).withColumn("_k", F.expr(f"trim(BOTH '{trim_chars}' FROM _line)"))
     boiler = (
-        lines.filter(F.length("_k") > 0)
+        units.filter(F.length("_k") > 0)
         .groupBy("_k")
         .agg(F.countDistinct("_id").alias("_ddf"))
         .filter(F.col("_ddf") >= min_doc_df)
         .select("_k")
     )
-    kept = lines.join(boiler, "_k", "left_anti")
+    kept = units.join(boiler, "_k", "left_anti")
     reassembled = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
                 lambda x: x["_line"],
             ),
-            "\n",
+            join_sep,
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    # n_lines is a per-document statistic: derive it map-side from the
-    # split width instead of a third corpus-line explode + exchange
+    # the unit total is a per-document statistic: derive it map-side
+    # from the split width instead of a third corpus explode + exchange
     totals = base.select(
-        "_id", F.size(F.split("_t", "\n")).alias("n_lines")
+        "_id", F.size(F.split("_t", split_pat)).alias(n_col)
     )
     return (
         totals.join(reassembled, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col(n_col).cast("long").alias(n_col),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            (F.col(n_col) - F.coalesce("n_kept", F.lit(0)))
             .cast("long")
             .alias("n_dropped"),
         )

@@ -44,7 +44,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import LINE_TRIM_CHARS, tokens
+# PARA_TRIM_CHARS / PARA_SPLIT_RE: the one paragraph definition —
+# shared with remove_repeated_paragraphs and the SQL oracles
+from .textstats import (
+    LINE_TRIM_CHARS,
+    PARA_SPLIT_RE,
+    PARA_TRIM_CHARS,
+    tokens,
+)
 
 # --- C4 pins (Raffel et al. 2020 §2.2, values pinned for the oracle;
 # swap per-corpus in production) ---
@@ -73,11 +80,6 @@ GOPHER_REP_THRESHOLDS = {
     "dup_9gram_char_frac": 0.11,
     "dup_10gram_char_frac": 0.10,
 }
-# paragraph := segment of a split on /\n{2,}/ trimmed of this set
-# (segments produced by that split can still carry a single leading/
-# trailing '\n', unlike lines) — mirrored by the oracle's trim()
-PARA_TRIM_CHARS = " \t\r\n"
-
 # --- Gopher pins (Rae et al. 2021 A1.1) ---
 GOPHER_BULLET_RE = "^[-*•]"
 GOPHER_ELLIPSIS_RE = "(\\.\\.\\.|…)$"
@@ -442,7 +444,7 @@ def _repetition_kernel_udf():
         from collections import Counter
 
         ws = re.compile(_PY_WS)
-        para_split = re.compile("\n{2,}")
+        para_split = re.compile(PARA_SPLIT_RE)
         cols: dict[str, list[int]] = {
             k: []
             for k in (

@@ -65,3 +65,85 @@ def test_fully_boilerplate_doc_and_null_text(spark):
 def test_min_doc_df_validation(spark):
     with pytest.raises(ValueError, match="min_doc_df"):
         remove_repeated_lines(_df(spark, [(1, "x")]), min_doc_df=1)
+
+
+# ---------------------------------------------------------------------------
+# paragraph granularity (remove_repeated_paragraphs)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_boilerplate_removed_block_wise(spark):
+    from table_ocr_spark.operators.textstats import (
+        remove_repeated_paragraphs,
+    )
+
+    # the footer BLOCK spans two lines — line-level df would split it
+    # into two keys; paragraph-level removes it as one unit
+    footer = "legal disclaimer line one\nall rights reserved"
+    rows = [
+        (1, f"body one stays\n\n{footer}"),
+        (2, f"body two stays\n\n{footer}\n\nextra tail two"),
+        (3, f"{footer}\n\nbody three stays"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_paragraphs(_df(spark, rows)).collect()
+    }
+    assert out[1]["text_clean"] == "body one stays"
+    assert out[2]["text_clean"] == "body two stays\n\nextra tail two"
+    assert out[3]["text_clean"] == "body three stays"
+    assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 2
+    assert out[2]["n_dropped"] == 1
+
+
+def test_paragraph_trim_and_blankline_normalization(spark):
+    from table_ocr_spark.operators.textstats import (
+        remove_repeated_paragraphs,
+    )
+
+    # '\n\n\n' splits the same as '\n\n' (the /\n{2,}/ pin) and the
+    # trimmed key ignores a stray leading newline-ish whitespace
+    rows = [
+        (1, "AD BLOCK\n\n\nkeep me alpha\n\n\n\nkeep me beta"),
+        (2, " AD BLOCK \n\nother body here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_paragraphs(_df(spark, rows)).collect()
+    }
+    # kept paragraphs re-join with exactly one blank line
+    assert out[1]["text_clean"] == "keep me alpha\n\nkeep me beta"
+    assert out[2]["text_clean"] == "other body here"
+
+
+def test_paragraph_line_variants_disagree_on_multiline_blocks(spark):
+    from table_ocr_spark.operators.textstats import (
+        remove_repeated_paragraphs,
+    )
+
+    # a block repeated across docs but with per-doc FIRST line:
+    # paragraph keys differ (block not removed), line keys catch the
+    # shared second line — the two granularities are complements
+    rows = [
+        (1, "intro one\nshared tagline here"),
+        (2, "intro two\nshared tagline here"),
+    ]
+    para = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_repeated_paragraphs(_df(spark, rows)).collect()
+    }
+    line = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_repeated_lines(_df(spark, rows)).collect()
+    }
+    assert para[1] == "intro one\nshared tagline here"
+    assert line[1] == "intro one"
+
+
+def test_paragraph_min_doc_df_validation(spark):
+    from table_ocr_spark.operators.textstats import (
+        remove_repeated_paragraphs,
+    )
+
+    with pytest.raises(ValueError):
+        remove_repeated_paragraphs(_df(spark, [(1, "x")]), min_doc_df=1)
