@@ -1551,6 +1551,65 @@ def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """page_slice (timestamp-range predicate on events) ∪
+    page_range_extract (true multi-page slice ahead of the kernel),
+    unified to (variant, id, n, s, v) — the ts column retires from
+    the union (the event_id SET proves the range predicate; a
+    timestamp→string render would add a formatting axis for no
+    information)."""
+    t = q_page_slice(spark, sf_dir).select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("value").alias("v"),
+    )
+    p = q_page_range_extract(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.col("page").alias("n"),
+        F.col("extracted_text").alias("s"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return _tagged_union("variant", [("time", t), ("page_range", p)])
+
+
+def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link-graph authority (linkgraph.extract_links →
+    host_link_graph → host_authority) over a deterministic linky
+    corpus synthesized from documents (concat/CASE only, byte-equal
+    in both engines): every page links one computed neighbor host, a
+    shared hub (mixed-case scheme + port, exercising the host
+    canonicalization), one relative link (counted, never resolved),
+    and a self link on every third page (kept in the edge list,
+    excluded from authority)."""
+    from table_ocr_spark.operators.linkgraph import (
+        host_authority,
+        host_link_graph,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    h = (did % 50).cast("string")
+    h7 = ((did * 7) % 50).cast("string")
+    url = F.concat(
+        F.lit("http://h"), h, F.lit(".test/p"), did.cast("string")
+    )
+    html = F.concat(
+        F.lit('<a href="http://h'),
+        h7,
+        F.lit('.test/x">a</a><a href="/rel">r</a>'),
+        F.lit('<a href="HTTPS://Hub.test:8080/y">h</a>'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<a href="http://h'), h, F.lit('.test/self">s</a>')
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return host_authority(host_link_graph(pages))
+
+
 def q_usage_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_usage_rollup (events) ∪ cost_model (lineitem), unified
     to (variant, k, metric, n) — metric is exact under double for
@@ -1628,7 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_relaxed": q_union_relaxed,
         "request_key_parse": q_request_key_parse,
         "json_fence_recovery": q_json_fence_recovery,
-        "page_slice": q_page_slice,
+        "page_slice": q_page_slices,
         "run_counter": q_run_counter,
         "text_profile": q_text_profile,
         "fingerprint_logprob": q_fingerprint_logprob,
@@ -1647,8 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_table_parse": q_markdown_table_parse,
         "multimodal_image_meta": q_multimodal_image_meta,
         "results_payload_decode": q_results_payload_decode,
-        "page_range_extract": q_page_range_extract,
         "url_identity": q_url_identity,
+        "host_authority": q_host_authority,
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "pack_sequences": q_pack_sequences,
@@ -3074,10 +3133,70 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass
 
+    # host link-graph authority: full parse twin — the oracle
+    # re-extracts hrefs with the same dialect-portable regex, filters
+    # to absolute links, canonicalizes both endpoints with the
+    # host_canonical chain (lowercase → strip userinfo → strip port →
+    # strip trailing dots; %2e decode omitted — the synth corpus
+    # contains none), aggregates the edge list, and derives authority
+    # with self-edges excluded.
+    _hostc = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        "regexp_extract(lower({u}), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),"
+        " '^.*@', ''), ':[0-9]+$', ''), '\\.+$', '')"
+    )
+    sql["host_authority"] = f"""
+      WITH pages AS (
+        SELECT 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.test/p'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               '<a href="http://h' || CAST((doc_id * 7) % 50 AS VARCHAR)
+                 || '.test/x">a</a><a href="/rel">r</a>'
+                 || '<a href="HTTPS://Hub.test:8080/y">h</a>'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '<a href="http://h'
+                              || CAST(doc_id % 50 AS VARCHAR)
+                              || '.test/self">s</a>'
+                         ELSE '' END AS html
+        FROM documents),
+      links AS (
+        SELECT url,
+               unnest(list_filter(
+                 regexp_extract_all(html, 'href="([^"]*)"', 1),
+                 h -> regexp_matches(h, '^(?i)https?://'))) AS href
+        FROM pages),
+      edges AS (
+        SELECT src_host, dst_host, count(*) AS n_links FROM (
+          SELECT {_hostc.format(u='url')} AS src_host,
+                 {_hostc.format(u='href')} AS dst_host
+          FROM links) e
+        WHERE src_host <> '' AND dst_host <> ''
+        GROUP BY src_host, dst_host),
+      ext AS (SELECT * FROM edges WHERE src_host <> dst_host),
+      i AS (SELECT dst_host AS host, CAST(count(*) AS BIGINT) AS in_hosts,
+                   CAST(sum(n_links) AS BIGINT) AS in_links
+            FROM ext GROUP BY dst_host),
+      o AS (SELECT src_host AS host, CAST(count(*) AS BIGINT) AS out_hosts,
+                   CAST(sum(n_links) AS BIGINT) AS out_links
+            FROM ext GROUP BY src_host)
+      SELECT coalesce(i.host, o.host) AS host,
+             coalesce(in_hosts, CAST(0 AS BIGINT)) AS in_hosts,
+             coalesce(in_links, CAST(0 AS BIGINT)) AS in_links,
+             coalesce(out_hosts, CAST(0 AS BIGINT)) AS out_hosts,
+             coalesce(out_links, CAST(0 AS BIGINT)) AS out_links
+      FROM i FULL OUTER JOIN o ON i.host = o.host
+    """
+
     # ---- composite rows (see the composite-queries comment above
     # queries()): component SQL strings composed exactly as the Spark
     # composites compose the component DataFrames, then the component
     # keys retire so the key set equals queries(). ----
+    sql["page_slice"] = (
+        "SELECT 'time' AS variant, event_id AS id, user_id AS n, "
+        "CAST(NULL AS VARCHAR) AS s, value AS v "
+        f"FROM ({sql.pop('page_slice')}) "
+        "UNION ALL SELECT 'page_range', doc_id, page, extracted_text, "
+        f"CAST(NULL AS DOUBLE) FROM ({sql.pop('page_range_extract')})"
+    )
     sql["text_profile"] = (
         f"SELECT * FROM ({sql.pop('doc_stats')}) a "
         f"JOIN ({sql.pop('lang_id')}) b USING (doc_id) "

@@ -1,0 +1,148 @@
+"""Host link-graph operators: harvest anchor hrefs from crawled HTML,
+aggregate the page-level link stream into a host→host edge list, and
+derive per-host authority signals (distinct-referrer in-degree, link
+volume, out-degree) — the curation axis used to rank crawl hosts
+(seed lists, spam-farm downweighting) that text-quality filters cannot
+see. CCNet/C4-style pipelines consume exactly this as a host prior.
+
+Reference parity: the reference has no crawl layer (its inputs are
+user-uploaded PDFs, ``table_ocr/core.py``); this is the web-graph
+stage upstream of extraction at pretraining scale.
+
+Pinned semantics (mirrored by the SQL oracle):
+- anchor href  := every ``href="..."`` double-quoted attribute value
+                  in the raw HTML (the dialect-portable regex below —
+                  identical in Java regex, RE2, and Python re). A
+                  production crawler swaps in the DOM walk from
+                  :mod:`kernel.html_extract`; the regex form is the
+                  deterministic cross-engine contract surface.
+- absolute only:= links kept iff they start ``http://`` or
+                  ``https://`` (case-insensitive). Relative links
+                  need base-URL resolution (RFC 3986 §5) which is a
+                  per-crawler policy; they are counted but not
+                  resolved.
+- host identity:= :func:`urlnorm.host_canonical` on BOTH endpoints
+                  (or :func:`urlnorm.registrable_domain` at
+                  ``level='site'``); self-links (src == dst) are kept
+                  in the edge list — dropping them is one filter, and
+                  authority aggregation excludes them explicitly.
+
+Scale shape (100 TB argument): link extraction is map-only regex +
+explode (no Python); the edge aggregate is ONE exchange keyed on
+(src, dst) with map-side combine, so shuffle width is the distinct
+host-pair cardinality, never the raw link stream; authority is two
+host-keyed aggregates over the already-narrow edge list, joined
+full-outer on host. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .urlnorm import host_canonical, registrable_domain
+
+# double-quoted href values; the [^"]* body cannot backtrack across
+# the closing quote in any of the three regex dialects
+ANCHOR_HREF_RE = 'href="([^"]*)"'
+_ABS_RE = "^(?i)(https?)://"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Page → one row per ABSOLUTE anchor href: (url_col, href,
+    n_links_total) where ``n_links_total`` is the page's raw anchor
+    count including relative links (the auditability column — a page
+    with 400 anchors and 0 absolute ones is a template, not a dead
+    end). Binary HTML columns are decoded as UTF-8 via the string
+    cast, the same pin as the extraction kernel's page reader.
+    Map-only: regex scan + explode, no Python, no exchange."""
+    links = F.expr(
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        f"'{ANCHOR_HREF_RE}', 1)"
+    )
+    base = df.select(
+        F.col(url_col),
+        links.alias("_all"),
+    ).select(
+        url_col,
+        F.size("_all").cast("long").alias("n_links_total"),
+        F.explode(
+            F.filter(F.col("_all"), lambda h: h.rlike(_ABS_RE))
+        ).alias("href"),
+    )
+    return base.select(url_col, "href", "n_links_total")
+
+
+def host_link_graph(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    level: str = "host",
+) -> DataFrame:
+    """Aggregate pages into the host→host edge list: (src_host,
+    dst_host, n_links) with ``n_links`` the raw absolute-anchor count
+    between the pair. ``level='host'`` keys on
+    :func:`urlnorm.host_canonical`; ``level='site'`` on
+    :func:`urlnorm.registrable_domain` (eTLD+1 — subdomain farms
+    collapse onto their site, the leakage-safe grouping). Endpoints
+    that canonicalize to ''/NULL (schemeless src, unparseable href,
+    IP at site level) are dropped — a host aggregate keyed on '' would
+    silently merge every broken URL into one mega-node."""
+    if level not in ("host", "site"):
+        raise ValueError(f"level must be 'host' or 'site', got {level!r}")
+
+    def _key(col):
+        h = host_canonical(col)
+        if level == "site":
+            h = registrable_domain(h, host_input=True)
+        return h
+
+    links = extract_links(df, html_col=html_col, url_col=url_col)
+    edges = links.select(
+        _key(F.col(url_col)).alias("src_host"),
+        _key(F.col("href")).alias("dst_host"),
+    ).filter(
+        (F.col("src_host").isNotNull())
+        & (F.col("src_host") != "")
+        & (F.col("dst_host").isNotNull())
+        & (F.col("dst_host") != "")
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+
+
+def host_authority(graph: DataFrame) -> DataFrame:
+    """Per-host authority signals from a :func:`host_link_graph` edge
+    list: (host, in_hosts, in_links, out_hosts, out_links) where
+    ``in_hosts`` counts DISTINCT referring hosts (the spam-resistant
+    signal — one link farm is one referrer no matter how many links)
+    and ``in_links`` the raw volume; symmetric for out. Self-links
+    are excluded from BOTH directions (a host cannot vouch for
+    itself). Missing directions fill 0 — a pure sink still has a row.
+    Two aggregates over the already-pair-narrow edge list + one
+    full-outer host join; at crawl scale both inputs are host-pair
+    cardinality, orders below the page stream."""
+    ext = graph.filter(F.col("src_host") != F.col("dst_host"))
+    inb = ext.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_hosts"),
+        F.sum("n_links").cast("long").alias("in_links"),
+    )
+    outb = ext.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_hosts"),
+        F.sum("n_links").cast("long").alias("out_links"),
+    )
+    return (
+        inb.join(outb, "host", "full_outer")
+        .select(
+            "host",
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("in_hosts", "in_links", "out_hosts", "out_links")
+            ],
+        )
+    )

@@ -3,6 +3,7 @@ canonical-keyed latest-capture dedup."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from table_ocr_spark.operators.urlnorm import (
@@ -345,3 +346,85 @@ def test_block_registrable_widens_entries(spark):
         kept_w = {r["doc_id"] for r in filter_blocked_hosts(
             df, bl, block_registrable=True).collect()}
         assert kept_w == {2, 3}, type(bl)
+
+
+# ---------------------------------------------------------------------------
+# link graph (operators/linkgraph.py)
+# ---------------------------------------------------------------------------
+
+
+class TestLinkGraph:
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        rows = [
+            (
+                "http://a.foo.com/p1",
+                '<a href="http://b.bar.org/x">t</a> <a href="/rel">r</a> '
+                '<a href="HTTPS://c.baz.net:8080/y">u</a> '
+                '<a href="http://a.foo.com/self">s</a>',
+            ),
+            (
+                "http://blog.foo.com/p2",
+                '<a href="http://b.bar.org/z">t</a>',
+            ),
+            ("http://b.bar.org/p", '<a href="mailto:x@y.z">m</a>'),
+            ("http://empty.foo.com/p", None),
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    def test_extract_links_absolute_only_with_total(self, pages):
+        from table_ocr_spark.operators.linkgraph import extract_links
+
+        rows = extract_links(pages).collect()
+        by_url = {}
+        for r in rows:
+            by_url.setdefault(r.url, []).append(r)
+        p1 = by_url["http://a.foo.com/p1"]
+        # 4 anchors total, 3 absolute (the relative one is counted
+        # but not emitted); scheme match is case-insensitive
+        assert p1[0].n_links_total == 4 and len(p1) == 3
+        assert {r.href for r in p1} == {
+            "http://b.bar.org/x",
+            "HTTPS://c.baz.net:8080/y",
+            "http://a.foo.com/self",
+        }
+        # NULL html and mailto-only pages emit no link rows
+        assert "http://empty.foo.com/p" not in by_url
+        assert "http://b.bar.org/p" not in by_url
+
+    def test_host_graph_and_authority(self, pages):
+        from table_ocr_spark.operators.linkgraph import (
+            host_authority,
+            host_link_graph,
+        )
+
+        g = host_link_graph(pages)
+        edges = {(r.src_host, r.dst_host): r.n_links for r in g.collect()}
+        # port stripped, host lowercased; self-link kept in edge list
+        assert edges[("a.foo.com", "c.baz.net")] == 1
+        assert edges[("a.foo.com", "a.foo.com")] == 1
+        auth = {r.host: r for r in host_authority(g).collect()}
+        # distinct-referrer in-degree: two different src hosts
+        assert auth["b.bar.org"].in_hosts == 2
+        assert auth["b.bar.org"].in_links == 2
+        # self-link excluded from authority in BOTH directions
+        assert auth["a.foo.com"].out_hosts == 2
+        assert auth["a.foo.com"].in_hosts == 0
+
+    def test_site_level_collapses_subdomains(self, pages):
+        from table_ocr_spark.operators.linkgraph import host_link_graph
+
+        g = host_link_graph(pages, level="site")
+        edges = {(r.src_host, r.dst_host): r.n_links for r in g.collect()}
+        # a.foo.com and blog.foo.com collapse onto foo.com; their
+        # two bar.org links merge into one edge
+        assert edges[("foo.com", "bar.org")] == 2
+        assert ("blog.foo.com", "bar.org") not in edges
+        # the self-link collapses to a foo.com self-edge (kept)
+        assert edges[("foo.com", "foo.com")] == 1
+
+    def test_bad_level_rejected(self, pages):
+        from table_ocr_spark.operators.linkgraph import host_link_graph
+
+        with pytest.raises(ValueError):
+            host_link_graph(pages, level="domain")
