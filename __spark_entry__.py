@@ -1195,10 +1195,21 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) ⊕ paragraph variant (remove_repeated_paragraphs over a
     blank-line-separated synth of the same shape; the unit count
     renames to n_units so the two schemas align)."""
-    from table_ocr_spark.operators.textstats import (
-        remove_repeated_lines,
-        remove_repeated_paragraphs,
+    line = q_remove_repeated_lines_only(spark, sf_dir).withColumnRenamed(
+        "n_lines", "n_units"
     )
+    para = q_remove_repeated_paragraphs_only(
+        spark, sf_dir
+    ).withColumnRenamed("n_paras", "n_units")
+    return _tagged_union(
+        "granularity", [("line", line), ("paragraph", para)]
+    )
+
+
+def q_remove_repeated_lines_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from table_ocr_spark.operators.textstats import remove_repeated_lines
 
     docs = _read_par(spark, sf_dir, "documents")
     pages = docs.select(
@@ -1211,9 +1222,17 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\ncommon footer line"),
         ).alias("text"),
     )
-    line = remove_repeated_lines(
-        pages, min_doc_df=LINE_RM_MIN_DF
-    ).withColumnRenamed("n_lines", "n_units")
+    return remove_repeated_lines(pages, min_doc_df=LINE_RM_MIN_DF)
+
+
+def q_remove_repeated_paragraphs_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from table_ocr_spark.operators.textstats import (
+        remove_repeated_paragraphs,
+    )
+
+    docs = _read_par(spark, sf_dir, "documents")
     pdocs = docs.select(
         "doc_id",
         F.concat(
@@ -1224,12 +1243,7 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\n\ncommon footer para"),
         ).alias("text"),
     )
-    para = remove_repeated_paragraphs(
-        pdocs, min_doc_df=LINE_RM_MIN_DF
-    ).withColumnRenamed("n_paras", "n_units")
-    return _tagged_union(
-        "granularity", [("line", line), ("paragraph", para)]
-    )
+    return remove_repeated_paragraphs(pdocs, min_doc_df=LINE_RM_MIN_DF)
 
 
 def _webtext_synth(docs: DataFrame) -> DataFrame:
@@ -1436,7 +1450,8 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_html_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """extract_text (HTML kernel) ⊕ pdf_extract (PDF layout kernel),
+    """extract_text (HTML kernel) ⊕ pdf_extract (PDF layout kernel)
+    ⊕ the WARC ingest chain (build→parse→extract, q_warc_extract),
     joined on doc_id; texts renamed apart."""
     html = q_extract_text(spark, sf_dir).select(
         "doc_id", F.col("extracted_text").alias("html_text")
@@ -1447,7 +1462,62 @@ def q_extract_html_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tables",
         "n_cells",
     )
-    return html.join(pdf, "doc_id")
+    return html.join(pdf, "doc_id").join(
+        q_warc_extract(spark, sf_dir), "doc_id"
+    )
+
+
+WARC_FILE_GROUPS = 8  # contract-corpus docs fold into this many "files"
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl ingest chain, oracle-gated end to end with NO
+    temp files: documents → pages → WARC record bytes (the Spark
+    expression twin of ``build_warc_record``) → concatenated per-file
+    blobs (``doc_id % 8``; sort_array pins member order) →
+    ``parse_warc_blobs`` (the same streaming kernel ``read_warc`` runs
+    on real files) → HTML extraction kernel. parse∘build == id, so the
+    oracle reconstructs every output column directly from documents.
+    The per-file collect_list is contract-corpus synthesis only — the
+    production path reads real ~1 GB files via binaryFile
+    (sources/warc.py module doc)."""
+    from table_ocr_spark.operators.docpages import (
+        doc_id_from_url,
+        documents_as_pages,
+    )
+    from table_ocr_spark.operators.extract import extract_documents
+    from table_ocr_spark.sources.warc import (
+        parse_warc_blobs,
+        warc_record_expr,
+    )
+
+    pages = documents_as_pages(_read_par(spark, sf_dir, "documents"))
+    recs = pages.select(
+        (doc_id_from_url(F.col("url")) % WARC_FILE_GROUPS).alias("g"),
+        warc_record_expr(
+            F.col("url"),
+            F.lit("2024-01-01T00:00:00Z"),
+            F.col("html").cast("string"),
+        ).alias("rec"),
+    )
+    blobs = recs.groupBy("g").agg(
+        F.concat_ws("", F.array_sort(F.collect_list("rec"))).alias("blob")
+    ).select(
+        F.concat(F.lit("warc-"), F.col("g").cast("string")).alias(
+            "warc_file"
+        ),
+        F.col("blob").cast("binary").alias("blob"),
+    )
+    parsed = parse_warc_blobs(blobs)
+    extracted = extract_documents(
+        parsed, keep_columns=["warc_file", "http_status"]
+    )
+    return extracted.select(
+        doc_id_from_url(F.col("url")).alias("doc_id"),
+        "warc_file",
+        "http_status",
+        F.col("extracted_text").alias("warc_text"),
+    )
 
 
 def q_majority_vote_both(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,8 +1651,13 @@ def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared hub (mixed-case scheme + port, exercising the host
     canonicalization), one relative link (counted, never resolved),
     and a self link on every third page (kept in the edge list,
-    excluded from authority)."""
+    excluded from authority). Left-joined with the anchor-text leg
+    (anchor_text_signals): the neighbor link's visible text varies
+    (``a<doc_id % 5>``, mixed-case + padded to exercise the pinned
+    lower/trim normalization) so top_anchor_text is a real modal
+    argmax; the hub link's text is constant."""
     from table_ocr_spark.operators.linkgraph import (
+        anchor_text_signals,
         host_authority,
         host_link_graph,
     )
@@ -1597,7 +1672,9 @@ def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit('<a href="http://h'),
         h7,
-        F.lit('.test/x">a</a><a href="/rel">r</a>'),
+        F.lit('.test/x"> A'),
+        (did % 5).cast("string"),
+        F.lit(' </a><a href="/rel">r</a>'),
         F.lit('<a href="HTTPS://Hub.test:8080/y">h</a>'),
         F.when(
             did % 3 == 0,
@@ -1607,7 +1684,20 @@ def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     pages = docs.select(url.alias("url"), html.alias("html"))
-    return host_authority(host_link_graph(pages))
+    auth = host_authority(host_link_graph(pages))
+    anch = anchor_text_signals(pages)
+    return auth.join(anch, "host", "left").select(
+        auth["host"],
+        "in_hosts",
+        "in_links",
+        "out_hosts",
+        "out_links",
+        F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
+        F.coalesce("n_anchor_texts", F.lit(0))
+        .cast("long")
+        .alias("n_anchor_texts"),
+        F.coalesce("top_anchor_text", F.lit("")).alias("top_anchor_text"),
+    )
 
 
 def q_usage_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3150,7 +3240,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.test/p'
                  || CAST(doc_id AS VARCHAR) AS url,
                '<a href="http://h' || CAST((doc_id * 7) % 50 AS VARCHAR)
-                 || '.test/x">a</a><a href="/rel">r</a>'
+                 || '.test/x"> A' || CAST(doc_id % 5 AS VARCHAR)
+                 || ' </a><a href="/rel">r</a>'
                  || '<a href="HTTPS://Hub.test:8080/y">h</a>'
                  || CASE WHEN doc_id % 3 = 0
                          THEN '<a href="http://h'
@@ -3177,13 +3268,46 @@ def oracle_sql() -> dict[str, str]:
             FROM ext GROUP BY dst_host),
       o AS (SELECT src_host AS host, CAST(count(*) AS BIGINT) AS out_hosts,
                    CAST(sum(n_links) AS BIGINT) AS out_links
-            FROM ext GROUP BY src_host)
-      SELECT coalesce(i.host, o.host) AS host,
-             coalesce(in_hosts, CAST(0 AS BIGINT)) AS in_hosts,
-             coalesce(in_links, CAST(0 AS BIGINT)) AS in_links,
-             coalesce(out_hosts, CAST(0 AS BIGINT)) AS out_hosts,
-             coalesce(out_links, CAST(0 AS BIGINT)) AS out_links
-      FROM i FULL OUTER JOIN o ON i.host = o.host
+            FROM ext GROUP BY src_host),
+      auth AS (
+        SELECT coalesce(i.host, o.host) AS host,
+               coalesce(in_hosts, CAST(0 AS BIGINT)) AS in_hosts,
+               coalesce(in_links, CAST(0 AS BIGINT)) AS in_links,
+               coalesce(out_hosts, CAST(0 AS BIGINT)) AS out_hosts,
+               coalesce(out_links, CAST(0 AS BIGINT)) AS out_links
+        FROM i FULL OUTER JOIN o ON i.host = o.host),
+      -- anchor-text leg: same match set projected twice, multiple
+      -- unnests in one SELECT zip positionally (Postgres semantics)
+      atexts AS (
+        SELECT url,
+               unnest(regexp_extract_all(
+                 html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+               unnest(regexp_extract_all(
+                 html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS txt
+        FROM pages),
+      anch AS (
+        SELECT src_host, host, t FROM (
+          SELECT {_hostc.format(u='url')} AS src_host,
+                 {_hostc.format(u='href')} AS host,
+                 lower(regexp_replace(
+                   txt, '^[ \\t\\r\\n]+|[ \\t\\r\\n]+$', '', 'g')) AS t
+          FROM atexts
+          WHERE regexp_matches(href, '^(?i)https?://')) x
+        WHERE src_host <> '' AND host <> ''
+          AND src_host <> host AND t <> ''),
+      apairs AS (
+        SELECT host, t, count(*) AS n FROM anch GROUP BY host, t),
+      asig AS (
+        SELECT host, CAST(sum(n) AS BIGINT) AS n_anchors,
+               CAST(count(*) AS BIGINT) AS n_anchor_texts,
+               min(struct_pack(neg_n := -n, t := t)) AS _top
+        FROM apairs GROUP BY host)
+      SELECT auth.host, in_hosts, in_links, out_hosts, out_links,
+             coalesce(n_anchors, CAST(0 AS BIGINT)) AS n_anchors,
+             coalesce(n_anchor_texts, CAST(0 AS BIGINT))
+               AS n_anchor_texts,
+             coalesce(_top.t, '') AS top_anchor_text
+      FROM auth LEFT JOIN asig ON auth.host = asig.host
     """
 
     # ---- composite rows (see the composite-queries comment above
@@ -3256,7 +3380,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM "
         f"(SELECT doc_id, extracted_text AS html_text FROM ({sql.pop('extract_text')})) a "
         "JOIN (SELECT doc_id, extracted_text AS pdf_text, n_tables, n_cells "
-        f"FROM ({sql.pop('pdf_extract')})) b USING (doc_id)"
+        f"FROM ({sql.pop('pdf_extract')})) b USING (doc_id) "
+        # the WARC leg: parse(build(doc)) == id, extraction == text
+        "JOIN (SELECT doc_id, 'warc-' || CAST(doc_id % 8 AS VARCHAR) AS warc_file, "
+        "CAST(200 AS INTEGER) AS http_status, text AS warc_text "
+        "FROM documents) c USING (doc_id)"
     )
     _vote_cols = "doc_id, lang_vote, lang_vote_agreement, n_samples, ambiguous"
     sql["majority_vote"] = (

@@ -99,6 +99,10 @@ R4_NEW = [
     "registrable_domain",
     "remove_duplicate_spans",
     "webtext_filters",
+    "gopher_repetition",
+    "ccnet_buckets",
+    "remove_repeated_paragraphs",
+    "host_authority",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -135,6 +139,12 @@ def _bench_queries(em) -> dict:
         "dedup_survivors": em.q_dedup_survivors,
         "score_tiers_continuous": em.q_score_tiers_continuous,
         "registrable_domain": em.q_registrable_domain,
+        "page_range_extract": em.q_page_range_extract,
+        "remove_repeated_lines": em.q_remove_repeated_lines_only,
+        "remove_repeated_paragraphs": em.q_remove_repeated_paragraphs_only,
+        "gopher_repetition": em.q_gopher_repetition,
+        "ccnet_buckets": em.q_ccnet_buckets,
+        "host_authority": em.q_host_authority,
     }
     return {**em.queries(), **comp}
 

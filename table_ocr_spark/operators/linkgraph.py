@@ -47,6 +47,27 @@ from .urlnorm import host_canonical, registrable_domain
 ANCHOR_HREF_RE = 'href="([^"]*)"'
 _ABS_RE = "^(?i)(https?)://"
 
+# CLOSED anchors with their visible text: href value (group 1), any
+# further attributes up to the tag close, then text with no nested
+# markup (group 2). Identical match set in Java regex, RE2, Python re.
+ANCHOR_TEXT_RE = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+# anchor-text normalization, pinned to the ASCII whitespace set (a
+# unicode-aware \s would fork the engines on NBSP crawl text)
+_TRIM_RE = "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$"
+
+
+def _host_key(level: str):
+    if level not in ("host", "site"):
+        raise ValueError(f"level must be 'host' or 'site', got {level!r}")
+
+    def _key(col):
+        h = host_canonical(col)
+        if level == "site":
+            h = registrable_domain(h, host_input=True)
+        return h
+
+    return _key
+
 
 def extract_links(
     df: DataFrame,
@@ -92,15 +113,7 @@ def host_link_graph(
     that canonicalize to ''/NULL (schemeless src, unparseable href,
     IP at site level) are dropped — a host aggregate keyed on '' would
     silently merge every broken URL into one mega-node."""
-    if level not in ("host", "site"):
-        raise ValueError(f"level must be 'host' or 'site', got {level!r}")
-
-    def _key(col):
-        h = host_canonical(col)
-        if level == "site":
-            h = registrable_domain(h, host_input=True)
-        return h
-
+    _key = _host_key(level)
     links = extract_links(df, html_col=html_col, url_col=url_col)
     edges = links.select(
         _key(F.col(url_col)).alias("src_host"),
@@ -145,4 +158,98 @@ def host_authority(graph: DataFrame) -> DataFrame:
                 for c in ("in_hosts", "in_links", "out_hosts", "out_links")
             ],
         )
+    )
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Page → one row per CLOSED absolute anchor: (url_col, href,
+    anchor_text) with the text lowercased and trimmed to the pinned
+    ASCII whitespace set; empty-after-trim texts are dropped (an
+    image-only anchor carries no text signal). Two
+    ``regexp_extract_all`` passes over the SAME pattern (groups 1 and
+    2) produce positionally aligned arrays by construction — one match
+    set, two projections — so ``arrays_zip`` never mispairs. Map-only,
+    no Python, no exchange."""
+    hrefs = F.expr(
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        f"'{ANCHOR_TEXT_RE}', 1)"
+    )
+    texts = F.expr(
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        f"'{ANCHOR_TEXT_RE}', 2)"
+    )
+    z = df.select(
+        F.col(url_col),
+        F.explode(
+            F.arrays_zip(hrefs.alias("href"), texts.alias("text"))
+        ).alias("a"),
+    )
+    out = z.select(
+        url_col,
+        F.col("a.href").alias("href"),
+        F.lower(
+            F.regexp_replace(F.col("a.text"), _TRIM_RE, "")
+        ).alias("anchor_text"),
+    )
+    return out.filter(
+        F.col("href").rlike(_ABS_RE) & (F.col("anchor_text") != "")
+    )
+
+
+def anchor_text_signals(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    level: str = "host",
+) -> DataFrame:
+    """How the rest of the web DESCRIBES each host — the classic
+    anchor-text quality/topic signal (search-engine lineage; for LLM
+    corpora it separates organically-referenced hosts from link-farm
+    targets whose inbound texts are all identical spam strings):
+
+      (host, n_anchors, n_anchor_texts, top_anchor_text)
+
+    counting only EXTERNAL closed anchors (src host != dst host, same
+    exclusion as :func:`host_authority` — self-description is not
+    evidence). ``top_anchor_text`` is the modal text, ties broken
+    lexicographically — computed as ``min(struct(-count, text))``
+    (agg-argmax with map-side combine), NEVER a per-host window sort,
+    so a host with millions of distinct inbound texts costs one
+    combine-friendly aggregate, not a single-reducer sort. Shuffle
+    width is distinct (host, text) pairs, then distinct hosts — both
+    orders below the raw anchor stream at crawl scale."""
+    _key = _host_key(level)
+    a = extract_anchor_texts(df, html_col=html_col, url_col=url_col)
+    keyed = a.select(
+        _key(F.col(url_col)).alias("src_host"),
+        _key(F.col("href")).alias("host"),
+        "anchor_text",
+    ).filter(
+        (F.col("src_host").isNotNull())
+        & (F.col("src_host") != "")
+        & (F.col("host").isNotNull())
+        & (F.col("host") != "")
+        & (F.col("src_host") != F.col("host"))
+    )
+    pairs = keyed.groupBy("host", "anchor_text").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return pairs.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_anchors"),
+        F.count(F.lit(1)).cast("long").alias("n_anchor_texts"),
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("anchor_text").alias("t"),
+            )
+        ).alias("_top"),
+    ).select(
+        "host",
+        "n_anchors",
+        "n_anchor_texts",
+        F.col("_top.t").alias("top_anchor_text"),
     )

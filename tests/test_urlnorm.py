@@ -428,3 +428,61 @@ class TestLinkGraph:
 
         with pytest.raises(ValueError):
             host_link_graph(pages, level="domain")
+
+
+class TestAnchorText:
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        rows = [
+            (
+                "http://src1.test/p",
+                # closed external anchor with attrs + messy case/space;
+                # unclosed anchor skipped; nested markup skipped;
+                # relative skipped; empty-after-trim skipped
+                '<a href="http://t.test/a" rel="nofollow"> Good DOCS \t</a>'
+                '<a href="http://t.test/b">no close'
+                '<a href="http://t.test/c"><b>nested</b></a>'
+                '<a href="/rel">rel text</a>'
+                '<a href="http://t.test/d">  </a>'
+                '<a href="http://t.test/e">good docs</a>',
+            ),
+            (
+                "http://src2.test/p",
+                '<a href="http://t.test/f">good docs</a>'
+                '<a href="http://t.test/g">api guide</a>'
+                # self-link text must not count
+                '<a href="http://src2.test/self">me</a>',
+            ),
+            # tie-break: host u.test gets 'alpha' and 'beta' once each
+            (
+                "http://src3.test/p",
+                '<a href="http://u.test/x">beta</a>'
+                '<a href="http://u.test/y">alpha</a>',
+            ),
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    def test_extract_anchor_texts_pinned_semantics(self, pages):
+        from table_ocr_spark.operators.linkgraph import extract_anchor_texts
+
+        rows = extract_anchor_texts(pages).collect()
+        got = {(r.href, r.anchor_text) for r in rows}
+        assert ("http://t.test/a", "good docs") in got
+        assert ("http://t.test/e", "good docs") in got
+        # unclosed / nested / relative / empty all absent
+        assert not any(h.endswith(("/b", "/c", "/d")) for h, _ in got)
+        assert not any(h == "/rel" for h, _ in got)
+
+    def test_anchor_text_signals_modal_and_ties(self, pages):
+        from table_ocr_spark.operators.linkgraph import anchor_text_signals
+
+        sig = {r.host: r for r in anchor_text_signals(pages).collect()}
+        t = sig["t.test"]
+        # 'good docs' ×3 (two sources), 'api guide' ×1; self 'me' excluded
+        assert t.n_anchors == 4
+        assert t.n_anchor_texts == 2
+        assert t.top_anchor_text == "good docs"
+        u = sig["u.test"]
+        assert u.n_anchors == 2 and u.n_anchor_texts == 2
+        assert u.top_anchor_text == "alpha"  # tie → lexicographic
+        assert "src2.test" not in sig  # self-only target never appears

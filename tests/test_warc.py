@@ -1,0 +1,147 @@
+"""WARC source: record grammar round-trip, gzip-member layout,
+malformed-tail semantics, and the Spark file-grain reader.
+
+Reference parity: the reference's only ingest is one uploaded PDF at a
+time (table_ocr/core.py); WARC is the container its production-scale
+analogue (Common-Crawl-style snapshots, BASELINE.json input_hint)
+actually arrives in.
+"""
+
+import gzip
+import os
+
+import pytest
+
+from table_ocr_spark.sources.warc import (
+    build_warc_record,
+    gzip_members,
+    iter_warc_records,
+    parse_warc_blobs,
+    read_warc,
+    split_http_payload,
+    warc_record_expr,
+)
+
+
+def _mk_records(n, typ="response"):
+    return [
+        build_warc_record(
+            f"http://h{i % 7}.test/p{i}",
+            f"2026-01-{(i % 27) + 1:02d}T12:00:00Z",
+            f"<html><body>doc {i} body words</body></html>".encode(),
+            warc_type=typ,
+        )
+        for i in range(n)
+    ]
+
+
+class TestKernel:
+    def test_roundtrip_plain_and_gzip(self):
+        recs = _mk_records(20)
+        for blob in (b"".join(recs), gzip_members(recs)):
+            out = list(iter_warc_records(blob))
+            assert len(out) == 20
+            assert out[13]["url"] == "http://h6.test/p13"
+            status, body = split_http_payload(out[13]["block"])
+            assert status == 200
+            assert body == b"<html><body>doc 13 body words</body></html>"
+
+    def test_whole_file_gzip_layout(self):
+        # one gzip stream over ALL records (the non-CC layout) still
+        # parses: the member iterator yields one big member, the plain
+        # iterator slices it
+        recs = _mk_records(6)
+        blob = gzip.compress(b"".join(recs), mtime=0)
+        assert len(list(iter_warc_records(blob))) == 6
+
+    def test_truncated_tails_dropped_never_phantom(self):
+        recs = _mk_records(5)
+        plain, gz = b"".join(recs), gzip_members(recs)
+        for bad in (
+            plain + recs[0][:40],          # truncated header
+            plain + recs[0][:-10],         # truncated block
+            gz + gz[:25],                  # truncated gzip member
+            plain + b"WARC/1.0\r\nContent-Length: oops\r\n\r\nx",
+        ):
+            out = list(iter_warc_records(bad))
+            assert len(out) == 5
+            assert all(r["url"].startswith("http://") for r in out)
+
+    def test_resync_over_inter_record_junk(self):
+        recs = _mk_records(3)
+        blob = b"\r\n\r\njunk" + recs[0] + b"garbage here" + recs[1] + recs[2]
+        assert len(list(iter_warc_records(blob))) == 3
+
+    def test_non_http_block_and_bad_status(self):
+        raw = build_warc_record(
+            "http://a.test/", "2026-01-01T00:00:00Z", b"raw bytes",
+            warc_type="metadata", http=False,
+        )
+        rec = next(iter(iter_warc_records(raw)))
+        status, body = split_http_payload(rec["block"])
+        assert status is None and body == b"raw bytes"
+        assert split_http_payload(b"HTTP/1.1 nope\r\n\r\nB") == (None, b"B")
+        assert split_http_payload(b"HTTP/1.1 200 OK\r\nnever-ends") == (
+            None,
+            b"",
+        )
+
+
+class TestSpark:
+    def test_read_warc_file_grain(self, spark, tmp_path):
+        recs = _mk_records(30)
+        (tmp_path / "a.warc").write_bytes(b"".join(recs[:15]))
+        (tmp_path / "b.warc.gz").write_bytes(gzip_members(recs[15:]))
+        df = read_warc(spark, str(tmp_path) + "/*")
+        rows = df.collect()
+        assert len(rows) == 30
+        assert {os.path.basename(r.warc_file.replace("file:", "")) for r in rows} == {
+            "a.warc",
+            "b.warc.gz",
+        }
+        by_url = {r.url: r for r in rows}
+        r7 = by_url["http://h0.test/p7"]
+        assert r7.http_status == 200
+        assert bytes(r7.html) == b"<html><body>doc 7 body words</body></html>"
+        # request/metadata records are filtered by the default types
+        mixed = b"".join(_mk_records(4) + _mk_records(2, typ="request"))
+        (tmp_path / "c.warc").write_bytes(mixed)
+        only_c = read_warc(spark, str(tmp_path / "c.warc"))
+        assert only_c.count() == 4
+        assert (
+            read_warc(spark, str(tmp_path / "c.warc"), warc_types=None).count()
+            == 6
+        )
+
+    def test_expr_builder_matches_python_twin(self, spark):
+        # the contract query's Spark-expression builder must emit the
+        # exact bytes build_warc_record emits — one grammar, two engines
+        from pyspark.sql import functions as F
+
+        df = spark.range(8).select(
+            F.concat(F.lit("http://h"), F.col("id"), F.lit(".test/p")).alias("u"),
+            F.lit("2026-02-02T00:00:00Z").alias("ts"),
+            F.concat(F.lit("<p>body "), F.col("id"), F.lit("</p>")).alias("b"),
+        )
+        got = {
+            r.u: r.rec.encode("ascii")
+            for r in df.select(
+                "u", warc_record_expr(F.col("u"), F.col("ts"), F.col("b")).alias("rec")
+            ).collect()
+        }
+        for i in range(8):
+            u = f"http://h{i}.test/p"
+            assert got[u] == build_warc_record(
+                u, "2026-02-02T00:00:00Z", f"<p>body {i}</p>".encode()
+            )
+
+    def test_parse_blobs_batch_bound(self, spark):
+        # batch_rows=3 forces multi-batch yield paths inside one file
+        recs = _mk_records(10)
+        df = spark.createDataFrame(
+            [("f0", b"".join(recs[:7])), ("f1", gzip_members(recs[7:]))],
+            "warc_file string, blob binary",
+        )
+        out = parse_warc_blobs(df, batch_rows=3)
+        assert out.count() == 10
+        assert out.where("http_status = 200").count() == 10
