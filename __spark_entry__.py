@@ -1462,8 +1462,66 @@ def q_extract_html_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tables",
         "n_cells",
     )
-    return html.join(pdf, "doc_id").join(
-        q_warc_extract(spark, sf_dir), "doc_id"
+    return (
+        html.join(pdf, "doc_id")
+        .join(q_warc_extract(spark, sf_dir), "doc_id")
+        .join(q_page_metadata(spark, sf_dir), "doc_id")
+    )
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAD metadata + charset sniff (operators/pagemeta.py) over a
+    synthesized head-ful BINARY page: title/description/canonical/
+    lang from documents columns, charset declared four ways by
+    ``doc_id % 4`` — none (default), ``<meta charset>``, http-equiv,
+    and a UTF-8 BOM that OVERRIDES a lying ``<meta charset="latin-1">``
+    (the priority pin, asserted by the oracle's closed form). The
+    oracle reconstructs every column from documents directly —
+    parse∘build == id, the WARC-row recipe."""
+    from table_ocr_spark.operators.docpages import doc_id_from_url
+    from table_ocr_spark.operators.pagemeta import page_metadata
+
+    docs = _read_par(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    head = F.concat(
+        F.lit('<html lang="'),
+        F.col("lang"),
+        F.lit('"><head><title> Doc '),
+        did.cast("string"),
+        F.lit(' </title><meta name="description" content="'),
+        F.col("source"),
+        F.lit('"><link rel="canonical" href="doc:'),
+        did.cast("string"),
+        F.lit('">'),
+        F.when(
+            did % 4 == 1, F.lit('<meta charset="ISO-8859-1">')
+        )
+        .when(
+            did % 4 == 2,
+            F.lit(
+                '<meta http-equiv="Content-Type" '
+                'content="text/html; charset=Windows-1252">'
+            ),
+        )
+        .when(did % 4 == 3, F.lit('<meta charset="latin-1">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    bom = F.when(
+        did % 4 == 3, F.lit(bytes([0xEF, 0xBB, 0xBF]))
+    ).otherwise(F.lit(b""))
+    pages = docs.select(
+        F.concat(F.lit("doc:"), did.cast("string")).alias("url"),
+        F.concat(bom, head.cast("binary")).alias("html"),
+    )
+    meta = page_metadata(pages)
+    return meta.select(
+        doc_id_from_url(F.col("url")).alias("doc_id"),
+        "title",
+        "meta_description",
+        "canonical_url",
+        "html_lang",
+        "charset",
     )
 
 
@@ -3384,7 +3442,17 @@ def oracle_sql() -> dict[str, str]:
         # the WARC leg: parse(build(doc)) == id, extraction == text
         "JOIN (SELECT doc_id, 'warc-' || CAST(doc_id % 8 AS VARCHAR) AS warc_file, "
         "CAST(200 AS INTEGER) AS http_status, text AS warc_text "
-        "FROM documents) c USING (doc_id)"
+        "FROM documents) c USING (doc_id) "
+        # the page-metadata leg: closed-form head fields + the pinned
+        # charset priority (BOM beats a lying meta charset at %4=3)
+        "JOIN (SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+        "source AS meta_description, "
+        "'doc:' || CAST(doc_id AS VARCHAR) AS canonical_url, "
+        "lang AS html_lang, "
+        "CASE WHEN doc_id % 4 = 1 THEN 'iso-8859-1' "
+        "WHEN doc_id % 4 = 2 THEN 'windows-1252' "
+        "ELSE 'utf-8' END AS charset "
+        "FROM documents) d USING (doc_id)"
     )
     _vote_cols = "doc_id, lang_vote, lang_vote_agreement, n_samples, ambiguous"
     sql["majority_vote"] = (

@@ -103,6 +103,8 @@ R4_NEW = [
     "ccnet_buckets",
     "remove_repeated_paragraphs",
     "host_authority",
+    "warc_extract",
+    "page_metadata",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -145,6 +147,8 @@ def _bench_queries(em) -> dict:
         "gopher_repetition": em.q_gopher_repetition,
         "ccnet_buckets": em.q_ccnet_buckets,
         "host_authority": em.q_host_authority,
+        "warc_extract": em.q_warc_extract,
+        "page_metadata": em.q_page_metadata,
     }
     return {**em.queries(), **comp}
 
