@@ -1399,11 +1399,43 @@ def _tagged_union(tag_col: str, parts) -> DataFrame:
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_stats ⊕ lang_id ⊕ token_counts, joined on doc_id."""
+    """doc_stats ⊕ lang_id ⊕ token_counts ⊕ normalize_text, joined on
+    doc_id."""
     return (
         q_doc_stats(spark, sf_dir)
         .join(q_lang_id(spark, sf_dir), "doc_id")
         .join(q_token_counts(spark, sf_dir), "doc_id")
+        .join(q_normalize_text(spark, sf_dir), "doc_id")
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (operators/normalize.py): controls →
+    NFC → whitespace collapse over text that half the time carries a
+    BEL control, a DECOMPOSED e+U+0301, and double spaces. The oracle
+    is a genuine independent implementation — DuckDB's ICU
+    ``nfc_normalize`` vs CPython ``unicodedata`` — plus the mirrored
+    pinned regexes; the other half of the corpus pins the identity
+    path (changed=False, bytes untouched)."""
+    from table_ocr_spark.operators.normalize import normalize_text
+
+    docs = _read_par(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                # BEL + DECOMPOSED e,U+0301 + double spaces
+                F.lit("\x07  cafe\u0301  fin"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = normalize_text(messy, collapse_ws=True)
+    return out.select(
+        "doc_id", "text_norm", F.col("changed").alias("norm_changed")
     )
 
 
@@ -3379,10 +3411,30 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'page_range', doc_id, page, extracted_text, "
         f"CAST(NULL AS DOUBLE) FROM ({sql.pop('page_range_extract')})"
     )
+    # normalize leg: ICU nfc_normalize (an INDEPENDENT implementation
+    # vs CPython unicodedata) + mirrored pinned regexes; half the
+    # corpus gets BEL + decomposed e,U+0301 + double spaces appended
+    _norm_sql = r"""
+      SELECT doc_id, text_norm,
+             (text_norm IS DISTINCT FROM t) AS norm_changed
+      FROM (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(
+                 nfc_normalize(regexp_replace(
+                   t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]|\r', '', 'g')),
+                 '[ \t]+', ' ', 'g'), '(?m)^ | $', '', 'g') AS text_norm
+        FROM (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 2 = 0
+                   THEN chr(7) || '  cafe' || chr(769) || '  fin'
+                   ELSE '' END AS t
+          FROM documents) p) q
+    """
     sql["text_profile"] = (
         f"SELECT * FROM ({sql.pop('doc_stats')}) a "
         f"JOIN ({sql.pop('lang_id')}) b USING (doc_id) "
-        f"JOIN ({sql.pop('token_counts')}) c USING (doc_id)"
+        f"JOIN ({sql.pop('token_counts')}) c USING (doc_id) "
+        f"JOIN ({_norm_sql}) d USING (doc_id)"
     )
     # ccnet_buckets: per-lang exact terciles of the SAME rounded score
     # the unigram component verifies. rk-th-smallest is deterministic

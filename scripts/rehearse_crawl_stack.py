@@ -1,0 +1,408 @@
+"""1M-page rehearsal of the crawl-side stack added in round 4:
+
+  A. WARC ingest chain: real .warc.gz files on disk (per-record gzip
+     members, the CC layout) → read_warc → charset sniff+decode →
+     HTML extraction kernel; reports docs/s for the FULL chain (the
+     north-star metric's shape) and asserts byte-identity per url on
+     a sample.
+  B. page_metadata at 1M binary pages (closed-form charset mix).
+  C. linkgraph: host_link_graph + host_authority + anchor_text_signals
+     at 1M pages × 3-4 anchors (closed-form edge/authority counts).
+  D. gopher_repetition_rules at 1M docs (closed-form pass split).
+  E. ccnet_buckets at 1M docs × 5 langs (per-lang bucket partition).
+  F. remove_repeated_paragraphs at 1M docs (every doc sheds exactly
+     its one planted boilerplate paragraph).
+
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|c|d|e|f ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    only = set(sys.argv[2:]) or set("abcdef")
+
+    # every timing below self-qualifies with an in-band host-capacity
+    # probe (the bench.py protocol): this host runs co-tenant load and
+    # block timings have been observed to swing >10x in loaded windows
+    from bench import probe_effective_cores
+
+    from table_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    did = F.col("doc_id")
+
+    # -------------------------------------------------------- A: WARC
+    if "a" in only:
+        from table_ocr_spark.operators.extract import extract_documents
+        from table_ocr_spark.operators.pagemeta import (
+            decode_payloads,
+            sniff_charset,
+        )
+        from table_ocr_spark.sources.warc import (
+            read_warc,
+            warc_record_expr,
+        )
+
+        workdir = tempfile.mkdtemp(prefix="warc_rehearsal_")
+        n_files = 256
+        body = F.concat(
+            F.lit("<article><p>document "),
+            did.cast("string"),
+            F.lit(" body words repeated for mass "),
+            F.repeat(F.lit("token "), 40),
+            F.lit("</p></article>"),
+        )
+        recs = base.select(
+            (did % n_files).alias("g"),
+            warc_record_expr(
+                F.concat(F.lit("http://h"), (did % 997).cast("string"),
+                         F.lit(".test/p"), did.cast("string")),
+                F.lit("2026-01-01T00:00:00Z"),
+                body,
+            ).alias("rec"),
+        )
+        # build the files IN PARALLEL: per group, gzip each record as
+        # its own member (the CC layout) and write one .warc.gz
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import types as T
+
+        def writer(batches):
+            import gzip as _gz
+
+            import pandas as _pd
+
+            # a group's rows may span several Arrow batches: compress
+            # incrementally into per-group buffers, write once per file
+            bufs: dict = {}
+            counts: dict = {}
+            for pdf in batches:
+                for g, grp in pdf.groupby("g"):
+                    buf = bufs.setdefault(int(g), [])
+                    for rec in grp["rec"]:
+                        buf.append(_gz.compress(rec.encode("ascii"), mtime=0))
+                    counts[int(g)] = counts.get(int(g), 0) + len(grp)
+            rows = []
+            for g, buf in bufs.items():
+                path = os.path.join(workdir, f"part-{g:05d}.warc.gz")
+                with open(path, "wb") as f:
+                    f.write(b"".join(buf))
+                rows.append((path, counts[g]))
+            if rows:
+                yield _pd.DataFrame(rows, columns=["path", "n"])
+
+        t0 = time.time()
+        built = (
+            recs.repartition(n_files, "g")
+            .mapInPandas(writer, T.StructType([
+                T.StructField("path", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]))
+            .groupBy().agg(F.sum("n").alias("n"), F.count("*").alias("files"))
+            .collect()[0]
+        )
+        t_build = time.time() - t0
+        assert built.n == n, built
+        total_bytes = sum(
+            os.path.getsize(os.path.join(workdir, p))
+            for p in os.listdir(workdir)
+        )
+        print(f"A: built {built.files} .warc.gz files, {built.n} records, "
+              f"{total_bytes/1e6:.0f} MB in {t_build:.1f} s")
+
+        # parse-only
+        t0 = time.time()
+        n_parsed = read_warc(spark, workdir + "/*.warc.gz").count()
+        t_parse = time.time() - t0
+        assert n_parsed == n, n_parsed
+
+        # full ingest chain: parse -> sniff -> decode -> extract
+        t0 = time.time()
+        parsed = read_warc(spark, workdir + "/*.warc.gz")
+        staged = parsed.withColumn("charset", sniff_charset(F.col("html")))
+        decoded = decode_payloads(
+            staged, keep_columns=("url", "warc_ts", "http_status")
+        )
+        pages = decoded.select(
+            "url", F.col("decoded_text").cast("binary").alias("html")
+        )
+        ext = extract_documents(pages)
+        agg = ext.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+        ).collect()[0]
+        t_chain = time.time() - t0
+        assert agg.n == n, agg
+        # byte-identity spot check on a sample of urls
+        sample = ext.where(
+            F.regexp_extract("url", r"/p(\d+)$", 1).cast("long") % max(1, n // 13) == 0
+        ).collect()
+        assert sample, "empty sample"
+        for r in sample:
+            i = int(r.url.rsplit("/p", 1)[1])
+            want = (
+                f"document {i} body words repeated for mass "
+                + "token " * 40
+            ).rstrip()  # the kernel's pinned trailing-ws trim
+            assert r.extracted_text == want, r.url
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"A: parse-only {t_parse:.1f} s ({n/t_parse:,.0f} docs/s); "
+              f"full chain parse->sniff->decode->extract {t_chain:.1f} s "
+              f"({n/t_chain:,.0f} docs/s), byte-identity on "
+              f"{len(sample)} sampled urls OK")
+        shutil.rmtree(workdir)
+
+    # -------------------------------------------------- B: page_metadata
+    if "b" in only:
+        from table_ocr_spark.operators.pagemeta import page_metadata
+
+        head = F.concat(
+            F.lit('<html lang="en"><head><title> Doc '),
+            did.cast("string"),
+            F.lit(' </title><meta name="description" content="desc '),
+            did.cast("string"),
+            F.lit('"><link rel="canonical" href="http://c.test/'),
+            did.cast("string"),
+            F.lit('">'),
+            F.when(did % 4 == 1, F.lit('<meta charset="ISO-8859-1">'))
+            .when(did % 4 == 2, F.lit(
+                '<meta http-equiv="Content-Type" '
+                'content="text/html; charset=Windows-1252">'))
+            .when(did % 4 == 3, F.lit('<meta charset="latin-1">'))
+            .otherwise(F.lit("")),
+            F.lit("</head><body>x</body></html>"),
+        )
+        bom = F.when(did % 4 == 3, F.lit(bytes([0xEF, 0xBB, 0xBF]))) \
+               .otherwise(F.lit(b""))
+        pages = base.select(
+            F.concat(F.lit("u"), did.cast("string")).alias("url"),
+            F.concat(bom, head.cast("binary")).alias("html"),
+        ).persist()
+        pages.count()
+        t0 = time.time()
+        counts = dict(
+            page_metadata(pages).groupBy("charset").count().collect()
+        )
+        t = time.time() - t0
+        q, r = divmod(n, 4)
+        want = {
+            "utf-8": 2 * q + min(r, 1) + (1 if r > 3 else 0),
+            "iso-8859-1": q + (1 if r > 1 else 0),
+            "windows-1252": q + (1 if r > 2 else 0),
+        }
+        want["utf-8"] = n - want["iso-8859-1"] - want["windows-1252"]
+        got = {k: v for k, v in counts.items()}
+        assert got == want, (got, want)
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"B: page_metadata {t:.1f} s ({n/t:,.0f} docs/s), "
+              f"charset mix closed-form OK {got}")
+        pages.unpersist()
+
+    # ------------------------------------------------------ C: linkgraph
+    if "c" in only:
+        from table_ocr_spark.operators.linkgraph import (
+            anchor_text_signals,
+            host_authority,
+            host_link_graph,
+        )
+
+        h = (did % 50).cast("string")
+        h7 = ((did * 7) % 50).cast("string")
+        html = F.concat(
+            F.lit('<a href="http://h'), h7,
+            F.lit('.test/x"> A'), (did % 5).cast("string"),
+            F.lit(' </a><a href="/rel">r</a>'),
+            F.lit('<a href="HTTPS://Hub.test:8080/y">hub link</a>'),
+            F.when(did % 3 == 0, F.concat(
+                F.lit('<a href="http://h'), h, F.lit('.test/self">s</a>'),
+            )).otherwise(F.lit("")),
+        )
+        pages = base.select(
+            F.concat(F.lit("http://h"), h, F.lit(".test/p"),
+                     did.cast("string")).alias("url"),
+            html.alias("html"),
+        ).persist()
+        pages.count()
+        t0 = time.time()
+        auth = {r.host: r for r in
+                host_authority(host_link_graph(pages)).collect()}
+        t_auth = time.time() - t0
+        assert len(auth) == 51, len(auth)  # 50 hN + hub
+        assert auth["hub.test"]["in_links"] == n
+        assert auth["hub.test"]["in_hosts"] == 50
+        # neighbor links: (did*7)%50 == k has n/50 pages; gcd(7,50)=1
+        # => every host gets exactly n/50 inbound neighbor links, but
+        # pages on hK itself contribute a SELF edge (excluded). did on
+        # host k: did%50==k; neighbor (did*7)%50==k iff did%50==k*43%50
+        # -> self only when 7k==k mod 50 -> k==0. Host h0 loses its
+        # n/50 self-pair links from in/out.
+        assert auth["h1.test"]["in_links"] == n // 50
+        t0 = time.time()
+        anch = {r.host: r for r in anchor_text_signals(pages).collect()}
+        t_anch = time.time() - t0
+        assert anch["hub.test"]["n_anchors"] == n
+        assert anch["hub.test"]["top_anchor_text"] == "hub link"
+        # dst host hK's sources are pages with did%50 == 43k (mod 50),
+        # so did%5 is CONSTANT per host: text == a((3k) % 5)
+        assert anch["h1.test"]["n_anchors"] == n // 50
+        assert anch["h1.test"]["n_anchor_texts"] == 1
+        assert anch["h1.test"]["top_anchor_text"] == "a3"
+        assert anch["h2.test"]["top_anchor_text"] == "a1"
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"C: host_link_graph+authority {t_auth:.1f} s "
+              f"({n/t_auth:,.0f} pages/s), anchor_text_signals "
+              f"{t_anch:.1f} s ({n/t_anch:,.0f} pages/s), closed-form "
+              f"authority/anchor counts OK")
+        pages.unpersist()
+
+    # ---------------------------------------- D: gopher repetition rules
+    if "d" in only:
+        from table_ocr_spark.operators.webfilter import (
+            gopher_repetition_rules,
+        )
+
+        # half the docs: 8 lines whose tokens never repeat a bigram
+        # WITHIN the doc (gopher rules are within-doc; a naive "line k
+        # of document N" synth fails top-2-gram at 0.5 — measured);
+        # half: one line repeated 6x + 2 distinct (fail dup-line hard)
+        uniq = F.concat_ws(
+            "\n",
+            *[
+                F.concat(
+                    F.lit("w"), ((did * 7 + k * 13) % 997).cast("string"),
+                    F.lit(" x"), ((did * 3 + k * 5) % 911).cast("string"),
+                    F.lit(" y"), ((did + k * 31) % 883).cast("string"),
+                    F.lit(f" z{k}e"),
+                )
+                for k in range(8)
+            ],
+        )
+        dup_line = F.concat(F.lit("repeated line of document "),
+                            did.cast("string"))
+        dup = F.concat_ws(
+            "\n",
+            *([dup_line] * 6
+              + [F.concat(F.lit("unique a "), did.cast("string")),
+                 F.concat(F.lit("unique b "), did.cast("string"))]),
+        )
+        docs = base.select(
+            "doc_id",
+            F.when(did % 2 == 0, uniq).otherwise(dup).alias("text"),
+        ).persist()
+        docs.count()
+        t0 = time.time()
+        passed = dict(
+            gopher_repetition_rules(docs)
+            .groupBy("repetition_pass").count().collect()
+        )
+        t = time.time() - t0
+        assert passed.get(True, 0) == (n + 1) // 2, passed
+        assert passed.get(False, 0) == n // 2, passed
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"D: gopher_repetition_rules {t:.1f} s ({n/t:,.0f} docs/s), "
+              f"pass split closed-form OK {passed}")
+        docs.unpersist()
+
+    # ----------------------------------------------- E: ccnet buckets
+    if "e" in only:
+        from table_ocr_spark.operators.ccnet import ccnet_buckets
+
+        langs = F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "es", "de", "fr", "pt")]),
+            (did % 5 + 1).cast("int"),
+        )
+        # near-continuous score spread: the common-token fraction
+        # varies 20 ways AND the rare tail token varies 997 ways, so
+        # per-lang terciles cut a fine-grained distribution (a
+        # constant-prefix synth collapses to a handful of 6-dp mass
+        # points and the ties-sit-low rule parks a whole language in
+        # 'head' — observed at 1M)
+        # 200 mixture levels x ~2 tail-count values = ~80 distinct
+        # 6-dp scores PER LANGUAGE (did%5 fixes did%200 to 40 levels),
+        # clusters of ~2.5k docs each at 1M — fine enough that exact
+        # terciles land within one cluster of n/15
+        text = F.concat(
+            F.repeat(F.lit("the "), (did % 200 + 1).cast("int")),
+            F.lit("w"), (did % 997).cast("string"),
+        )
+        docs = base.select("doc_id", text.alias("text"),
+                           langs.alias("lang")).persist()
+        docs.count()
+        t0 = time.time()
+        dist = (
+            ccnet_buckets(docs)
+            .groupBy("lang", "bucket").count()
+            .collect()
+        )
+        t = time.time() - t0
+        per_lang: dict = {}
+        for r in dist:
+            per_lang.setdefault(r.lang, {})[r.bucket] = r["count"]
+        assert set(per_lang) == {"en", "es", "de", "fr", "pt"}
+        for lang, buckets in per_lang.items():
+            assert sum(buckets.values()) == n // 5, (lang, buckets)
+            # exact-quantile thirds up to score ties
+            for b, c in buckets.items():
+                assert abs(c - n // 15) < n // 50, (lang, b, c)
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"E: ccnet_buckets {t:.1f} s ({n/t:,.0f} docs/s), "
+              f"5-lang bucket partition OK")
+        docs.unpersist()
+
+    # -------------------------------- F: remove_repeated_paragraphs
+    if "f" in only:
+        from table_ocr_spark.operators.textstats import (
+            remove_repeated_paragraphs,
+        )
+
+        text = F.concat(
+            F.lit("unique opening paragraph of document "),
+            did.cast("string"),
+            F.lit("\n\nThis site uses cookies. By continuing you agree."
+                  "\nSee our privacy policy for details."),
+            F.lit("\n\nunique closing paragraph "),
+            did.cast("string"),
+            F.lit(" with more words"),
+        )
+        docs = base.select("doc_id", text.alias("text")).persist()
+        docs.count()
+        t0 = time.time()
+        agg = remove_repeated_paragraphs(docs).agg(
+            F.count("*").alias("n"),
+            F.sum("n_dropped").alias("dropped"),
+            F.sum("n_kept").alias("kept"),
+            F.sum(
+                F.contains(F.col("text_clean"), F.lit("cookies"))
+                .cast("long")
+            ).alias("leaks"),
+        ).collect()[0]
+        t = time.time() - t0
+        assert agg.n == n and agg.dropped == n and agg.kept == 2 * n
+        assert agg.leaks == 0
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"F: remove_repeated_paragraphs {t:.1f} s "
+              f"({n/t:,.0f} docs/s), exactly one boilerplate paragraph "
+              f"dropped per doc, zero leaks")
+        docs.unpersist()
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

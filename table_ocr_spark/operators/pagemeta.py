@@ -190,7 +190,7 @@ def decode_payloads(
                 except (UnicodeDecodeError, LookupError):
                     t = b.decode("utf-8", "replace")
                     err = True
-                if t[:1] == "﻿":  # utf-8 BOM survives the codec
+                if t[:1] == "\ufeff":  # utf-8 BOM survives the codec
                     t = t[1:]
                 texts.append(t)
                 errs.append(err)

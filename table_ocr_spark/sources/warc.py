@@ -187,6 +187,8 @@ def _iter_plain_records(blob: bytes) -> Iterator[dict]:
             clen = int(headers.get(b"content-length", b""))
         except ValueError:
             return  # unparseable length: cannot resync reliably, drop tail
+        if clen < 0:
+            return  # a negative length would regress pos: loop guard
         body_at = hdr_end + len(_HDR_END)
         if body_at + clen > n:
             return  # truncated block: drop

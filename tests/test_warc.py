@@ -62,6 +62,8 @@ class TestKernel:
             plain + recs[0][:-10],         # truncated block
             gz + gz[:25],                  # truncated gzip member
             plain + b"WARC/1.0\r\nContent-Length: oops\r\n\r\nx",
+            # negative length must not regress pos (loop guard)
+            plain + b"WARC/1.0\r\nContent-Length: -7\r\n\r\nx",
         ):
             out = list(iter_warc_records(bad))
             assert len(out) == 5
