@@ -1600,12 +1600,14 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = parse_warc_blobs(blobs)
     extracted = extract_documents(
-        parsed, keep_columns=["warc_file", "http_status"]
+        parsed,
+        keep_columns=["warc_file", "http_status", "http_content_type"],
     )
     return extracted.select(
         doc_id_from_url(F.col("url")).alias("doc_id"),
         "warc_file",
         "http_status",
+        "http_content_type",
         F.col("extracted_text").alias("warc_text"),
     )
 
@@ -3493,7 +3495,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({sql.pop('pdf_extract')})) b USING (doc_id) "
         # the WARC leg: parse(build(doc)) == id, extraction == text
         "JOIN (SELECT doc_id, 'warc-' || CAST(doc_id % 8 AS VARCHAR) AS warc_file, "
-        "CAST(200 AS INTEGER) AS http_status, text AS warc_text "
+        "CAST(200 AS INTEGER) AS http_status, "
+        "'text/html; charset=utf-8' AS http_content_type, "
+        "text AS warc_text "
         "FROM documents) c USING (doc_id) "
         # the page-metadata leg: closed-form head fields + the pinned
         # charset priority (BOM beats a lying meta charset at %4=3)

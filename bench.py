@@ -105,6 +105,7 @@ R4_NEW = [
     "host_authority",
     "warc_extract",
     "page_metadata",
+    "normalize_text",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -149,6 +150,7 @@ def _bench_queries(em) -> dict:
         "host_authority": em.q_host_authority,
         "warc_extract": em.q_warc_extract,
         "page_metadata": em.q_page_metadata,
+        "normalize_text": em.q_normalize_text,
     }
     return {**em.queries(), **comp}
 

@@ -68,6 +68,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
         T.StructField("html", T.BinaryType()),
     ]
 )
@@ -145,21 +146,38 @@ def gzip_members(records: Iterable[bytes]) -> bytes:
 
 
 # ---------------------------------------------------------------- parse
-def split_http_payload(block: bytes) -> Tuple[Optional[int], bytes]:
-    """Strip the HTTP envelope from a response block → (status, body).
-    A block that does not start ``HTTP/`` is returned whole with a
-    NULL status (metadata/resource records carry raw blocks)."""
+def split_http_payload(
+    block: bytes,
+) -> Tuple[Optional[int], Optional[str], bytes]:
+    """Strip the HTTP envelope from a response block → (status,
+    content_type, body). ``content_type`` is the Content-Type header
+    value lowercased and trimmed (with charset params — the pagemeta
+    sniffer consumes them) or NULL when absent. A block that does not
+    start ``HTTP/`` is returned whole with NULL status/type
+    (metadata/resource records carry raw blocks)."""
     if not block.startswith(b"HTTP/"):
-        return None, block
+        return None, None, block
     end = block.find(_HDR_END)
     if end < 0:  # envelope never closes: treat everything as headers
-        return None, b""
-    status_line = block[: block.find(_CRLF)]
+        return None, None, b""
+    head = block[:end]
+    status_line = head[: _line_end(head)]
     parts = status_line.split(b" ")
     status: Optional[int] = None
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
-    return status, block[end + len(_HDR_END):]
+    ctype: Optional[str] = None
+    for line in head.split(_CRLF)[1:]:
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"content-type":
+            ctype = v.strip().lower().decode("ascii", "replace")
+            break
+    return status, ctype, block[end + len(_HDR_END):]
+
+
+def _line_end(b: bytes) -> int:
+    i = b.find(_CRLF)
+    return i if i >= 0 else len(b)
 
 
 def _iter_plain_records(blob: bytes) -> Iterator[dict]:
@@ -257,7 +275,7 @@ def _parse_kernel(path_col: str, blob_col: str, warc_types, batch_rows):
                 for rec in iter_warc_records(bytes(blob)):
                     if keep is not None and rec["warc_type"] not in keep:
                         continue
-                    status, body = split_http_payload(rec["block"])
+                    status, ctype, body = split_http_payload(rec["block"])
                     rows.append(
                         (
                             path,
@@ -265,6 +283,7 @@ def _parse_kernel(path_col: str, blob_col: str, warc_types, batch_rows):
                             rec["url"],
                             rec["warc_ts"],
                             status,
+                            ctype,
                             body,
                         )
                     )

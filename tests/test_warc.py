@@ -42,8 +42,9 @@ class TestKernel:
             out = list(iter_warc_records(blob))
             assert len(out) == 20
             assert out[13]["url"] == "http://h6.test/p13"
-            status, body = split_http_payload(out[13]["block"])
+            status, ctype, body = split_http_payload(out[13]["block"])
             assert status == 200
+            assert ctype == "text/html; charset=utf-8"
             assert body == b"<html><body>doc 13 body words</body></html>"
 
     def test_whole_file_gzip_layout(self):
@@ -80,12 +81,13 @@ class TestKernel:
             warc_type="metadata", http=False,
         )
         rec = next(iter(iter_warc_records(raw)))
-        status, body = split_http_payload(rec["block"])
-        assert status is None and body == b"raw bytes"
-        assert split_http_payload(b"HTTP/1.1 nope\r\n\r\nB") == (None, b"B")
+        status, ctype, body = split_http_payload(rec["block"])
+        assert status is None and ctype is None and body == b"raw bytes"
+        assert split_http_payload(b"HTTP/1.1 nope\r\n\r\nB") == (
+            None, None, b"B",
+        )
         assert split_http_payload(b"HTTP/1.1 200 OK\r\nnever-ends") == (
-            None,
-            b"",
+            None, None, b"",
         )
 
 
@@ -104,6 +106,7 @@ class TestSpark:
         by_url = {r.url: r for r in rows}
         r7 = by_url["http://h0.test/p7"]
         assert r7.http_status == 200
+        assert r7.http_content_type == "text/html; charset=utf-8"
         assert bytes(r7.html) == b"<html><body>doc 7 body words</body></html>"
         # request/metadata records are filtered by the default types
         mixed = b"".join(_mk_records(4) + _mk_records(2, typ="request"))
