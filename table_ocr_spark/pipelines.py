@@ -61,6 +61,61 @@ class CorpusReport:
     n_after_budget: int = -1  # -1: stage skipped
 
 
+def ingest_crawl(
+    spark,
+    warc_glob: str,
+    keep_statuses: tuple = (200,),
+    html_only: bool = True,
+) -> DataFrame:
+    """WARC files → the canonical pages frame (BASELINE.json input
+    hint): (url, warc_ts timestamp, html binary, text, lang) — the
+    exact input :func:`build_training_corpus` / the extraction
+    pipeline take, so a crawl snapshot feeds the corpus builder with
+    NO intermediate conversion job.
+
+    Stages (all map-only; the file is the parallel grain):
+    1. ``read_warc`` — streaming record parse, response records only
+    2. status + Content-Type gate (non-HTML responses are the
+       multimodal path's input, not this one's; NULL Content-Type is
+       kept — legacy servers omit it and the charset sniffer still
+       handles the bytes)
+    3. charset sniff (BOM on raw bytes → meta → http-equiv) + bulk
+       decode to clean UTF-8; ``html`` is re-encoded UTF-8 bytes so
+       every downstream operator sees ONE encoding
+    4. WARC-Date → timestamp (malformed dates → NULL, row kept —
+       latest-capture treats NULL as oldest)
+
+    ``text``/``lang`` are NULL here: they are EXTRACTION outputs, and
+    the corpus builder computes them from ``html``."""
+    from table_ocr_spark.operators.pagemeta import (
+        decode_payloads,
+        sniff_charset,
+    )
+    from table_ocr_spark.sources.warc import read_warc
+
+    parsed = read_warc(spark, warc_glob)
+    gate = F.col("http_status").isin(*[int(x) for x in keep_statuses])
+    if html_only:
+        gate = gate & (
+            F.col("http_content_type").isNull()
+            | F.col("http_content_type").startswith("text/html")
+        )
+    kept = parsed.where(gate)
+    staged = kept.withColumn("charset", sniff_charset(F.col("html")))
+    decoded = decode_payloads(
+        staged, keep_columns=("url", "warc_ts", "charset")
+    )
+    return decoded.select(
+        F.col("url"),
+        F.to_timestamp(
+            F.replace(F.col("warc_ts"), F.lit("Z"), F.lit("+00:00"))
+        ).alias("warc_ts"),
+        F.encode(F.col("decoded_text"), "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def build_training_corpus(
     pages: DataFrame,
     minhash_threshold: float = 0.8,

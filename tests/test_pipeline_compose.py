@@ -186,3 +186,66 @@ def test_full_tier_chain_to_shards(spark, tmp_path):
                 F.col("shard") == shard_id).collect()]
             # parquet row order within the shard file IS offset order
             assert offs == sorted(offs)
+
+
+class TestIngestCrawl:
+    def test_warc_to_corpus_end_to_end(self, spark, tmp_path):
+        import gzip
+
+        from table_ocr_spark.pipelines import (
+            build_training_corpus,
+            ingest_crawl,
+        )
+        from table_ocr_spark.sources.warc import build_warc_record
+
+        def rec(i, ctype="text/html; charset=utf-8", status=200, lang_bytes=None):
+            body = (
+                f"<article><p>unique page body {i} with several distinct "
+                f"words alpha{i} beta{i*7} gamma</p></article>"
+            ).encode()
+            if lang_bytes is not None:
+                body = lang_bytes
+            block = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n\r\n"
+            ).encode() + body
+            return build_warc_record(
+                f"http://site{i % 5}.test/p{i}",
+                f"2026-03-{(i % 27) + 1:02d}T09:00:00Z",
+                block,
+                http=False,
+            )
+
+        recs = [rec(i) for i in range(20)]
+        recs.append(rec(100, ctype="image/png"))        # filtered: not html
+        recs.append(rec(101, status=404))               # filtered: status
+        # latin-1 page: decoded via its meta charset, re-encoded utf-8
+        recs.append(
+            rec(
+                102,
+                lang_bytes=b'<meta charset="iso-8859-1"><article><p>'
+                + "se\xf1al latina body with several distinct words here"
+                .encode("latin-1")
+                + b"</p></article>",
+            )
+        )
+        (tmp_path / "a.warc").write_bytes(b"".join(recs[:12]))
+        (tmp_path / "b.warc.gz").write_bytes(
+            b"".join(gzip.compress(r, mtime=0) for r in recs[12:])
+        )
+
+        pages = ingest_crawl(spark, str(tmp_path) + "/*")
+        rows = pages.collect()
+        assert len(rows) == 21  # 20 html + the latin-1 page
+        by_url = {r.url: r for r in rows}
+        latin = by_url["http://site2.test/p102"]
+        assert "se\u00f1al latina" in bytes(latin.html).decode("utf-8")
+        assert rows[0].warc_ts is not None
+
+        corpus, report = build_training_corpus(pages)
+        assert report.n_extracted == 21
+        got = {r.url: r.text for r in corpus.collect()}
+        assert (
+            got["http://site0.test/p5"]
+            == "unique page body 5 with several distinct words alpha5 "
+            "beta35 gamma"
+        )
