@@ -3341,12 +3341,15 @@ def oracle_sql() -> dict[str, str]:
                               || '.test/self">s</a>'
                          ELSE '' END AS html
         FROM documents),
+      -- anchor-SCOPED harvest: href inside <a ...> attribute blobs
       links AS (
-        SELECT url,
-               unnest(list_filter(
-                 regexp_extract_all(html, 'href="([^"]*)"', 1),
-                 h -> regexp_matches(h, '^(?i)https?://'))) AS href
-        FROM pages),
+        SELECT url, href FROM (
+          SELECT url,
+                 regexp_extract(unnest(regexp_extract_all(
+                   html, '(?i)<a ([^>]*)>', 1)),
+                   'href="([^"]*)"', 1) AS href
+          FROM pages) x
+        WHERE regexp_matches(href, '^(?i)https?://')),
       edges AS (
         SELECT src_host, dst_host, count(*) AS n_links FROM (
           SELECT {_hostc.format(u='url')} AS src_host,

@@ -10,12 +10,18 @@ user-uploaded PDFs, ``table_ocr/core.py``); this is the web-graph
 stage upstream of extraction at pretraining scale.
 
 Pinned semantics (mirrored by the SQL oracle):
-- anchor href  := every ``href="..."`` double-quoted attribute value
-                  in the raw HTML (the dialect-portable regex below —
-                  identical in Java regex, RE2, and Python re). A
-                  production crawler swaps in the DOM walk from
+- anchor href  := the double-quoted ``href="..."`` value inside each
+                  ``<a …>`` tag's attribute blob (SCOPED: a ``<link
+                  rel="canonical" href=…>`` head element is not an
+                  anchor) — dialect-portable regexes below, identical
+                  in Java regex, RE2, and Python re. A production
+                  crawler swaps in the DOM walk from
                   :mod:`kernel.html_extract`; the regex form is the
                   deterministic cross-engine contract surface.
+- nofollow     := the anchor's ``rel="…"`` value contains the
+                  ``nofollow`` token; edges survive by default (the
+                  auditable column travels), drop them with
+                  ``respect_nofollow=True`` on the graph builder.
 - absolute only:= links kept iff they start ``http://`` or
                   ``https://`` (case-insensitive). Relative links
                   need base-URL resolution (RFC 3986 §5) which is a
@@ -42,9 +48,14 @@ from pyspark.sql import functions as F
 
 from .urlnorm import host_canonical, registrable_domain
 
-# double-quoted href values; the [^"]* body cannot backtrack across
-# the closing quote in any of the three regex dialects
+# attribute blob of every <a> tag (scoped: <link rel="canonical"
+# href=…> and friends must NOT count as anchors); the [^>]* body
+# cannot backtrack across the tag close in any of the three dialects
+ANCHOR_TAG_RE = "(?i)<a ([^>]*)>"
+# double-quoted href value inside an attribute blob
 ANCHOR_HREF_RE = 'href="([^"]*)"'
+# rel attribute containing the nofollow token (value-scoped)
+NOFOLLOW_RE = '(?i)rel="[^"]*nofollow'
 _ABS_RE = "^(?i)(https?)://"
 
 # CLOSED anchors with their visible text: href value (group 1), any
@@ -75,27 +86,42 @@ def extract_links(
     url_col: str = "url",
 ) -> DataFrame:
     """Page → one row per ABSOLUTE anchor href: (url_col, href,
-    n_links_total) where ``n_links_total`` is the page's raw anchor
-    count including relative links (the auditability column — a page
-    with 400 anchors and 0 absolute ones is a template, not a dead
-    end). Binary HTML columns are decoded as UTF-8 via the string
-    cast, the same pin as the extraction kernel's page reader.
-    Map-only: regex scan + explode, no Python, no exchange."""
-    links = F.expr(
+    nofollow, n_links_total) where ``n_links_total`` is the page's
+    raw ``<a href=…>`` count including relative links (the
+    auditability column — a page with 400 anchors and 0 absolute ones
+    is a template, not a dead end) and ``nofollow`` marks anchors
+    whose ``rel`` value carries the nofollow token (rel="nofollow",
+    rel="ugc nofollow", …) — the hygiene signal PageRank-family
+    consumers honor. Matching is SCOPED to ``<a …>`` attribute blobs:
+    a ``<link rel="canonical" href=…>`` head element is not an anchor
+    and must not mint an edge. Binary HTML columns are decoded as
+    UTF-8 via the string cast, the same pin as the extraction
+    kernel's page reader. Map-only: regex scan + explode, no Python,
+    no exchange."""
+    tags = F.expr(
         f"regexp_extract_all(CAST({html_col} AS STRING), "
-        f"'{ANCHOR_HREF_RE}', 1)"
+        f"'{ANCHOR_TAG_RE}', 1)"
     )
+    # attr blob -> (href, nofollow); blobs without an href drop
     base = df.select(
         F.col(url_col),
-        links.alias("_all"),
+        F.filter(
+            tags, lambda a: F.regexp_extract(a, ANCHOR_HREF_RE, 1) != ""
+        ).alias("_tags"),
     ).select(
         url_col,
-        F.size("_all").cast("long").alias("n_links_total"),
-        F.explode(
-            F.filter(F.col("_all"), lambda h: h.rlike(_ABS_RE))
-        ).alias("href"),
+        F.size("_tags").cast("long").alias("n_links_total"),
+        F.explode("_tags").alias("_a"),
     )
-    return base.select(url_col, "href", "n_links_total")
+    out = base.select(
+        url_col,
+        F.regexp_extract("_a", ANCHOR_HREF_RE, 1).alias("href"),
+        F.col("_a").rlike(NOFOLLOW_RE).alias("nofollow"),
+        "n_links_total",
+    )
+    return out.filter(F.col("href").rlike(_ABS_RE)).select(
+        url_col, "href", "nofollow", "n_links_total"
+    )
 
 
 def host_link_graph(
@@ -103,6 +129,7 @@ def host_link_graph(
     html_col: str = "html",
     url_col: str = "url",
     level: str = "host",
+    respect_nofollow: bool = False,
 ) -> DataFrame:
     """Aggregate pages into the host→host edge list: (src_host,
     dst_host, n_links) with ``n_links`` the raw absolute-anchor count
@@ -115,6 +142,8 @@ def host_link_graph(
     silently merge every broken URL into one mega-node."""
     _key = _host_key(level)
     links = extract_links(df, html_col=html_col, url_col=url_col)
+    if respect_nofollow:
+        links = links.filter(~F.col("nofollow"))
     edges = links.select(
         _key(F.col(url_col)).alias("src_host"),
         _key(F.col("href")).alias("dst_host"),

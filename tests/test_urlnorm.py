@@ -486,3 +486,42 @@ class TestAnchorText:
         assert u.n_anchors == 2 and u.n_anchor_texts == 2
         assert u.top_anchor_text == "alpha"  # tie → lexicographic
         assert "src2.test" not in sig  # self-only target never appears
+
+
+class TestNofollowAndScoping:
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        rows = [
+            (
+                "http://s.test/p",
+                # head <link href> must NOT count as an anchor
+                '<link rel="canonical" href="http://canon.test/c">'
+                '<a href="http://f.test/a">follow</a>'
+                '<a href="http://n.test/b" rel="nofollow">paid</a>'
+                '<a rel="ugc nofollow" href="http://n.test/c">ugc</a>'
+                '<a href="/rel" rel="nofollow">r</a>',
+            ),
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    def test_scoped_and_flagged(self, pages):
+        from table_ocr_spark.operators.linkgraph import extract_links
+
+        rows = extract_links(pages).collect()
+        got = {r.href: r.nofollow for r in rows}
+        assert got == {
+            "http://f.test/a": False,
+            "http://n.test/b": True,
+            "http://n.test/c": True,  # rel before href, multi-token
+        }
+        # n_links_total counts the 4 <a href> tags, not the <link>
+        assert rows[0].n_links_total == 4
+
+    def test_respect_nofollow_graph(self, pages):
+        from table_ocr_spark.operators.linkgraph import host_link_graph
+
+        g = {(r.src_host, r.dst_host) for r in
+             host_link_graph(pages, respect_nofollow=True).collect()}
+        assert g == {("s.test", "f.test")}
+        g2 = {r.dst_host for r in host_link_graph(pages).collect()}
+        assert g2 == {"f.test", "n.test"}
