@@ -150,3 +150,52 @@ class TestSpark:
         out = parse_warc_blobs(df, batch_rows=3)
         assert out.count() == 10
         assert out.where("http_status = 200").count() == 10
+
+    def test_streaming_availablenow_equals_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from table_ocr_spark.sources.warc import read_warc_stream
+
+        src = tmp_path / "bucket"
+        src.mkdir()
+        recs = _mk_records(24)
+        (src / "f0.warc").write_bytes(b"".join(recs[:9]))
+        (src / "f1.warc.gz").write_bytes(gzip_members(recs[9:17]))
+        (src / "f2.warc").write_bytes(b"".join(recs[17:]))
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            q = (
+                read_warc_stream(spark, str(src), max_files_per_trigger=1)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        cols = ["url", "http_status", "h"]
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out_dir)
+            .select("url", "http_status", F.col("html").cast("string").alias("h"))
+            .collect()
+        )
+        batch = sorted(
+            tuple(r)
+            for r in read_warc(spark, str(src) + "/*")
+            .select("url", "http_status", F.col("html").cast("string").alias("h"))
+            .collect()
+        )
+        assert got == batch and len(got) == 24
+
+        # restart over the same checkpoint with no new files: completed
+        # files never re-emit (file-granularity exactly-once)
+        run_once()
+        assert spark.read.parquet(out_dir).count() == 24
+        # a NEW file is picked up incrementally on the next restart
+        (src / "f3.warc").write_bytes(b"".join(_mk_records(3)))
+        run_once()
+        assert spark.read.parquet(out_dir).count() == 27
