@@ -1010,6 +1010,59 @@ def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# robots bodies for the contract corpus — three shapes over hosts
+# rh0..rh7.test (rh8/rh9 carry no robots at all):
+#   A (k%3==0): exact-agent group with a '$'-anchored '*' Allow beating
+#     a shorter Disallow (longest-match + wildcard + end-anchor), plus
+#     a star group that must NOT merge in (exact group exists);
+#   B (k%3==1): star-group fallback, empty 'Disallow:' dropped, longer
+#     Allow prefix beating a shorter Disallow prefix;
+#   C (k%3==2): only a foreign agent's group -> no rules for us.
+ROBOTS_BODY_A = (
+    "User-agent: megabot\nDisallow: /p1/\nAllow: /p1/i*0$\n"
+    "User-agent: *\nDisallow: /p2/\n"
+)
+ROBOTS_BODY_B = "User-agent: *\nDisallow: /p3\nDisallow:\nAllow: /p3/i1\n"
+ROBOTS_BODY_C = "User-agent: other\nDisallow: /\n"
+
+
+def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt allow/deny (operators/robots.py: RFC 9309 parse →
+    rule table → join + longest-match argmax) against closed-form
+    ground truth: urls are constructed per document over 10 hosts
+    whose robots bodies are fixed literals, so the oracle emits the
+    EXPECTED decision directly from the same arithmetic (the
+    url_canonicalize recipe). Covers: longest-match wins, Allow beats
+    Disallow on ties, '*' + '$' patterns, exact-agent group selection
+    over the star group, star fallback, empty Disallow dropped,
+    rule-less hosts and robots-less hosts defaulting to allow."""
+    from table_ocr_spark.operators.robots import (
+        robots_decisions,
+        robots_rules,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://rh"), (did % 10).cast("string"),
+        F.lit(".test/p"), (did % 7).cast("string"),
+        F.lit("/i"), did.cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    bodies = [ROBOTS_BODY_A, ROBOTS_BODY_B, ROBOTS_BODY_C]
+    robots = spark.createDataFrame(
+        [(f"rh{k}.test", bodies[k % 3]) for k in range(8)],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots, agent="megabot")
+    dec = robots_decisions(pages, rules, broadcast_rules=True)
+    return pages.join(dec, "url").select(
+        "doc_id",
+        F.col("allowed").alias("robots_allowed"),
+        F.col("matched_pattern").alias("robots_pattern"),
+    )
+
+
 def q_page_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-range slice on TRUE multi-page documents — the reference's
     actual slice axis (``table_ocr/core.py:187-192``: pages
@@ -1707,9 +1760,13 @@ def q_duplicate_clusters_survivors(
 
 
 def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """url_canonicalize ⊕ registrable_domain, joined on doc_id."""
-    return q_url_canonicalize(spark, sf_dir).join(
-        q_registrable_domain(spark, sf_dir), "doc_id"
+    """url_canonicalize ⊕ registrable_domain ⊕ robots_decisions,
+    joined on doc_id (all three are 1:1 per-document url-identity
+    verdicts; the joins are the only exchanges in the composite)."""
+    return (
+        q_url_canonicalize(spark, sf_dir)
+        .join(q_registrable_domain(spark, sf_dir), "doc_id")
+        .join(q_robots_decisions(spark, sf_dir), "doc_id")
     )
 
 
@@ -2498,6 +2555,31 @@ def oracle_sql() -> dict[str, str]:
           WHEN 3 THEN 'x' || CAST(doc_id AS VARCHAR) || '.foo.kawasaki.jp'
           WHEN 4 THEN 'city.kawasaki.jp'
           ELSE NULL END AS site
+      FROM documents
+    """
+
+    # closed-form robots verdicts, hand-derived from the fixed bodies
+    # (ROBOTS_BODY_A/B/C over hosts rh<doc_id%10>.test, path
+    # /p<doc_id%7>/i<doc_id>): body-A hosts (0,3,6) disallow /p1/ but
+    # allow the longer '/p1/i*0$' (urls whose doc_id ends in 0);
+    # body-B hosts (1,4,7) disallow /p3 but allow the longer /p3/i1
+    # (doc_id starting with '1'); body-C hosts (2,5) and robots-less
+    # hosts (8,9) allow everything with no matched pattern
+    sql["robots_decisions"] = """
+      SELECT doc_id,
+        CASE
+          WHEN doc_id % 10 IN (0,3,6) AND doc_id % 7 = 1
+            THEN doc_id % 10 = 0
+          WHEN doc_id % 10 IN (1,4,7) AND doc_id % 7 = 3
+            THEN CAST(doc_id AS VARCHAR) LIKE '1%'
+          ELSE TRUE END AS robots_allowed,
+        CASE
+          WHEN doc_id % 10 IN (0,3,6) AND doc_id % 7 = 1
+            THEN CASE WHEN doc_id % 10 = 0 THEN '/p1/i*0$' ELSE '/p1/' END
+          WHEN doc_id % 10 IN (1,4,7) AND doc_id % 7 = 3
+            THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                      THEN '/p3/i1' ELSE '/p3' END
+          ELSE NULL END AS robots_pattern
       FROM documents
     """
 
@@ -3553,7 +3635,8 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["url_identity"] = (
         f"SELECT * FROM ({sql.pop('url_canonicalize')}) a "
-        f"JOIN ({sql.pop('registrable_domain')}) b USING (doc_id)"
+        f"JOIN ({sql.pop('registrable_domain')}) b USING (doc_id) "
+        f"JOIN ({sql.pop('robots_decisions')}) c USING (doc_id)"
     )
     sql["usage_cost_rollup"] = (
         "SELECT 'usage' AS variant, event_type AS k, "

@@ -106,6 +106,7 @@ R4_NEW = [
     "warc_extract",
     "page_metadata",
     "normalize_text",
+    "robots_decisions",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -151,6 +152,7 @@ def _bench_queries(em) -> dict:
         "warc_extract": em.q_warc_extract,
         "page_metadata": em.q_page_metadata,
         "normalize_text": em.q_normalize_text,
+        "robots_decisions": em.q_robots_decisions,
     }
     return {**em.queries(), **comp}
 

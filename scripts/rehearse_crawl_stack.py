@@ -12,8 +12,12 @@
   E. ccnet_buckets at 1M docs × 5 langs (per-lang bucket partition).
   F. remove_repeated_paragraphs at 1M docs (every doc sheds exactly
      its one planted boilerplate paragraph).
+  G. robots.txt: rule parse over 10k hosts × 10 rules + allow/deny
+     decisions for 1M urls (closed-form allow split).
+  H. WET sink: write_wet 1M docs → 64 .warc.wet.gz files, read back
+     through read_warc, byte-identity spot check.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|c|d|e|f ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|h ...]
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdef")
+    only = set(sys.argv[2:]) or set("abcdefgh")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -400,6 +404,108 @@ def main() -> int:
               f"({n/t:,.0f} docs/s), exactly one boilerplate paragraph "
               f"dropped per doc, zero leaks")
         docs.unpersist()
+
+    # ------------------------------------------------------ G: robots
+    if "g" in only:
+        from table_ocr_spark.operators.robots import (
+            robots_decisions,
+            robots_rules,
+        )
+
+        n_hosts = 10_000
+        # one star group, 9 prefix Disallows + 1 longer '$'-anchored
+        # Allow that re-admits /p5/ urls (did%20==5 -> did ends in 5)
+        body = (
+            "User-agent: *\n"
+            + "".join(f"Disallow: /p{i}/\n" for i in range(1, 10))
+            + "Allow: /p5/i*5$\n"
+        )
+        robots = (
+            spark.range(n_hosts)
+            .select(
+                F.concat(F.lit("h"), F.col("id").cast("string"),
+                         F.lit(".test")).alias("host"),
+                F.lit(body).alias("robots_txt"),
+            )
+        )
+        urls = base.select(
+            F.concat(
+                F.lit("http://h"), (did % n_hosts).cast("string"),
+                F.lit(".test/p"), (did % 20).cast("string"),
+                F.lit("/i"), did.cast("string"),
+            ).alias("url")
+        ).persist()
+        urls.count()
+        t0 = time.time()
+        rules = robots_rules(robots)
+        dec = robots_decisions(urls, rules)
+        agg = dec.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("allowed").cast("long")).alias("allowed"),
+        ).collect()[0]
+        t = time.time() - t0
+        # allowed iff did%20 in {0,5,10..19}: 12/20 of all urls
+        assert agg.n == n and agg.allowed == n // 20 * 12, agg
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"G: robots_rules+decisions {t:.1f} s over {n:,} urls × "
+              f"{n_hosts:,} hosts × 10 rules ({n/t:,.0f} urls/s), "
+              f"closed-form allow split exact")
+        urls.unpersist()
+
+    # --------------------------------------------------- H: WET sink
+    if "h" in only:
+        from table_ocr_spark.sources.warc import read_warc
+        from table_ocr_spark.sources.wet import write_wet
+
+        pages = base.select(
+            F.concat(F.lit("http://h"), (did % 1000).cast("string"),
+                     F.lit(".test/p"), did.cast("string")).alias("url"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_ts"),
+            F.concat(F.lit("extracted text of document "),
+                     did.cast("string"),
+                     F.lit(" — unicode café, repeated payload words "
+                           "to give the record some mass")).alias("text"),
+        ).persist()
+        pages.count()
+        out = tempfile.mkdtemp(prefix="wet_rehearsal_")
+        try:
+            t0 = time.time()
+            manifest = write_wet(pages, out, n_files=64)
+            t_w = time.time() - t0
+            n_recs = sum(r["n_records"] for r in manifest.collect())
+            n_bytes = sum(r["n_bytes"] for r in manifest.collect())
+            assert n_recs == n, n_recs
+            t0 = time.time()
+            back = read_warc(spark, out + "/*.warc.wet.gz",
+                             warc_types=("conversion",))
+            got = back.agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("html")).alias("octets"),
+            ).collect()[0]
+            t_r = time.time() - t0
+            assert got.n == n, got
+            # byte-identity spot check on a deterministic sample
+            sample = {
+                r["url"]: bytes(r["html"])
+                for r in back.filter(
+                    F.xxhash64("url") % 10_000 == 0
+                ).collect()
+            }
+            want = {
+                r["url"]: r["text"].encode("utf-8")
+                for r in pages.filter(
+                    F.xxhash64("url") % 10_000 == 0
+                ).collect()
+            }
+            assert sample == want and sample
+            print(f"[probe {probe_effective_cores():.1f}/32] "
+                  f"H: write_wet {t_w:.1f} s ({n/t_w:,.0f} docs/s, "
+                  f"{n_bytes/1e6:.0f} MB gz across 64 files), "
+                  f"read-back {t_r:.1f} s ({n/t_r:,.0f} recs/s), "
+                  f"{len(sample)} sampled urls byte-identical")
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        pages.unpersist()
 
     return 0
 

@@ -1,0 +1,175 @@
+"""WET sink: write extracted text back out as Common-Crawl-style
+``conversion`` records (.warc.wet.gz) — the interchange twin of the
+WARC source.
+
+The reference exports its per-document results as JSON files keyed by
+pdf stem (``table_ocr/core.py`` result sink); the crawl-scale
+counterpart of "extracted text, one record per source document" is
+Common Crawl's WET layout: WARC/1.0 files whose records are
+``WARC-Type: conversion``, ``Content-Type: text/plain``, one per
+source url, each record an independent gzip member. Emitting that
+layout means the pipeline's output is directly consumable by every
+tool that already reads CC WET files — and round-trips through our own
+:func:`~table_ocr_spark.sources.warc.read_warc` (pinned in tests:
+write_wet → read_warc(warc_types=("conversion",)) recovers url, ts
+and text BYTES exactly).
+
+Record grammar (the same pinned WARC/1.0 subset the parser consumes —
+``sources/warc.py`` module doc):
+
+    WARC/1.0\r\n
+    WARC-Type: conversion\r\n
+    WARC-Target-URI: <url>\r\n
+    WARC-Date: <iso8601>\r\n
+    Content-Type: text/plain\r\n
+    Content-Length: <octets of utf-8 text>\r\n
+    \r\n
+    <utf-8 text>
+    \r\n\r\n
+
+Scale shape (100-TB argument):
+- One exchange total: rows are bucketed ``file_id = pmod(xxhash64(url),
+  n_files)`` and hash-repartitioned on that key, so each output file's
+  records land in exactly one task; a task streams its rows straight
+  into per-file gzip appenders (gzip members concatenate, so a file is
+  written incrementally — never materialized in memory).
+- Output is DETERMINISTIC for a fixed ``n_files``: membership is a
+  pure url-hash, rows are sorted by (url, warc_ts) within the
+  partition, and gzip mtime is pinned to 0 — re-running the job
+  byte-reproduces every file, which makes the sink idempotent under
+  the lineage/resume contract (a re-written file is identical, not a
+  near-duplicate).
+- ``n_files`` is the write-parallelism knob — size it like CC does
+  (~1 GB per file) so the file stays the partition grain for every
+  downstream reader.
+- Writes go through ``open()`` on a task-local path here (this
+  sandbox's filesystem); on a real cluster point ``path`` at a
+  cluster-visible mount or swap ``_open_sink`` for an
+  fsspec/Hadoop-FS opener — the record/bucketing logic is the
+  portable part.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WET_HDR_END = b"\r\n\r\n"
+
+
+def wet_record_bytes(url: str, ts_iso: str, text: str) -> bytes:
+    """One ``conversion`` record (uncompressed). Python twin used by
+    both the write kernel and tests — single source of the grammar,
+    same contract style as ``build_warc_record``."""
+    body = text.encode("utf-8")
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        + f"WARC-Date: {ts_iso}\r\n".encode("ascii")
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode("ascii")
+        + b"\r\n"
+    )
+    return head + body + _WET_HDR_END
+
+
+_WRITE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    n_files: int = 8,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write ``df`` as ``n_files`` deterministic ``.warc.wet.gz``
+    files under ``path``; returns the per-file manifest
+    (file, n_records, n_bytes) — an eagerly-materialized ACTION (the
+    write happens before this returns), with the manifest doubling as
+    the lineage row source for the resume contract.
+
+    Timestamps are emitted in the WARC ISO-8601 Z form; ``ts_col``
+    may be a timestamp or an already-formatted string.
+    """
+    if n_files <= 0:
+        raise ValueError(f"n_files must be positive, got {n_files}")
+    os.makedirs(path, exist_ok=True)
+
+    ts = F.col(ts_col)
+    ts_str = (
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if isinstance(df.schema[ts_col].dataType, T.TimestampType)
+        else ts.cast("string")
+    )
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files)).alias("_fid"),
+        F.col(url_col).alias("_url"),
+        ts_str.alias("_ts"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def _write(batches) -> Iterator:
+        import pandas as pd
+
+        # One gzip appender per file_id seen in this task. Hash
+        # repartitioning puts ALL rows of a file_id in one task, but a
+        # task may own several file_ids (n_files > shuffle partitions,
+        # or hash collisions) — accumulate per file across batches and
+        # close at iterator exhaustion (the multi-batch-group lesson
+        # from the tiered rehearsal writer).
+        handles: dict = {}
+        counts: dict = {}
+        sizes: dict = {}
+        for pdf in batches:
+            for fid, url, ts_v, text in zip(
+                pdf["_fid"], pdf["_url"], pdf["_ts"], pdf["_text"]
+            ):
+                fid = int(fid)
+                if fid not in handles:
+                    fname = os.path.join(
+                        path, f"part-{fid:05d}.warc.wet.gz"
+                    )
+                    handles[fid] = open(fname, "wb")
+                    counts[fid] = 0
+                    sizes[fid] = 0
+                rec = gzip.compress(
+                    wet_record_bytes(
+                        url, ts_v, "" if text is None else text
+                    ),
+                    mtime=0,
+                )
+                handles[fid].write(rec)
+                counts[fid] += 1
+                sizes[fid] += len(rec)
+        out = []
+        for fid, fh in handles.items():
+            fh.close()
+            out.append(
+                (f"part-{fid:05d}.warc.wet.gz", counts[fid], sizes[fid])
+            )
+        yield pd.DataFrame(out, columns=["file", "n_records", "n_bytes"])
+
+    manifest = (
+        rows.repartition(n_files, "_fid")
+        .sortWithinPartitions("_url", "_ts")
+        .mapInPandas(_write, _WRITE_SCHEMA)
+    )
+    # Materialize NOW (localCheckpoint would cache; a bounded collect
+    # is fine — the manifest is n_files rows) and return a small frame.
+    recs = manifest.collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(recs, _WRITE_SCHEMA)

@@ -1,0 +1,176 @@
+"""robots.txt stack: RFC 9309 parse semantics, pattern-regex
+portability, and the join+argmax decision operator.
+
+Reference parity: the reference ingests only user uploads
+(table_ocr/core.py) — politeness is the capability its crawl-fed
+production analogue (BASELINE.json north rule) needs before any fetch.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark.operators.robots import (
+    filter_robots_allowed,
+    parse_robots_body,
+    robots_decisions,
+    robots_pattern_regex,
+    robots_rules,
+    robots_sitemaps,
+    url_path_query,
+)
+
+BODY = """\
+# crawl policy
+User-agent: megabot
+Disallow: /private/
+Allow: /private/ok$
+
+User-agent: *
+Disallow: /tmp/*
+Disallow:
+Sitemap: http://h.test/sitemap.xml
+
+User-agent: MegaBot
+Disallow: /extra
+"""
+
+
+class TestParse:
+    def test_exact_agent_merges_groups_case_insensitive(self):
+        rules, maps = parse_robots_body(BODY, "MEGABOT")
+        assert rules == [
+            ("/private/", False),
+            ("/private/ok$", True),
+            ("/extra", False),
+        ]
+        assert maps == ["http://h.test/sitemap.xml"]
+
+    def test_star_fallback_and_empty_disallow(self):
+        rules, _ = parse_robots_body(BODY, "otherbot")
+        assert rules == [("/tmp/*", False)]  # empty Disallow: not a rule
+
+    def test_rules_before_any_group_dropped(self):
+        rules, _ = parse_robots_body("Disallow: /x\nUser-agent: *\nAllow: /y", "b")
+        assert rules == [("/y", True)]
+
+    def test_max_rules_cap_in_file_order(self):
+        body = "User-agent: *\n" + "\n".join(
+            f"Disallow: /p{i}" for i in range(10)
+        )
+        rules, _ = parse_robots_body(body, "b", max_rules=3)
+        assert [p for p, _ in rules] == ["/p0", "/p1", "/p2"]
+
+
+class TestPatternRegex:
+    @pytest.mark.parametrize(
+        "pattern,path,matches",
+        [
+            ("/private/", "/private/x", True),
+            ("/private/", "/public/private/", False),  # anchored at start
+            ("/tmp/*", "/tmp/a/b", True),
+            ("/a$", "/a", True),
+            ("/a$", "/ab", False),
+            ("/fish*.php", "/fishheads/catfish.php?q=1", True),
+            ("/a.b(+)?", "/a.b(+)?", True),  # metachars literal
+            ("/a.b(+)?", "/aXbYYY", False),
+        ],
+    )
+    def test_python_semantics(self, pattern, path, matches):
+        rx = robots_pattern_regex(pattern)
+        assert bool(re.search(rx, path)) == matches
+
+    def test_spark_rlike_parity(self, spark):
+        pats = ["/tmp/*", "/a$", "/a.b(+)?", "/fish*.php", "/w[1]{2}"]
+        paths = ["/tmp/x", "/a", "/ab", "/a.b(+)?", "/fish1.php", "/w[1]{2}", "/"]
+        rows = [(p, q) for p in pats for q in paths]
+        df = spark.createDataFrame(rows, "pattern string, path string").select(
+            "pattern", "path",
+            F.regexp_like(
+                F.col("path"), F.udf(robots_pattern_regex)("pattern")
+            ).alias("m"),
+        )
+        for r in df.collect():
+            want = bool(re.search(robots_pattern_regex(r["pattern"]), r["path"]))
+            assert r["m"] == want, (r["pattern"], r["path"])
+
+
+class TestDecisions:
+    def _frames(self, spark):
+        robots = spark.createDataFrame(
+            [("h1.test", BODY), ("h2.test", "User-agent: *\nDisallow: /")],
+            "host string, robots_txt string",
+        )
+        rules = robots_rules(robots, agent="megabot")
+        pages = spark.createDataFrame(
+            [
+                ("http://h1.test/private/x",),   # disallowed
+                ("http://h1.test/private/ok",),  # allow rule longer -> allowed
+                ("http://h1.test/else",),        # no rule matches -> allowed
+                ("http://h2.test/any",),         # blanket disallow
+                ("http://h3.test/any",),         # no robots at all -> allowed
+            ],
+            "url string",
+        )
+        return pages, rules
+
+    def test_longest_match_and_defaults(self, spark):
+        pages, rules = self._frames(spark)
+        dec = {r["url"]: r["allowed"] for r in robots_decisions(pages, rules).collect()}
+        assert dec == {
+            "http://h1.test/private/x": False,
+            "http://h1.test/private/ok": True,
+            "http://h1.test/else": True,
+            "http://h2.test/any": False,
+            "http://h3.test/any": True,
+        }
+
+    def test_allow_wins_length_tie(self, spark):
+        robots = spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /dir/\nAllow: /dirX/")],
+            "host string, robots_txt string",
+        )
+        # craft equal-length patterns matching the same path via *
+        robots = spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /p*\nAllow: /p*")],
+            "host string, robots_txt string",
+        )
+        rules = robots_rules(robots)
+        pages = spark.createDataFrame([("http://h.test/p1",)], "url string")
+        [r] = robots_decisions(pages, rules).collect()
+        assert r["allowed"] is True
+
+    def test_filter_and_broadcast_path(self, spark):
+        pages, rules = self._frames(spark)
+        kept = {
+            r["url"]
+            for r in filter_robots_allowed(
+                pages, rules, broadcast_rules=True
+            ).collect()
+        }
+        assert kept == {
+            "http://h1.test/private/ok",
+            "http://h1.test/else",
+            "http://h3.test/any",
+        }
+
+    def test_sitemaps(self, spark):
+        robots = spark.createDataFrame(
+            [("h1.test", BODY)], "host string, robots_txt string"
+        )
+        assert [
+            (r["host"], r["sitemap_url"])
+            for r in robots_sitemaps(robots).collect()
+        ] == [("h1.test", "http://h.test/sitemap.xml")]
+
+    def test_url_path_query(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("http://h.test",),
+                ("http://h.test/a/b?q=1#frag",),
+                ("https://u@h.test:8080/x",),
+            ],
+            "url string",
+        ).select(url_path_query(F.col("url")).alias("p"))
+        assert [r["p"] for r in df.collect()] == ["/", "/a/b?q=1", "/x"]
