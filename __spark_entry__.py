@@ -1063,6 +1063,72 @@ def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parse (operators/sitemaps.py) against closed-form
+    ground truth: each document synthesizes one sitemap body — a
+    <url> entry with an entity-escaped loc + lastmod, a plain <url>
+    entry without lastmod, a loc-less <url> block (must drop), and on
+    every third doc a nested <sitemapindex>-style <sitemap> entry —
+    then per-doc aggregates pin entry counts, the entity decode
+    (max_loc is the &amp;-escaped url) and lastmod propagation."""
+    from table_ocr_spark.operators.sitemaps import parse_sitemaps
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dids = did.cast("string")
+    body = F.concat(
+        F.lit("<urlset>\n<url><loc> http://sm"), (did % 10).cast("string"),
+        F.lit(".test/u"), dids, F.lit("?a=1&amp;b=2 </loc><lastmod>2026-01-"),
+        F.lpad(((did % 27) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>\n<url><loc>http://sm.test/plain"), dids,
+        F.lit("</loc></url>\n<url><lastmod>2026-02-02</lastmod></url>\n"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<sitemap><loc>http://sm.test/idx"), dids,
+                F.lit(".xml</loc></sitemap>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    sm = docs.select("doc_id", body.alias("sitemap_xml"))
+    parsed = parse_sitemaps(sm, key_cols=("doc_id",))
+    return parsed.groupBy("doc_id").agg(
+        F.sum((F.col("kind") == "url").cast("long")).alias("n_sitemap_urls"),
+        F.sum((F.col("kind") == "sitemap").cast("long")).alias(
+            "n_nested_sitemaps"
+        ),
+        F.max("loc").alias("max_loc"),
+        F.max("lastmod").alias("max_lastmod"),
+    )
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch plan (operators/frontier.py) over the robots
+    synth urls: per-host 0-based fetch sequence (deterministic url
+    order) and eta = seq * delay. ``worker`` (host-sticky
+    pmod(xxhash64)) is covered by pytest, not the oracle — DuckDB has
+    no xxhash64 twin; everything else is a window DuckDB reproduces
+    exactly."""
+    from table_ocr_spark.operators.frontier import plan_fetches
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://rh"), (did % 10).cast("string"),
+        F.lit(".test/p"), (did % 7).cast("string"),
+        F.lit("/i"), did.cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    plan = plan_fetches(pages, delay_s=2.0, workers=8)
+    return pages.join(plan, "url").select(
+        "doc_id",
+        F.col("host").alias("fetch_host"),
+        F.col("seq").alias("fetch_seq"),
+        F.col("eta_s").alias("fetch_eta_s"),
+    )
+
+
 def q_page_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-range slice on TRUE multi-page documents — the reference's
     actual slice axis (``table_ocr/core.py:187-192``: pages
@@ -1760,13 +1826,16 @@ def q_duplicate_clusters_survivors(
 
 
 def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """url_canonicalize ⊕ registrable_domain ⊕ robots_decisions,
-    joined on doc_id (all three are 1:1 per-document url-identity
-    verdicts; the joins are the only exchanges in the composite)."""
+    """url_canonicalize ⊕ registrable_domain ⊕ robots_decisions ⊕
+    sitemap_digest ⊕ crawl_frontier, joined on doc_id (each leg is a
+    1:1 per-document url/crawl-identity verdict; the joins are the
+    only exchanges in the composite)."""
     return (
         q_url_canonicalize(spark, sf_dir)
         .join(q_registrable_domain(spark, sf_dir), "doc_id")
         .join(q_robots_decisions(spark, sf_dir), "doc_id")
+        .join(q_sitemap_digest(spark, sf_dir), "doc_id")
+        .join(q_crawl_frontier(spark, sf_dir), "doc_id")
     )
 
 
@@ -2581,6 +2650,44 @@ def oracle_sql() -> dict[str, str]:
                       THEN '/p3/i1' ELSE '/p3' END
           ELSE NULL END AS robots_pattern
       FROM documents
+    """
+
+    # closed-form sitemap-digest expectations from the fixed per-doc
+    # synthesis (q_sitemap_digest): 2 url entries (the loc-less block
+    # drops), a nested <sitemap> on every third doc, max_loc is always
+    # the entity-escaped entry ('sm<digit>' > 'sm.' bytewise) with
+    # &amp; decoded and whitespace trimmed, and the only lastmod is
+    # the first entry's
+    sql["sitemap_digest"] = """
+      SELECT doc_id,
+             CAST(2 AS BIGINT) AS n_sitemap_urls,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_nested_sitemaps,
+             'http://sm' || CAST(doc_id % 10 AS VARCHAR) || '.test/u' ||
+               CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS max_loc,
+             '2026-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+               AS max_lastmod
+      FROM documents
+    """
+
+    # frontier plan over the robots synth urls: per-host 0-based
+    # fetch order (url-lexicographic; identical binary collation in
+    # both engines for these ASCII urls), eta = seq * 2.0
+    sql["crawl_frontier"] = """
+      SELECT doc_id, host AS fetch_host,
+             CAST(rn - 1 AS BIGINT) AS fetch_seq,
+             CAST((rn - 1) * 2.0 AS DOUBLE) AS fetch_eta_s
+      FROM (
+        SELECT doc_id, host, url,
+               ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rn
+        FROM (
+          SELECT doc_id,
+                 'rh' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS host,
+                 'http://rh' || CAST(doc_id % 10 AS VARCHAR) ||
+                 '.test/p' || CAST(doc_id % 7 AS VARCHAR) ||
+                 '/i' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents)
+      )
     """
 
     # closed-form multipage construction (docpages.documents_as_multipage):
@@ -3636,7 +3743,9 @@ def oracle_sql() -> dict[str, str]:
     sql["url_identity"] = (
         f"SELECT * FROM ({sql.pop('url_canonicalize')}) a "
         f"JOIN ({sql.pop('registrable_domain')}) b USING (doc_id) "
-        f"JOIN ({sql.pop('robots_decisions')}) c USING (doc_id)"
+        f"JOIN ({sql.pop('robots_decisions')}) c USING (doc_id) "
+        f"JOIN ({sql.pop('sitemap_digest')}) d USING (doc_id) "
+        f"JOIN ({sql.pop('crawl_frontier')}) e USING (doc_id)"
     )
     sql["usage_cost_rollup"] = (
         "SELECT 'usage' AS variant, event_type AS k, "

@@ -107,6 +107,8 @@ R4_NEW = [
     "page_metadata",
     "normalize_text",
     "robots_decisions",
+    "sitemap_digest",
+    "crawl_frontier",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -153,6 +155,8 @@ def _bench_queries(em) -> dict:
         "page_metadata": em.q_page_metadata,
         "normalize_text": em.q_normalize_text,
         "robots_decisions": em.q_robots_decisions,
+        "sitemap_digest": em.q_sitemap_digest,
+        "crawl_frontier": em.q_crawl_frontier,
     }
     return {**em.queries(), **comp}
 

@@ -1,0 +1,85 @@
+"""Crawl-frontier politeness scheduling — turn a url set into a
+fetch plan that honors per-host rate limits.
+
+The reference rate-limits its single API loop to ≤0.25 pages/s
+(``table_ocr/core.py:66-67``); a crawl-fed pipeline (BASELINE.json
+north rule) must rate-limit PER HOST instead — the constraint is the
+remote server, not the executor. This module assigns every url a
+per-host fetch sequence number and a host-sticky worker, which is the
+whole politeness contract expressed as data:
+
+- ``seq`` — the url's position in its host's fetch order (0-based;
+  deterministic: priority desc, then url). Fetching host h's url k at
+  time ``k * delay_s`` can never exceed one request per ``delay_s``
+  to h, regardless of how many workers the cluster runs.
+- ``worker`` — ``pmod(xxhash64(host), workers)``: all of a host's
+  urls land on ONE worker, so the per-host spacing is enforceable
+  locally with a monotone clock; no cross-worker coordination.
+- ``eta_s`` — ``seq * delay_s``: the politeness LOWER BOUND on fetch
+  time. A worker serving many hosts interleaves them and may fetch
+  later than eta (worker capacity), never earlier (politeness).
+
+Scale shape (100-TB argument): one exchange (the per-host window's
+hash partitioning on host) and a within-partition sort; window state
+is a single running counter per host — no full materialization. Host
+skew is the point, not a hazard: a 10M-url host is exactly the host
+politeness serializes anyway, and ``max_per_host`` caps the tail
+(frontier budgeting — CC caps per-host harvest the same way). The
+fetch loop itself is I/O outside this engine; the plan is its input.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .urlnorm import host_canonical
+
+
+def plan_fetches(
+    df: DataFrame,
+    url_col: str = "url",
+    delay_s: float = 1.0,
+    workers: int = 64,
+    priority_col: Optional[str] = None,
+    max_per_host: Optional[int] = None,
+) -> DataFrame:
+    """Distinct urls of ``df`` → ``(url, host, seq, worker, eta_s)``
+    fetch plan (see module doc for the politeness semantics).
+
+    ``priority_col`` (higher first; NULLs last) orders urls within a
+    host — e.g. a sitemap ``lastmod`` recency score or a link-graph
+    authority; ties and the default fall back to url order so the
+    plan is deterministic. ``max_per_host`` drops urls whose ``seq``
+    reaches the cap (per-host frontier budget).
+    """
+    if workers <= 0:
+        raise ValueError(f"workers must be positive, got {workers}")
+    if delay_s < 0:
+        raise ValueError(f"delay_s must be >= 0, got {delay_s}")
+    cols = ["url"] if priority_col is None else ["url", priority_col]
+    urls = (
+        df.select(F.col(url_col).alias("url"), *[
+            F.col(c) for c in cols[1:]
+        ])
+        .dropDuplicates(["url"])
+        .withColumn("host", host_canonical(F.col("url")))
+    )
+    order = (
+        [F.col(priority_col).desc_nulls_last(), F.col("url")]
+        if priority_col is not None
+        else [F.col("url")]
+    )
+    w = Window.partitionBy("host").orderBy(*order)
+    out = urls.withColumn("seq", F.row_number().over(w) - F.lit(1))
+    if max_per_host is not None:
+        out = out.filter(F.col("seq") < F.lit(max_per_host))
+    return out.select(
+        "url",
+        "host",
+        F.col("seq").cast("long").alias("seq"),
+        F.pmod(F.xxhash64("host"), F.lit(workers)).alias("worker"),
+        (F.col("seq") * F.lit(float(delay_s))).alias("eta_s"),
+    )
