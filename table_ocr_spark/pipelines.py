@@ -116,6 +116,127 @@ def ingest_crawl(
     )
 
 
+@dataclass
+class FrontierReport:
+    n_pages: int
+    n_links: int
+    n_candidates: int
+    n_novel: int
+    n_unblocked: int
+    n_allowed: int
+    n_planned: int
+
+
+def next_frontier(
+    pages: DataFrame,
+    seen_urls: DataFrame = None,
+    robots: DataFrame = None,
+    blocked=None,
+    agent: str = "*",
+    respect_nofollow: bool = True,
+    delay_s: float = 1.0,
+    workers: int = 64,
+    max_per_host: int = None,
+    audit: bool = False,
+):
+    """One full crawl-loop turn: the pages just fetched → the next
+    round's politeness-scheduled fetch plan. This is the composition
+    the round-4 crawl stack exists for:
+
+    1. ``extract_links`` — absolute anchor hrefs (map-only regex;
+       ``respect_nofollow`` drops rel=nofollow edges)
+    2. ``canonical_url`` + distinct — frontier candidates
+    3. anti-join against ``seen_urls`` (column ``url``, assumed
+       already canonical — it is this function's own prior output
+       plus the urls already fetched) — only NOVEL urls advance
+    4. ``filter_blocked_hosts`` (optional domain blocklist)
+    5. robots gate (optional ``(host, robots_txt)`` frame →
+       ``robots_rules(agent)`` → ``filter_robots_allowed``)
+    6. ``plan_fetches`` — per-host fetch sequence, host-sticky
+       worker, eta politeness lower bound
+
+    Returns ``(plan, FrontierReport)``. With ``audit=False`` (the
+    default) the whole thing is ONE lazy plan and the report carries
+    -1s except ``n_planned`` is left uncounted too (count it when you
+    consume the plan); ``audit=True`` persists the candidate frame
+    and pays one count per stage — turn it on for crawl-ops
+    dashboards, not for the hot loop.
+
+    Scale shape: stages 1-2 are map-only; 3 is one left-anti join on
+    the canonical url (Bloom-prunable); 4-5 are the bounded-side
+    joins their operators document; 6 is the host window. Nothing
+    collects to the driver."""
+    from table_ocr_spark.operators.frontier import plan_fetches
+    from table_ocr_spark.operators.linkgraph import extract_links
+    from table_ocr_spark.operators.robots import (
+        filter_robots_allowed,
+        robots_rules,
+    )
+    from table_ocr_spark.operators.urlnorm import (
+        canonical_url,
+        filter_blocked_hosts,
+    )
+
+    links = extract_links(pages)
+    if respect_nofollow:
+        links = links.filter(~F.col("nofollow"))
+    candidates = links.select(
+        canonical_url(F.col("href")).alias("url")
+    ).dropDuplicates(["url"])
+
+    counts = {}
+    if audit:
+        candidates = candidates.persist()
+        counts["n_pages"] = pages.count()
+        counts["n_links"] = links.count()
+        counts["n_candidates"] = candidates.count()
+
+    novel = candidates
+    if seen_urls is not None:
+        novel = candidates.join(
+            seen_urls.select("url").dropDuplicates(["url"]),
+            "url",
+            "left_anti",
+        )
+    if audit:
+        novel = novel.persist()
+        counts["n_novel"] = novel.count()
+
+    unblocked = (
+        filter_blocked_hosts(novel, blocked)
+        if blocked is not None
+        else novel
+    )
+    if audit:
+        counts["n_unblocked"] = unblocked.count()
+
+    allowed = unblocked
+    if robots is not None:
+        allowed = filter_robots_allowed(
+            unblocked, robots_rules(robots, agent=agent)
+        )
+    if audit:
+        allowed = allowed.persist()
+        counts["n_allowed"] = allowed.count()
+
+    plan = plan_fetches(
+        allowed,
+        delay_s=delay_s,
+        workers=workers,
+        max_per_host=max_per_host,
+    )
+    report = FrontierReport(
+        n_pages=counts.get("n_pages", -1),
+        n_links=counts.get("n_links", -1),
+        n_candidates=counts.get("n_candidates", -1),
+        n_novel=counts.get("n_novel", -1),
+        n_unblocked=counts.get("n_unblocked", -1),
+        n_allowed=counts.get("n_allowed", -1),
+        n_planned=plan.count() if audit else -1,
+    )
+    return plan, report
+
+
 def build_training_corpus(
     pages: DataFrame,
     minhash_threshold: float = 0.8,

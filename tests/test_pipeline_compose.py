@@ -249,3 +249,91 @@ class TestIngestCrawl:
             == "unique page body 5 with several distinct words alpha5 "
             "beta35 gamma"
         )
+
+
+class TestNextFrontier:
+    """One crawl-loop turn: links out of the fetched pages → novel,
+    unblocked, robots-allowed urls → politeness fetch plan."""
+
+    def _inputs(self, spark):
+        from pyspark.sql import functions as F
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "http://a.test/start",
+                    '<a href="http://new.test/x">n</a>'
+                    '<a href="http://new.test/x#frag">dup-after-canon</a>'
+                    '<a href="http://seen.test/old">seen</a>'
+                    '<a href="http://ads.bad/banner">blocked</a>'
+                    '<a href="http://poli.test/private/x">disallowed</a>'
+                    '<a href="http://poli.test/ok">allowed</a>'
+                    '<a href="http://spam.test/u" rel="nofollow">nf</a>'
+                    '<a href="/relative">rel</a>',
+                ),
+                ("http://b.test/start", '<a href="http://new.test/y">m</a>'),
+            ],
+            "url string, html string",
+        )
+        seen = spark.createDataFrame(
+            [("http://seen.test/old",)], "url string"
+        )
+        robots = spark.createDataFrame(
+            [("poli.test", "User-agent: *\nDisallow: /private/")],
+            "host string, robots_txt string",
+        )
+        return pages, seen, robots
+
+    def test_full_loop(self, spark):
+        from table_ocr_spark.pipelines import next_frontier
+
+        pages, seen, robots = self._inputs(spark)
+        plan, rep = next_frontier(
+            pages,
+            seen_urls=seen,
+            robots=robots,
+            blocked=["ads.bad"],
+            delay_s=3.0,
+            workers=4,
+            audit=True,
+        )
+        rows = {r["url"]: r for r in plan.collect()}
+        assert set(rows) == {
+            "http://new.test/x",
+            "http://new.test/y",
+            "http://poli.test/ok",
+        }
+        # per-host seq + eta: new.test has two urls in url order
+        assert rows["http://new.test/x"]["seq"] == 0
+        assert rows["http://new.test/y"]["seq"] == 1
+        assert rows["http://new.test/y"]["eta_s"] == 3.0
+        assert (
+            rows["http://new.test/x"]["worker"]
+            == rows["http://new.test/y"]["worker"]
+        )
+        # audit counts: 8 absolute anchors across both pages, 1
+        # nofollow dropped, the #frag dup collapses after
+        # canonicalization, then seen/blocked/disallowed drop one each
+        assert rep.n_pages == 2
+        assert rep.n_links == 7
+        assert rep.n_candidates == 6
+        assert rep.n_novel == 5
+        assert rep.n_unblocked == 4
+        assert rep.n_allowed == 3
+        assert rep.n_planned == 3
+
+    def test_lazy_default_builds_one_plan(self, spark):
+        from table_ocr_spark.pipelines import next_frontier
+
+        pages, seen, robots = self._inputs(spark)
+        plan, rep = next_frontier(pages, seen_urls=seen, robots=robots)
+        assert rep.n_planned == -1 and rep.n_links == -1
+        assert plan.count() == 4  # no blocklist: ads.bad stays
+        # loop closure: feeding the plan back as seen_urls yields
+        # nothing new from the same pages
+        plan2, _ = next_frontier(
+            pages,
+            seen_urls=plan.select("url").union(seen.select("url")),
+            robots=robots,
+        )
+        assert plan2.count() == 0
