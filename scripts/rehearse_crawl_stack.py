@@ -16,8 +16,12 @@
      decisions for 1M urls (closed-form allow split).
   H. WET sink: write_wet 1M docs → 64 .warc.wet.gz files, read back
      through read_warc, byte-identity spot check.
+  I. sitemap parse: 1M sitemap bodies × 11 entries (urlset + nested
+     index + entity-escaped locs), closed-form entry counts.
+  J. frontier plan: 1M urls over 100k hosts (Zipf-ish sizes via a
+     quadratic host map), per-host seq/eta closed-form asserts.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|h ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|j ...]
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefgh")
+    only = set(sys.argv[2:]) or set("abcdefghij")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -506,6 +510,88 @@ def main() -> int:
         finally:
             shutil.rmtree(out, ignore_errors=True)
         pages.unpersist()
+
+    # ---------------------------------------------------- I: sitemaps
+    if "i" in only:
+        from table_ocr_spark.operators.sitemaps import parse_sitemaps
+
+        dids = did.cast("string")
+        entry = F.concat(
+            F.lit("<url><loc>http://s"), dids, F.lit(".test/u"),
+        )
+        body = F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(9)),
+                    lambda i: F.concat(
+                        entry, i.cast("string"),
+                        F.lit("?a=1&amp;b=2</loc><lastmod>2026-01-0"),
+                        (i % 9 + 1).cast("string"),
+                        F.lit("</lastmod></url>"),
+                    ),
+                ),
+            ),
+            F.lit("<sitemap><loc>http://s"), dids,
+            F.lit(".test/idx.xml</loc></sitemap></urlset>"),
+        )
+        sm = base.select("doc_id", body.alias("sitemap_xml")).persist()
+        sm.count()
+        t0 = time.time()
+        agg = parse_sitemaps(sm, key_cols=("doc_id",)).agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("kind") == "url").cast("long")).alias("n_urls"),
+            F.sum(F.contains(F.col("loc"), F.lit("&b=2")).cast("long"))
+            .alias("n_decoded"),
+        ).collect()[0]
+        t = time.time() - t0
+        assert agg.n == 11 * n and agg.n_urls == 10 * n, agg
+        assert agg.n_decoded == 10 * n, agg
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"I: parse_sitemaps {t:.1f} s over {n:,} bodies × 11 "
+              f"entries ({11*n/t:,.0f} entries/s), counts + entity "
+              f"decode closed-form exact")
+        sm.unpersist()
+
+    # ---------------------------------------------------- J: frontier
+    if "j" in only:
+        from table_ocr_spark.operators.frontier import plan_fetches
+
+        n_hosts = 100_000
+        # quadratic map -> host sizes ramp from ~1 to ~2n/n_hosts urls
+        # (a skew stand-in: host 99999 is ~2x the mean, host 0 tiny)
+        host_id = (
+            (did * did % (4 * n)) * n_hosts / (4 * n)
+        ).cast("long")
+        urls = base.select(
+            F.concat(
+                F.lit("http://f"), host_id.cast("string"),
+                F.lit(".test/p"), did.cast("string"),
+            ).alias("url")
+        ).persist()
+        urls.count()
+        t0 = time.time()
+        plan = plan_fetches(urls, delay_s=0.5, workers=256)
+        agg = plan.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("host").alias("hosts"),
+            F.max("seq").alias("max_seq"),
+            F.sum((F.col("eta_s") == F.col("seq") * 0.5).cast("long"))
+            .alias("eta_ok"),
+        ).collect()[0]
+        t = time.time() - t0
+        assert agg.n == n and agg.eta_ok == n, agg
+        # host-sticky workers: every host maps to exactly one worker
+        w_per_host = plan.groupBy("host").agg(
+            F.countDistinct("worker").alias("w")
+        ).agg(F.max("w")).collect()[0][0]
+        assert w_per_host == 1
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"J: plan_fetches {t:.1f} s over {n:,} urls × "
+              f"{agg.hosts:,} hosts ({n/t:,.0f} urls/s), max per-host "
+              f"queue {agg.max_seq + 1}, eta/worker invariants exact")
+        urls.unpersist()
 
     return 0
 
