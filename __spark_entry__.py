@@ -1020,10 +1020,34 @@ def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   C (k%3==2): only a foreign agent's group -> no rules for us.
 ROBOTS_BODY_A = (
     "User-agent: megabot\nDisallow: /p1/\nAllow: /p1/i*0$\n"
-    "User-agent: *\nDisallow: /p2/\n"
+    "Crawl-delay: 4\n"
+    "User-agent: *\nDisallow: /p2/\nCrawl-delay: 9\n"
 )
-ROBOTS_BODY_B = "User-agent: *\nDisallow: /p3\nDisallow:\nAllow: /p3/i1\n"
-ROBOTS_BODY_C = "User-agent: other\nDisallow: /\n"
+ROBOTS_BODY_B = (
+    "User-agent: *\nDisallow: /p3\nDisallow:\nAllow: /p3/i1\n"
+    "Crawl-delay: 1\nCrawl-delay: soon\n"
+)
+ROBOTS_BODY_C = "User-agent: other\nDisallow: /\nCrawl-delay: 7\n"
+
+
+def _robots_synth_frames(spark: SparkSession, sf_dir: str):
+    """Shared synth for the robots/frontier legs: per-doc urls over
+    hosts rh0..rh9 (bodies cycling A/B/C on rh0..rh7; rh8/rh9 have no
+    robots.txt at all)."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://rh"), (did % 10).cast("string"),
+        F.lit(".test/p"), (did % 7).cast("string"),
+        F.lit("/i"), did.cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    bodies = [ROBOTS_BODY_A, ROBOTS_BODY_B, ROBOTS_BODY_C]
+    robots = spark.createDataFrame(
+        [(f"rh{k}.test", bodies[k % 3]) for k in range(8)],
+        "host string, robots_txt string",
+    )
+    return pages, robots
 
 
 def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,19 +1065,7 @@ def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_rules,
     )
 
-    docs = _read(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    url = F.concat(
-        F.lit("http://rh"), (did % 10).cast("string"),
-        F.lit(".test/p"), (did % 7).cast("string"),
-        F.lit("/i"), did.cast("string"),
-    )
-    pages = docs.select("doc_id", url.alias("url"))
-    bodies = [ROBOTS_BODY_A, ROBOTS_BODY_B, ROBOTS_BODY_C]
-    robots = spark.createDataFrame(
-        [(f"rh{k}.test", bodies[k % 3]) for k in range(8)],
-        "host string, robots_txt string",
-    )
+    pages, robots = _robots_synth_frames(spark, sf_dir)
     rules = robots_rules(robots, agent="megabot")
     dec = robots_decisions(pages, rules, broadcast_rules=True)
     return pages.join(dec, "url").select(
@@ -1106,25 +1118,32 @@ def q_sitemap_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness fetch plan (operators/frontier.py) over the robots
     synth urls: per-host 0-based fetch sequence (deterministic url
-    order) and eta = seq * delay. ``worker`` (host-sticky
-    pmod(xxhash64)) is covered by pytest, not the oracle — DuckDB has
-    no xxhash64 twin; everything else is a window DuckDB reproduces
-    exactly."""
+    order) and eta = seq * the host's EFFECTIVE delay —
+    ``robots_crawl_delays`` feeds ``host_delays``, so body-A hosts'
+    megabot ``Crawl-delay: 4`` raises the 2.0 floor to 4.0 (and NOT
+    the star group's 9 — group selection), body-B hosts' star delay 1
+    stays floored at 2.0 (the malformed ``Crawl-delay: soon`` line is
+    ignored), body-C (foreign-group-only) and robots-less hosts keep
+    the 2.0 default. ``worker`` (host-sticky pmod(xxhash64)) is
+    covered by pytest, not the oracle — DuckDB has no xxhash64 twin;
+    everything else is a window DuckDB reproduces exactly."""
     from table_ocr_spark.operators.frontier import plan_fetches
+    from table_ocr_spark.operators.robots import robots_crawl_delays
 
-    docs = _read(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    url = F.concat(
-        F.lit("http://rh"), (did % 10).cast("string"),
-        F.lit(".test/p"), (did % 7).cast("string"),
-        F.lit("/i"), did.cast("string"),
+    pages, robots = _robots_synth_frames(spark, sf_dir)
+    delays = robots_crawl_delays(robots, agent="megabot")
+    plan = plan_fetches(
+        pages,
+        delay_s=2.0,
+        workers=8,
+        host_delays=delays,
+        broadcast_delays=True,
     )
-    pages = docs.select("doc_id", url.alias("url"))
-    plan = plan_fetches(pages, delay_s=2.0, workers=8)
     return pages.join(plan, "url").select(
         "doc_id",
         F.col("host").alias("fetch_host"),
         F.col("seq").alias("fetch_seq"),
+        F.col("delay_s").alias("fetch_delay_s"),
         F.col("eta_s").alias("fetch_eta_s"),
     )
 
@@ -2672,13 +2691,19 @@ def oracle_sql() -> dict[str, str]:
 
     # frontier plan over the robots synth urls: per-host 0-based
     # fetch order (url-lexicographic; identical binary collation in
-    # both engines for these ASCII urls), eta = seq * 2.0
+    # both engines for these ASCII urls), eta = seq * the effective
+    # delay — body-A hosts (0,3,6) declare megabot Crawl-delay 4
+    # (raising the 2.0 floor); every other host (star delay 1 floored,
+    # foreign-group-only, robots-less) keeps 2.0
     sql["crawl_frontier"] = """
       SELECT doc_id, host AS fetch_host,
              CAST(rn - 1 AS BIGINT) AS fetch_seq,
-             CAST((rn - 1) * 2.0 AS DOUBLE) AS fetch_eta_s
+             CAST(delay AS DOUBLE) AS fetch_delay_s,
+             CAST((rn - 1) * delay AS DOUBLE) AS fetch_eta_s
       FROM (
         SELECT doc_id, host, url,
+               CASE WHEN doc_id % 10 IN (0,3,6) THEN 4.0 ELSE 2.0 END
+                 AS delay,
                ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rn
         FROM (
           SELECT doc_id,

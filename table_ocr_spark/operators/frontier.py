@@ -45,15 +45,27 @@ def plan_fetches(
     workers: int = 64,
     priority_col: Optional[str] = None,
     max_per_host: Optional[int] = None,
+    host_delays: Optional[DataFrame] = None,
+    broadcast_delays: bool = False,
 ) -> DataFrame:
-    """Distinct urls of ``df`` → ``(url, host, seq, worker, eta_s)``
-    fetch plan (see module doc for the politeness semantics).
+    """Distinct urls of ``df`` → ``(url, host, seq, worker, delay_s,
+    eta_s)`` fetch plan (see module doc for the politeness semantics).
 
     ``priority_col`` (higher first; NULLs last) orders urls within a
     host — e.g. a sitemap ``lastmod`` recency score or a link-graph
     authority; ties and the default fall back to url order so the
     plan is deterministic. ``max_per_host`` drops urls whose ``seq``
     reaches the cap (per-host frontier budget).
+
+    ``host_delays`` — an optional ``(host, crawl_delay)`` frame
+    (``robots.robots_crawl_delays`` output shape): each host's
+    effective delay becomes ``max(delay_s, crawl_delay)`` — the
+    caller's ``delay_s`` is a FLOOR, so a site's robots Crawl-delay
+    can slow the crawler below its default rate but never authorize
+    exceeding it; hosts absent from the frame keep ``delay_s``. One
+    extra equi-join on host (the delays side is ≤1 row per host that
+    DECLARES a delay — broadcast-eligible for curated sets via
+    ``broadcast_delays``, hash join at crawl scale).
     """
     if workers <= 0:
         raise ValueError(f"workers must be positive, got {workers}")
@@ -67,6 +79,24 @@ def plan_fetches(
         .dropDuplicates(["url"])
         .withColumn("host", host_canonical(F.col("url")))
     )
+    delay = F.lit(float(delay_s))
+    if host_delays is not None:
+        d = (
+            host_delays.select(
+                F.col(host_delays.columns[0]).alias("host"),
+                F.col(host_delays.columns[1])
+                .cast("double")
+                .alias("_host_delay"),
+            )
+            # duplicate host rows resolve deterministically (and to the
+            # conservative side): the max declared delay wins
+            .groupBy("host")
+            .agg(F.max("_host_delay").alias("_host_delay"))
+        )
+        if broadcast_delays:
+            d = F.broadcast(d)
+        urls = urls.join(d, "host", "left")
+        delay = F.greatest(delay, F.coalesce("_host_delay", delay))
     order = (
         [F.col(priority_col).desc_nulls_last(), F.col("url")]
         if priority_col is not None
@@ -81,5 +111,6 @@ def plan_fetches(
         "host",
         F.col("seq").cast("long").alias("seq"),
         F.pmod(F.xxhash64("host"), F.lit(workers)).alias("worker"),
-        (F.col("seq") * F.lit(float(delay_s))).alias("eta_s"),
+        delay.alias("delay_s"),
+        (F.col("seq") * delay).alias("eta_s"),
     )

@@ -31,6 +31,16 @@ Pinned RFC 9309 semantics (each deliberate):
   same crawler so encodings agree by construction.
 - ``max_rules`` caps rules kept per host IN FILE ORDER (§2.5 allows
   enforcing a parsing limit; Google's published limit is 500 KiB).
+- ``Crawl-delay`` (not in RFC 9309 but honored by most crawlers, and
+  the directive that closes the robots→frontier loop): group-scoped
+  like rules; the value must parse as a FINITE non-negative number
+  (anything else is ignored — a malformed delay must not stall a
+  host); when merged selected groups declare several delays the
+  MAXIMUM wins (the conservative politeness pin). The harvested
+  per-host delay feeds ``frontier.plan_fetches(host_delays=...)``,
+  where the caller's ``delay_s`` acts as a floor — a site can slow a
+  polite crawler down, never speed it up past the crawler's own
+  default.
 
 Scale shape (100-TB argument):
 
@@ -92,17 +102,24 @@ def robots_pattern_regex(pattern: str) -> str:
 
 def parse_robots_body(
     body: str, agent: str, max_rules: int = 1000
-) -> Tuple[List[Tuple[str, bool]], List[str]]:
+) -> Tuple[List[Tuple[str, bool]], List[str], Optional[float]]:
     """Python reference parser (single source of the grammar — the
     Spark kernel calls THIS; tests fuzz it directly). Returns
-    (rules, sitemaps): rules are (pattern, allow) for the selected
-    agent group(s), sitemaps are Sitemap directive values (which are
-    group-independent per §2.2.4)."""
+    (rules, sitemaps, crawl_delay): rules are (pattern, allow) for
+    the selected agent group(s), sitemaps are Sitemap directive
+    values (which are group-independent per §2.2.4), crawl_delay is
+    the selected group(s)' merged Crawl-delay in seconds (max over
+    merged groups; None when absent/invalid — module-doc pins)."""
+    import math
+
     agent_lc = agent.lower()
-    groups: List[Tuple[List[str], List[Tuple[str, bool]]]] = []
+    groups: List[
+        Tuple[List[str], List[Tuple[str, bool]], Optional[float]]
+    ] = []
     sitemaps: List[str] = []
     cur_agents: List[str] = []
     cur_rules: Optional[List[Tuple[str, bool]]] = None
+    cur_delay: Optional[float] = None
     for raw in body.split("\n"):
         line = raw.split("#", 1)[0].strip().rstrip("\r")
         if not line:
@@ -115,8 +132,8 @@ def parse_robots_body(
         if key == "user-agent":
             if cur_rules is not None:
                 # a rule block ended: previous group closes
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], None
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], None, None
             cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
             if not cur_agents:
@@ -128,18 +145,30 @@ def parse_robots_body(
             if val == "" and key == "allow":
                 continue  # vacuous
             cur_rules.append((val, key == "allow"))
+        elif key == "crawl-delay":
+            if not cur_agents:
+                continue  # group-scoped, like rules
+            if cur_rules is None:
+                cur_rules = []  # opens the rule block: next UA = new group
+            try:
+                d = float(val)
+            except ValueError:
+                continue  # malformed delay must not stall a host
+            if math.isfinite(d) and d >= 0:
+                cur_delay = d if cur_delay is None else max(cur_delay, d)
         elif key == "sitemap":
             if val:
                 sitemaps.append(val)
     if cur_agents:
-        groups.append((cur_agents, cur_rules or []))
+        groups.append((cur_agents, cur_rules or [], cur_delay))
 
-    exact = [r for agents, rs in groups if agent_lc in agents for r in rs]
-    if any(agent_lc in agents for agents, _ in groups):
-        selected = exact
+    if any(agent_lc in agents for agents, _, _ in groups):
+        sel = [g for g in groups if agent_lc in g[0]]
     else:
-        selected = [r for agents, rs in groups if "*" in agents for r in rs]
-    return selected[:max_rules], sitemaps
+        sel = [g for g in groups if "*" in g[0]]
+    selected = [r for _, rs, _ in sel for r in rs]
+    delays = [d for _, _, d in sel if d is not None]
+    return selected[:max_rules], sitemaps, max(delays, default=None)
 
 
 _RULES_SCHEMA = T.StructType(
@@ -159,6 +188,19 @@ _SITEMAP_SCHEMA = T.StructType(
     ]
 )
 
+_DELAY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+    ]
+)
+
+_EMIT_SCHEMAS = {
+    "rules": _RULES_SCHEMA,
+    "sitemaps": _SITEMAP_SCHEMA,
+    "delays": _DELAY_SCHEMA,
+}
+
 
 def _parse_kernel(agent: str, max_rules: int, emit: str):
     import pandas as pd
@@ -169,7 +211,9 @@ def _parse_kernel(agent: str, max_rules: int, emit: str):
             for host, body in zip(pdf["_host"], pdf["_body"]):
                 if body is None:
                     continue
-                rules, maps = parse_robots_body(body, agent, max_rules)
+                rules, maps, delay = parse_robots_body(
+                    body, agent, max_rules
+                )
                 if emit == "rules":
                     for pat, allow in rules:
                         rows.append(
@@ -181,10 +225,13 @@ def _parse_kernel(agent: str, max_rules: int, emit: str):
                                 robots_pattern_regex(pat),
                             )
                         )
+                elif emit == "delays":
+                    if delay is not None:
+                        rows.append((host, delay))
                 else:
                     for sm in maps:
                         rows.append((host, sm))
-            schema = _RULES_SCHEMA if emit == "rules" else _SITEMAP_SCHEMA
+            schema = _EMIT_SCHEMAS[emit]
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return kernel
@@ -202,6 +249,22 @@ def robots_rules(
     return robots.select(
         F.col(host_col).alias("_host"), F.col(body_col).alias("_body")
     ).mapInPandas(_parse_kernel(agent, max_rules, "rules"), _RULES_SCHEMA)
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host Crawl-delay for the selected agent group(s) —
+    (host, crawl_delay double), hosts without a valid declared delay
+    omitted. Map-only; feed the result to
+    ``frontier.plan_fetches(host_delays=...)`` so the fetch plan's
+    eta honors each site's own rate request (module-doc pins)."""
+    return robots.select(
+        F.col(host_col).alias("_host"), F.col(body_col).alias("_body")
+    ).mapInPandas(_parse_kernel(agent, 0, "delays"), _DELAY_SCHEMA)
 
 
 def robots_sitemaps(

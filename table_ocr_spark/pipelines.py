@@ -137,6 +137,7 @@ def next_frontier(
     delay_s: float = 1.0,
     workers: int = 64,
     max_per_host: int = None,
+    respect_crawl_delay: bool = True,
     audit: bool = False,
 ):
     """One full crawl-loop turn: the pages just fetched → the next
@@ -153,7 +154,10 @@ def next_frontier(
     5. robots gate (optional ``(host, robots_txt)`` frame →
        ``robots_rules(agent)`` → ``filter_robots_allowed``)
     6. ``plan_fetches`` — per-host fetch sequence, host-sticky
-       worker, eta politeness lower bound
+       worker, eta politeness lower bound; with ``robots`` given and
+       ``respect_crawl_delay`` (default), each host's declared
+       Crawl-delay raises its effective delay above the ``delay_s``
+       floor (``robots_crawl_delays`` → ``host_delays``)
 
     Returns ``(plan, FrontierReport)``. With ``audit=False`` (the
     default) the whole thing is ONE lazy plan and the report carries
@@ -170,6 +174,7 @@ def next_frontier(
     from table_ocr_spark.operators.linkgraph import extract_links
     from table_ocr_spark.operators.robots import (
         filter_robots_allowed,
+        robots_crawl_delays,
         robots_rules,
     )
     from table_ocr_spark.operators.urlnorm import (
@@ -219,11 +224,17 @@ def next_frontier(
         allowed = allowed.persist()
         counts["n_allowed"] = allowed.count()
 
+    host_delays = (
+        robots_crawl_delays(robots, agent=agent)
+        if robots is not None and respect_crawl_delay
+        else None
+    )
     plan = plan_fetches(
         allowed,
         delay_s=delay_s,
         workers=workers,
         max_per_host=max_per_host,
+        host_delays=host_delays,
     )
     report = FrontierReport(
         n_pages=counts.get("n_pages", -1),

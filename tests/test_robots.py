@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from table_ocr_spark.operators.robots import (
     filter_robots_allowed,
     parse_robots_body,
+    robots_crawl_delays,
     robots_decisions,
     robots_pattern_regex,
     robots_rules,
@@ -26,10 +27,12 @@ BODY = """\
 User-agent: megabot
 Disallow: /private/
 Allow: /private/ok$
+Crawl-delay: 2.5
 
 User-agent: *
 Disallow: /tmp/*
 Disallow:
+Crawl-delay: 10
 Sitemap: http://h.test/sitemap.xml
 
 User-agent: MegaBot
@@ -39,28 +42,61 @@ Disallow: /extra
 
 class TestParse:
     def test_exact_agent_merges_groups_case_insensitive(self):
-        rules, maps = parse_robots_body(BODY, "MEGABOT")
+        rules, maps, delay = parse_robots_body(BODY, "MEGABOT")
         assert rules == [
             ("/private/", False),
             ("/private/ok$", True),
             ("/extra", False),
         ]
         assert maps == ["http://h.test/sitemap.xml"]
+        # the STAR group's Crawl-delay: 10 must not leak into megabot
+        assert delay == 2.5
 
     def test_star_fallback_and_empty_disallow(self):
-        rules, _ = parse_robots_body(BODY, "otherbot")
+        rules, _, delay = parse_robots_body(BODY, "otherbot")
         assert rules == [("/tmp/*", False)]  # empty Disallow: not a rule
+        assert delay == 10.0
 
     def test_rules_before_any_group_dropped(self):
-        rules, _ = parse_robots_body("Disallow: /x\nUser-agent: *\nAllow: /y", "b")
+        rules, _, _ = parse_robots_body(
+            "Disallow: /x\nUser-agent: *\nAllow: /y", "b"
+        )
         assert rules == [("/y", True)]
 
     def test_max_rules_cap_in_file_order(self):
         body = "User-agent: *\n" + "\n".join(
             f"Disallow: /p{i}" for i in range(10)
         )
-        rules, _ = parse_robots_body(body, "b", max_rules=3)
+        rules, _, _ = parse_robots_body(body, "b", max_rules=3)
         assert [p for p, _ in rules] == ["/p0", "/p1", "/p2"]
+
+    @pytest.mark.parametrize(
+        "body,agent,want",
+        [
+            # merged groups: conservative max wins
+            (
+                "User-agent: a\nCrawl-delay: 3\n"
+                "User-agent: a\nCrawl-delay: 1",
+                "a",
+                3.0,
+            ),
+            # malformed / negative / non-finite values ignored
+            ("User-agent: *\nCrawl-delay: fast", "a", None),
+            ("User-agent: *\nCrawl-delay: -1", "a", None),
+            ("User-agent: *\nCrawl-delay: inf", "a", None),
+            ("User-agent: *\nCrawl-delay: nan", "a", None),
+            # group-scoped: a delay before any User-agent is dropped
+            ("Crawl-delay: 5\nUser-agent: *\nDisallow: /x", "a", None),
+            # delay line OPENS the rule block: the next User-agent
+            # starts a new group, so the second group's rules don't
+            # merge into the first
+            ("User-agent: a\nCrawl-delay: 4\nUser-agent: b\nCrawl-delay: 9", "a", 4.0),
+            ("User-agent: *\nCrawl-delay: 0", "a", 0.0),
+        ],
+    )
+    def test_crawl_delay_pins(self, body, agent, want):
+        _, _, delay = parse_robots_body(body, agent)
+        assert delay == want
 
 
 class TestPatternRegex:
@@ -174,3 +210,18 @@ class TestDecisions:
             "url string",
         ).select(url_path_query(F.col("url")).alias("p"))
         assert [r["p"] for r in df.collect()] == ["/", "/a/b?q=1", "/x"]
+
+    def test_crawl_delays_frame(self, spark):
+        robots = spark.createDataFrame(
+            [
+                ("h1.test", BODY),
+                ("h2.test", "User-agent: *\nDisallow: /"),  # no delay
+                ("h3.test", "User-agent: *\nCrawl-delay: 7"),
+            ],
+            "host string, robots_txt string",
+        )
+        got = {
+            (r["host"], r["crawl_delay"])
+            for r in robots_crawl_delays(robots, agent="megabot").collect()
+        }
+        assert got == {("h1.test", 2.5), ("h3.test", 7.0)}

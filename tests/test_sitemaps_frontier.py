@@ -137,3 +137,24 @@ class TestPlanFetches:
             plan_fetches(self._urls(spark), workers=0)
         with pytest.raises(ValueError):
             plan_fetches(self._urls(spark), delay_s=-1.0)
+
+    def test_host_delays_floor_and_override(self, spark):
+        delays = spark.createDataFrame(
+            [
+                ("h0.test", 5.0),   # above the floor: wins
+                ("h1.test", 0.5),   # below the floor: floor wins
+                # h2.test absent: floor wins
+                ("h0.test", 3.0),   # duplicate host: max (5.0) wins
+            ],
+            "host string, crawl_delay double",
+        )
+        plan = plan_fetches(
+            self._urls(spark),
+            delay_s=2.0,
+            host_delays=delays,
+            broadcast_delays=True,
+        )
+        want = {"h0.test": 5.0, "h1.test": 2.0, "h2.test": 2.0}
+        for r in plan.collect():
+            assert r["delay_s"] == want[r["host"]], r
+            assert r["eta_s"] == r["seq"] * want[r["host"]], r
