@@ -1844,17 +1844,55 @@ def q_duplicate_clusters_survivors(
     )
 
 
+def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT index key (sources/cdx.py) against closed-form ground
+    truth: urls synthesized per document exercise case folding
+    (scheme/host/path/query), the leading-www strip (www'd and
+    www-less hosts must yield the SAME key — the oracle emits one
+    form), userinfo/port stripping, fragment drop, query-param sort
+    with empty-param drop, and the schemeless→NULL pin (did%4==3
+    rows). The byte-deterministic sorted CDX sink + cluster.idx
+    pruned lookup built on this key are pytest territory
+    (tests/test_cdx.py)."""
+    from table_ocr_spark.sources.cdx import surt_key
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dids = did.cast("string")
+    scheme = (
+        F.when(did % 4 == 0, F.lit("http://"))
+        .when(did % 4 == 1, F.lit("HTTP://"))
+        .when(did % 4 == 2, F.lit("https://"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme,
+        F.when(did % 11 == 0, F.lit("u@")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Sub"), (did % 5).cast("string"),
+        F.lit(".Ex"), (did % 10).cast("string"), F.lit(".COM"),
+        F.when(did % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/P"), dids,
+        F.when(did % 2 == 0, F.lit("?b=2&A=1&")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#f")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", surt_key(url).alias("surt")
+    )
+
+
 def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url_canonicalize ⊕ registrable_domain ⊕ robots_decisions ⊕
-    sitemap_digest ⊕ crawl_frontier, joined on doc_id (each leg is a
-    1:1 per-document url/crawl-identity verdict; the joins are the
-    only exchanges in the composite)."""
+    sitemap_digest ⊕ crawl_frontier ⊕ surt_key, joined on doc_id
+    (each leg is a 1:1 per-document url/crawl-identity verdict; the
+    joins are the only exchanges in the composite)."""
     return (
         q_url_canonicalize(spark, sf_dir)
         .join(q_registrable_domain(spark, sf_dir), "doc_id")
         .join(q_robots_decisions(spark, sf_dir), "doc_id")
         .join(q_sitemap_digest(spark, sf_dir), "doc_id")
         .join(q_crawl_frontier(spark, sf_dir), "doc_id")
+        .join(q_surt_key(spark, sf_dir), "doc_id")
     )
 
 
@@ -3765,12 +3803,27 @@ def oracle_sql() -> dict[str, str]:
         "JOIN (SELECT doc_id, quality_score, \"keep\" "
         f"FROM ({sql.pop('dedup_survivors')})) b USING (doc_id)"
     )
+    # closed-form SURT expectations from the q_surt_key synth: the
+    # www./userinfo/port/fragment decorations all strip away, case
+    # folds, the ?b=2&A=1& query sorts (empty param dropped) to
+    # ?a=1&b=2, and the schemeless quarter yields NULL
+    sql["surt_key"] = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 3 THEN NULL ELSE
+          'com,ex' || CAST(doc_id % 10 AS VARCHAR) ||
+          ',sub' || CAST(doc_id % 5 AS VARCHAR) || ')' ||
+          '/p' || CAST(doc_id AS VARCHAR) ||
+          CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END
+        END AS surt
+      FROM documents
+    """
     sql["url_identity"] = (
         f"SELECT * FROM ({sql.pop('url_canonicalize')}) a "
         f"JOIN ({sql.pop('registrable_domain')}) b USING (doc_id) "
         f"JOIN ({sql.pop('robots_decisions')}) c USING (doc_id) "
         f"JOIN ({sql.pop('sitemap_digest')}) d USING (doc_id) "
-        f"JOIN ({sql.pop('crawl_frontier')}) e USING (doc_id)"
+        f"JOIN ({sql.pop('crawl_frontier')}) e USING (doc_id) "
+        f"JOIN ({sql.pop('surt_key')}) f USING (doc_id)"
     )
     sql["usage_cost_rollup"] = (
         "SELECT 'usage' AS variant, event_type AS k, "

@@ -1,0 +1,310 @@
+"""CDX url index: the third Common-Crawl interchange artifact (after
+the WARC source and the WET sink) — a globally-sorted, binary-search-
+able index of every capture, keyed by SURT.
+
+The reference locates a document's results by filename-glob over a
+flat directory (``ui/utils.py:63-71``); the crawl-scale analogue is
+Common Crawl's CDX(J) index: one line per capture, ``<surt-key>
+<timestamp14> <json>``, lines sorted by key across N gzip files, plus
+a ``cluster.idx`` summary (first key of each file) so a lookup opens
+O(1) files out of hundreds. This module emits and consumes that
+layout Spark-first.
+
+SURT key (Sort-friendly URI Reordering Transform), pinned subset of
+the classic Wayback form — all map-only codegen expressions, and the
+whole pin is reproduced in the DuckDB oracle (pure string/list
+logic):
+
+1. host: :func:`~table_ocr_spark.operators.urlnorm.host_canonical`
+   (lowercase, userinfo/port stripped — a DEVIATION from classic SURT,
+   which keeps non-default ports; one host identity across the whole
+   engine beats port fidelity in an index key), then ONE leading
+   ``www`` / ``www<digits>`` label stripped (the Wayback rule:
+   ``www.foo.com`` and ``foo.com`` are the same site in index space);
+2. the remaining labels REVERSED and comma-joined, then ``)``:
+   ``com,example)`` — byte order now sorts by site, subdomains of a
+   site adjacent (the property every prefix lookup relies on);
+3. path: lowercased; empty path pins to ``/``;
+4. query: fragment stripped, params lowercased, split on ``&``,
+   empties dropped, sorted lexicographically, ``&``-rejoined; an
+   emptied query drops its ``?``;
+5. a string with no ``scheme://`` prefix yields NULL (an index key
+   for a non-url is meaningless — never guess).
+
+Scale shape (100-TB argument):
+
+- ``write_cdx`` is ONE exchange: file boundaries are computed from a
+  bounded deterministic hash-sample of the keys (never a global
+  sort-to-driver), every row's file id is then a map-side O(n_files)
+  fold over the boundary literals, and the hash repartition on file
+  id puts each output file in exactly one task, which streams rows
+  through a gzip appender (never materializes a file in memory).
+  Global order across files holds because boundaries partition the
+  key space; order within a file holds because rows are sorted within
+  the partition.
+- Output is BYTE-DETERMINISTIC for fixed ``n_files``: the boundary
+  sample is hash-selected (no RNG), sorts are total (key, ts, json),
+  gzip mtime is pinned 0 — re-writes are idempotent under the
+  lineage/resume contract, same as the WET sink.
+- ``cdx_lookup`` reads ``cluster.idx`` (n_files lines) driver-side,
+  keeps only files whose [first, last] key range intersects the
+  prefix range, and scans just those — the planning-time file-pruning
+  story, same shape as the tier-partitioned layout.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterator, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from table_ocr_spark.operators.urlnorm import _SCHEME_RE, host_canonical
+
+# one leading www / www<digits> label (the Wayback strip rule)
+_WWW_RE = r"^www\d*\."
+
+
+def surt_key(url: Column) -> Column:
+    """Pinned SURT index key of a url column (module-doc pins 1-5).
+    Map-only codegen; NULL for schemeless/unparseable input."""
+    scheme = F.regexp_extract(url, _SCHEME_RE, 1)
+    host = F.regexp_replace(host_canonical(url), _WWW_RE, "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+
+    u = F.regexp_replace(url, r"#.*$", "")
+    rest = F.lower(F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*(.*)$", 2))
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qstr = F.array_join(
+        F.sort_array(F.filter(F.split(query, "&"), lambda p: p != "")),
+        "&",
+    )
+    key = F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(
+        key
+    )
+
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("first_key", T.StringType()),
+        T.StructField("first_ts", T.StringType()),
+        T.StructField("last_key", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+CLUSTER_IDX = "cluster.idx"
+
+
+def _boundaries(
+    rows: DataFrame, n_files: int, max_sample: int
+) -> List[str]:
+    """n_files-1 boundary keys from a DETERMINISTIC hash-sample.
+
+    The sample modulus is sized off one bounded count so the driver
+    collect stays ≤ ~max_sample keys at any corpus size; selection is
+    ``xxhash64(key) % mod == 0`` — no RNG, so re-runs pick the same
+    sample and the output files are byte-reproducible."""
+    n = rows.count()
+    if n == 0 or n_files == 1:
+        return []
+    mod = max(1, n // max_sample)
+    sample = [
+        r[0]
+        for r in rows.select("_key")
+        .where(F.pmod(F.xxhash64("_key"), F.lit(mod)) == 0)
+        .collect()
+    ]
+    sample.sort()
+    if not sample:
+        return []
+    return [
+        sample[min(len(sample) - 1, i * len(sample) // n_files)]
+        for i in range(1, n_files)
+    ]
+
+
+def write_cdx(
+    df: DataFrame,
+    path: str,
+    n_files: int = 8,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    extra_cols: Sequence[str] = (),
+    max_sample: int = 100_000,
+) -> DataFrame:
+    """Write a CDXJ index of ``df`` under ``path``: ``n_files``
+    globally-sorted ``cdx-NNNNN.gz`` files + ``cluster.idx``; returns
+    the manifest (file, first/last key, counts) — an eagerly
+    materialized ACTION, the manifest doubling as the lineage row
+    source.
+
+    Line grammar: ``<surt> <ts14> <json>`` where ts14 is
+    ``yyyyMMddHHmmss`` (UTC-rendered for timestamp columns) and json
+    carries ``{"url": ...}`` plus ``extra_cols`` verbatim. Rows whose
+    url yields a NULL surt key are DROPPED (not indexable — the
+    caller's url hygiene operators run upstream).
+    """
+    if n_files <= 0:
+        raise ValueError(f"n_files must be positive, got {n_files}")
+    os.makedirs(path, exist_ok=True)
+
+    ts = F.col(ts_col)
+    ts14 = (
+        F.date_format(ts, "yyyyMMddHHmmss")
+        if isinstance(df.schema[ts_col].dataType, T.TimestampType)
+        else ts.cast("string")
+    )
+    rows = df.select(
+        surt_key(F.col(url_col)).alias("_key"),
+        ts14.alias("_ts"),
+        F.to_json(
+            F.struct(F.col(url_col).alias("url"), *extra_cols)
+        ).alias("_json"),
+    ).where(F.col("_key").isNotNull())
+
+    bounds = _boundaries(rows, n_files, max_sample)
+    if bounds:
+        fid = F.aggregate(
+            F.array(*[F.lit(b) for b in bounds]),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("_key") >= b, 1).otherwise(0),
+        )
+    else:
+        fid = F.lit(0)
+    rows = rows.withColumn("_fid", fid)
+
+    def _write(batches) -> Iterator:
+        import pandas as pd
+
+        # per-fid gzip appenders; a task may own several fids (hash
+        # collisions), and each fid's rows arrive key-sorted because a
+        # subsequence of the partition-sorted stream is itself sorted
+        handles: dict = {}
+        raw: dict = {}
+        first: dict = {}
+        last: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            for f_id, key, ts_v, js in zip(
+                pdf["_fid"], pdf["_key"], pdf["_ts"], pdf["_json"]
+            ):
+                f_id = int(f_id)
+                if f_id not in handles:
+                    fname = os.path.join(path, f"cdx-{f_id:05d}.gz")
+                    raw[f_id] = open(fname, "wb")
+                    handles[f_id] = gzip.GzipFile(
+                        fileobj=raw[f_id], mode="wb", mtime=0
+                    )
+                    first[f_id] = (key, ts_v)
+                    counts[f_id] = 0
+                handles[f_id].write(
+                    f"{key} {ts_v} {js}\n".encode("utf-8")
+                )
+                last[f_id] = key
+                counts[f_id] += 1
+        out = []
+        for f_id, gz in handles.items():
+            gz.close()
+            size = raw[f_id].tell()
+            raw[f_id].close()
+            out.append(
+                (
+                    f"cdx-{f_id:05d}.gz",
+                    first[f_id][0],
+                    first[f_id][1],
+                    last[f_id],
+                    counts[f_id],
+                    size,
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _MANIFEST_SCHEMA.fields]
+        )
+
+    manifest = (
+        rows.repartition(n_files, "_fid")
+        .sortWithinPartitions("_key", "_ts", "_json")
+        .mapInPandas(_write, _MANIFEST_SCHEMA)
+    ).collect()
+    manifest.sort(key=lambda r: r["file"])
+
+    # cluster.idx: one line per file, sorted — the driver-side summary
+    # a lookup binary-searches instead of opening every cdx file
+    with open(os.path.join(path, CLUSTER_IDX), "w") as fh:
+        for r in manifest:
+            fh.write(
+                f"{r['first_key']} {r['first_ts']}\t{r['file']}\t"
+                f"{r['last_key']}\t{r['n_records']}\n"
+            )
+    spark = df.sparkSession
+    return spark.createDataFrame(manifest, _MANIFEST_SCHEMA)
+
+
+_CDX_LINE = r"^(\S+) (\S+) (.*)$"
+
+
+def read_cdx(
+    spark: SparkSession, path: str, files: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Read a CDX directory (or an explicit file subset) back as
+    ``(surt, ts, url, fields)``. File = parallel grain (whole-file
+    gzip streams, like the WARC reader's sizing contract)."""
+    paths = (
+        [os.path.join(path, f) for f in files]
+        if files is not None
+        else [os.path.join(path, "cdx-*.gz")]
+    )
+    lines = spark.read.text(paths)
+    return lines.select(
+        F.regexp_extract("value", _CDX_LINE, 1).alias("surt"),
+        F.regexp_extract("value", _CDX_LINE, 2).alias("ts"),
+        F.regexp_extract("value", _CDX_LINE, 3).alias("fields"),
+    ).withColumn("url", F.get_json_object("fields", "$.url"))
+
+
+def candidate_files(idx_path: str, prefix: str) -> List[str]:
+    """Files whose [first, last] key range can contain keys starting
+    with ``prefix`` — the cluster.idx binary-search step, exposed for
+    tests/audit. Driver-side over n_files lines."""
+    out = []
+    hi = prefix + "\U0010ffff"
+    with open(os.path.join(idx_path, CLUSTER_IDX)) as fh:
+        for line in fh:
+            head, fname, last_key, _ = line.rstrip("\n").split("\t")
+            first_key = head.split(" ", 1)[0]
+            if last_key >= prefix and first_key <= hi:
+                out.append(fname)
+    return out
+
+
+def cdx_lookup(
+    spark: SparkSession, path: str, prefix: str
+) -> DataFrame:
+    """All captures whose surt key starts with ``prefix`` (e.g.
+    ``com,example)`` for a whole site), reading ONLY the files the
+    cluster.idx says can match."""
+    cands = candidate_files(path, prefix)
+    if not cands:
+        return spark.createDataFrame(
+            [], "surt string, ts string, fields string, url string"
+        )
+    return read_cdx(spark, path, files=cands).where(
+        F.col("surt").startswith(prefix)
+    )

@@ -1,0 +1,138 @@
+"""CDX url index: SURT key pins, byte-deterministic sorted sink,
+cluster.idx pruned lookup, round-trip read.
+
+Reference parity: the reference locates results by filename glob over
+a flat directory (``ui/utils.py:63-71``); the crawl-scale analogue is
+Common Crawl's sorted CDX index + cluster.idx binary search.
+"""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_ocr_spark.sources.cdx import (
+    candidate_files,
+    cdx_lookup,
+    read_cdx,
+    surt_key,
+    write_cdx,
+)
+
+
+class TestSurtKey:
+    @pytest.mark.parametrize(
+        "url,want",
+        [
+            # label reversal + ) separator
+            ("http://a.b.example.com/x", "com,example,b,a)/x"),
+            # lowercase host+path; empty path pins to /
+            ("HTTP://WWW.Example.COM", "com,example)/"),
+            # one leading www<digits> label stripped
+            ("http://www2.foo.org/A/B", "org,foo)/a/b"),
+            # www in the middle is NOT stripped
+            ("http://x.www.foo.org/", "org,foo,www,x)/"),
+            # port/userinfo stripped (host_canonical), fragment dropped
+            ("https://u@Foo.com:8080/P#frag", "com,foo)/p"),
+            # query params sorted, empties dropped, lowercased
+            ("http://e.com/p?B=2&a=1&&c=", "com,e)/p?a=1&b=2&c="),
+            # emptied query drops its ?
+            ("http://e.com/p?", "com,e)/p"),
+            # schemeless -> NULL
+            ("example.com/x", None),
+            ("not a url", None),
+        ],
+    )
+    def test_pins(self, spark, url, want):
+        [r] = (
+            spark.createDataFrame([(url,)], "url string")
+            .select(surt_key(F.col("url")).alias("k"))
+            .collect()
+        )
+        assert r["k"] == want, (url, r["k"])
+
+
+def _pages(spark, n=400, hosts=20):
+    did = F.col("id")
+    url = F.concat(
+        F.lit("http://h"), (did % hosts).cast("string"),
+        F.lit(".test/p"), did.cast("string"),
+    )
+    ts = F.to_timestamp(
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad(((did % 27) + 1).cast("string"), 2, "0"),
+            F.lit(" 03:04:05"),
+        )
+    )
+    return spark.range(n).select(
+        url.alias("url"), ts.alias("warc_ts"), F.lit("en").alias("lang")
+    )
+
+
+class TestWriteCdx:
+    def test_deterministic_sorted_round_trip(self, spark, tmp_path):
+        pages = _pages(spark)
+        d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+        m1 = write_cdx(pages, d1, n_files=4, extra_cols=("lang",))
+        write_cdx(pages, d2, n_files=4, extra_cols=("lang",))
+
+        files = sorted(f for f in os.listdir(d1) if f.endswith(".gz"))
+        assert files, "no cdx files written"
+        # byte determinism: re-run produces identical bytes
+        for f in files + ["cluster.idx"]:
+            b1 = open(os.path.join(d1, f), "rb").read()
+            b2 = open(os.path.join(d2, f), "rb").read()
+            assert b1 == b2, f
+        # global sort: concatenating files in name order yields a
+        # fully sorted key sequence
+        keys = []
+        for f in files:
+            with gzip.open(os.path.join(d1, f), "rt") as fh:
+                keys.extend(line.split(" ", 1)[0] for line in fh)
+        assert keys == sorted(keys)
+        assert len(keys) == 400
+        # manifest totals match
+        rows = m1.collect()
+        assert sum(r["n_records"] for r in rows) == 400
+        # round-trip read: every url recovered, extra col in json
+        back = read_cdx(spark, d1)
+        assert back.count() == 400
+        assert back.where(F.col("url").isNull()).count() == 0
+        [r] = back.limit(1).collect()
+        assert '"lang":"en"' in r["fields"]
+        # ts14 grammar
+        assert back.where(
+            ~F.col("ts").rlike(r"^\d{14}$")
+        ).count() == 0
+
+    def test_null_surt_rows_dropped_and_guards(self, spark, tmp_path):
+        pages = _pages(spark, n=10).union(
+            spark.createDataFrame(
+                [("no scheme", None, "en")],
+                "url string, warc_ts timestamp, lang string",
+            )
+        )
+        m = write_cdx(pages, str(tmp_path / "c"), n_files=2)
+        assert sum(r["n_records"] for r in m.collect()) == 10
+        with pytest.raises(ValueError):
+            write_cdx(pages, str(tmp_path / "d"), n_files=0)
+
+
+class TestLookup:
+    def test_pruned_prefix_lookup(self, spark, tmp_path):
+        d = str(tmp_path / "idx")
+        write_cdx(_pages(spark), d, n_files=4)
+        # site prefix: all 20 captures of h7.test, nothing else
+        got = cdx_lookup(spark, d, "test,h7)")
+        urls = {r["url"] for r in got.collect()}
+        assert len(urls) == 20
+        assert all("//h7.test/" in u for u in urls)
+        # pruning is real: the candidate set is a strict subset
+        cands = candidate_files(d, "test,h7)")
+        assert 0 < len(cands) < 4
+        # a prefix spanning ALL hosts touches every file
+        assert len(candidate_files(d, "test,h")) == 4
+        # absent site: no candidates, empty result
+        assert cdx_lookup(spark, d, "zz,absent)").count() == 0
