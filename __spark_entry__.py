@@ -1881,6 +1881,39 @@ def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resolve_href(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 reference resolution (linkgraph.resolve_href) against
+    closed-form ground truth: per-doc (base, href) pairs cycle
+    through the six resolution shapes — path merge, ../ collapse,
+    root-relative, query-only, fragment-only (NULL pin), and
+    network-relative — and the oracle emits the expected resolution
+    from the same arithmetic. The general contract is the urljoin
+    differential test (tests/test_urlnorm.py)."""
+    from table_ocr_spark.operators.linkgraph import resolve_href
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dids = did.cast("string")
+    base = F.concat(
+        F.lit("http://rb"), (did % 10).cast("string"),
+        F.lit(".test/d"), (did % 3).cast("string"), F.lit("/p"),
+    )
+    href = (
+        F.when(did % 6 == 0, F.concat(F.lit("x"), dids))
+        .when(did % 6 == 1, F.concat(F.lit("../up"), dids))
+        .when(did % 6 == 2, F.concat(F.lit("/root"), dids))
+        .when(did % 6 == 3, F.concat(F.lit("?q="), dids))
+        .when(did % 6 == 4, F.lit("#f"))
+        .otherwise(
+            F.concat(F.lit("//cdn"), (did % 5).cast("string"),
+                     F.lit(".test/z"))
+        )
+    )
+    return docs.select(
+        "doc_id", resolve_href(base, href).alias("resolved_url")
+    )
+
+
 def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url_canonicalize ⊕ registrable_domain ⊕ robots_decisions ⊕
     sitemap_digest ⊕ crawl_frontier ⊕ surt_key, joined on doc_id
@@ -1893,6 +1926,7 @@ def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q_sitemap_digest(spark, sf_dir), "doc_id")
         .join(q_crawl_frontier(spark, sf_dir), "doc_id")
         .join(q_surt_key(spark, sf_dir), "doc_id")
+        .join(q_resolve_href(spark, sf_dir), "doc_id")
     )
 
 
@@ -3817,13 +3851,38 @@ def oracle_sql() -> dict[str, str]:
         END AS surt
       FROM documents
     """
+    # closed-form resolution expectations from the q_resolve_href
+    # synth: base http://rb<d%10>.test/d<d%3>/p, href by d%6 —
+    # merge drops the trailing 'p' segment, ../ climbs above d<k>,
+    # root/query/network-relative rebuild from the origin, the
+    # fragment-only quarter pins NULL
+    sql["resolve_href"] = """
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'http://rb' || CAST(doc_id % 10 AS VARCHAR) ||
+            '.test/d' || CAST(doc_id % 3 AS VARCHAR) || '/x' ||
+            CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'http://rb' || CAST(doc_id % 10 AS VARCHAR) ||
+            '.test/up' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'http://rb' || CAST(doc_id % 10 AS VARCHAR) ||
+            '.test/root' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN 'http://rb' || CAST(doc_id % 10 AS VARCHAR) ||
+            '.test/d' || CAST(doc_id % 3 AS VARCHAR) || '/p?q=' ||
+            CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN NULL
+          ELSE 'http://cdn' || CAST(doc_id % 5 AS VARCHAR) ||
+            '.test/z'
+        END AS resolved_url
+      FROM documents
+    """
     sql["url_identity"] = (
         f"SELECT * FROM ({sql.pop('url_canonicalize')}) a "
         f"JOIN ({sql.pop('registrable_domain')}) b USING (doc_id) "
         f"JOIN ({sql.pop('robots_decisions')}) c USING (doc_id) "
         f"JOIN ({sql.pop('sitemap_digest')}) d USING (doc_id) "
         f"JOIN ({sql.pop('crawl_frontier')}) e USING (doc_id) "
-        f"JOIN ({sql.pop('surt_key')}) f USING (doc_id)"
+        f"JOIN ({sql.pop('surt_key')}) f USING (doc_id) "
+        f"JOIN ({sql.pop('resolve_href')}) g USING (doc_id)"
     )
     sql["usage_cost_rollup"] = (
         "SELECT 'usage' AS variant, event_type AS k, "

@@ -67,6 +67,94 @@ ANCHOR_TEXT_RE = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
 _TRIM_RE = "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$"
 
 
+# any scheme-qualified absolute reference (http, https, ftp, ...)
+_SCHEME_ABS_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+# any scheme-prefixed reference at all (mailto:, javascript:, data:)
+_SCHEME_ANY_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
+_ORIGIN_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def _remove_dot_segments(p, depth: int):
+    """RFC 3986 §5.2.4 as a bounded unrolled fixed point: ``depth``
+    passes of the three collapse rules. Each regexp_replace pass
+    resolves one nesting level (Java regex replaces non-overlapping
+    matches left-to-right, so ``/a/../b/../`` needs two passes);
+    paths with more than ``depth`` stacked dot-segments resolve
+    partially — a pinned bound, not an error. Segments STARTING with
+    a dot (``/.hidden/../``) are never collapsed-over (the no-
+    lookahead portability pin); the leftover URL is unusual but
+    harmless downstream."""
+    for _ in range(depth):
+        p = F.regexp_replace(p, r"/\./", "/")
+        p = F.regexp_replace(p, r"/[^/.][^/]*/\.\./", "/")
+        p = F.regexp_replace(p, r"/[^/.][^/]*/\.\.$", "/")
+        p = F.regexp_replace(p, r"^/\.\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    return F.regexp_replace(p, r"^/\.\.$", "/")
+
+
+def resolve_href(base, href, max_depth: int = 8):
+    """Resolve an anchor ``href`` against its page's ``base`` url —
+    RFC 3986 §5.2 reference resolution as map-only codegen
+    expressions (no Python), differential-tested against
+    ``urllib.parse.urljoin`` in tests/test_linkgraph.py.
+
+    Pinned FRONTIER semantics where they diverge from urljoin (each
+    deliberate — this resolves links to FETCH, not to display):
+
+    - empty href, fragment-only href (``#top``) → NULL (they point at
+      the base document itself; refetching it is never the intent);
+    - non-hierarchical schemes (``mailto:``, ``javascript:``,
+      ``data:``) → NULL (not fetchable web resources);
+    - fragments are stripped from every resolution;
+    - unparseable base (no ``scheme://authority``) → NULL;
+    - dot segments collapse on root-relative / path-relative
+      resolutions exactly like urljoin (absolute and
+      network-relative ``//host/..`` references pass through
+      untouched, also like urljoin), bounded at ``max_depth``
+      nesting levels.
+    """
+    h = F.regexp_replace(href, _TRIM_RE, "")
+    origin = F.regexp_extract(base, _ORIGIN_RE, 1)
+    scheme = F.regexp_extract(
+        base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+    )
+    # base path; the merge branch pins '' to '/' (a bare origin
+    # resolves like '/'), while the query-only branch keeps the raw
+    # form (urljoin parity: 'http://h' + '?q' has no slash)
+    bpath_raw = F.regexp_extract(
+        base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    bpath = F.when(bpath_raw == "", F.lit("/")).otherwise(bpath_raw)
+
+    def _strip_frag(c):
+        return F.regexp_replace(c, "#.*$", "")
+
+    def _dots(c):
+        # split path from query, collapse dots in the path only
+        pathq = F.regexp_replace(c, _ORIGIN_RE, "")
+        path = F.regexp_extract(pathq, "^([^?]*)", 1)
+        query = F.regexp_extract(pathq, r"(\?.*)$", 1)
+        return F.concat(origin, _remove_dot_segments(path, max_depth), query)
+
+    merged = F.concat(
+        origin, F.regexp_replace(bpath, "[^/]*$", ""), h
+    )
+    return (
+        F.when((origin == "") | h.isNull(), F.lit(None))
+        .when((h == "") | h.startswith("#"), F.lit(None))
+        .when(h.rlike(_SCHEME_ABS_RE), _strip_frag(h))
+        .when(h.rlike(_SCHEME_ANY_RE), F.lit(None))
+        .when(
+            h.startswith("//"),
+            _strip_frag(F.concat(scheme, F.lit(":"), h)),
+        )
+        .when(h.startswith("/"), _dots(_strip_frag(F.concat(origin, h))))
+        .when(h.startswith("?"), F.concat(origin, bpath_raw, _strip_frag(h)))
+        .otherwise(_dots(_strip_frag(merged)))
+    )
+
+
 def _host_key(level: str):
     if level not in ("host", "site"):
         raise ValueError(f"level must be 'host' or 'site', got {level!r}")
@@ -84,6 +172,7 @@ def extract_links(
     df: DataFrame,
     html_col: str = "html",
     url_col: str = "url",
+    absolute_only: bool = True,
 ) -> DataFrame:
     """Page → one row per ABSOLUTE anchor href: (url_col, href,
     nofollow, n_links_total) where ``n_links_total`` is the page's
@@ -119,9 +208,13 @@ def extract_links(
         F.col("_a").rlike(NOFOLLOW_RE).alias("nofollow"),
         "n_links_total",
     )
-    return out.filter(F.col("href").rlike(_ABS_RE)).select(
-        url_col, "href", "nofollow", "n_links_total"
-    )
+    # absolute_only=False emits EVERY href verbatim (relative ones
+    # included) for callers that resolve them (resolve_href); the
+    # default keeps the historical absolute-edge contract the graph
+    # builders and their oracle pin
+    if absolute_only:
+        out = out.filter(F.col("href").rlike(_ABS_RE))
+    return out.select(url_col, "href", "nofollow", "n_links_total")
 
 
 def host_link_graph(

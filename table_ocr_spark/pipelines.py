@@ -134,6 +134,7 @@ def next_frontier(
     blocked=None,
     agent: str = "*",
     respect_nofollow: bool = True,
+    resolve_relative: bool = True,
     delay_s: float = 1.0,
     workers: int = 64,
     max_per_host: int = None,
@@ -144,8 +145,11 @@ def next_frontier(
     round's politeness-scheduled fetch plan. This is the composition
     the round-4 crawl stack exists for:
 
-    1. ``extract_links`` — absolute anchor hrefs (map-only regex;
-       ``respect_nofollow`` drops rel=nofollow edges)
+    1. ``extract_links`` — anchor hrefs (map-only regex;
+       ``respect_nofollow`` drops rel=nofollow edges); with
+       ``resolve_relative`` (default) relative hrefs resolve against
+       their page url (``resolve_href``, RFC 3986 §5 — most real
+       links are relative, a frontier that drops them starves)
     2. ``canonical_url`` + distinct — frontier candidates
     3. anti-join against ``seen_urls`` (column ``url``, assumed
        already canonical — it is this function's own prior output
@@ -171,7 +175,7 @@ def next_frontier(
     joins their operators document; 6 is the host window. Nothing
     collects to the driver."""
     from table_ocr_spark.operators.frontier import plan_fetches
-    from table_ocr_spark.operators.linkgraph import extract_links
+    from table_ocr_spark.operators.linkgraph import extract_links, resolve_href
     from table_ocr_spark.operators.robots import (
         filter_robots_allowed,
         robots_crawl_delays,
@@ -182,12 +186,23 @@ def next_frontier(
         filter_blocked_hosts,
     )
 
-    links = extract_links(pages)
+    links = extract_links(pages, absolute_only=not resolve_relative)
     if respect_nofollow:
         links = links.filter(~F.col("nofollow"))
-    candidates = links.select(
-        canonical_url(F.col("href")).alias("url")
-    ).dropDuplicates(["url"])
+    target = (
+        resolve_href(F.col("url"), F.col("href"))
+        if resolve_relative
+        else F.col("href")
+    )
+    candidates = (
+        links.select(canonical_url(target).alias("url"))
+        # only fetchable web urls enter the frontier: resolve_href
+        # passes any scheme:// through verbatim (ftp:, irc:), and a
+        # crawler fetches http(s) only — same pin extract_links'
+        # absolute-edge filter applies on the non-resolving path
+        .where(F.col("url").rlike("^(?i)https?://"))
+        .dropDuplicates(["url"])
+    )
 
     counts = {}
     if audit:

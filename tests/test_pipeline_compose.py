@@ -302,6 +302,8 @@ class TestNextFrontier:
             "http://new.test/x",
             "http://new.test/y",
             "http://poli.test/ok",
+            # the relative anchor resolves against its page url
+            "http://a.test/relative",
         }
         # per-host seq + eta: new.test has two urls in url order
         assert rows["http://new.test/x"]["seq"] == 0
@@ -311,16 +313,17 @@ class TestNextFrontier:
             rows["http://new.test/x"]["worker"]
             == rows["http://new.test/y"]["worker"]
         )
-        # audit counts: 8 absolute anchors across both pages, 1
-        # nofollow dropped, the #frag dup collapses after
-        # canonicalization, then seen/blocked/disallowed drop one each
+        # audit counts: 9 anchors across both pages (8 absolute + the
+        # relative one, which resolves), 1 nofollow dropped, the
+        # #frag dup collapses after canonicalization, then
+        # seen/blocked/disallowed drop one each
         assert rep.n_pages == 2
-        assert rep.n_links == 7
-        assert rep.n_candidates == 6
-        assert rep.n_novel == 5
-        assert rep.n_unblocked == 4
-        assert rep.n_allowed == 3
-        assert rep.n_planned == 3
+        assert rep.n_links == 8
+        assert rep.n_candidates == 7
+        assert rep.n_novel == 6
+        assert rep.n_unblocked == 5
+        assert rep.n_allowed == 4
+        assert rep.n_planned == 4
 
     def test_lazy_default_builds_one_plan(self, spark):
         from table_ocr_spark.pipelines import next_frontier
@@ -328,7 +331,7 @@ class TestNextFrontier:
         pages, seen, robots = self._inputs(spark)
         plan, rep = next_frontier(pages, seen_urls=seen, robots=robots)
         assert rep.n_planned == -1 and rep.n_links == -1
-        assert plan.count() == 4  # no blocklist: ads.bad stays
+        assert plan.count() == 5  # no blocklist: ads.bad stays
         # loop closure: feeding the plan back as seen_urls yields
         # nothing new from the same pages
         plan2, _ = next_frontier(

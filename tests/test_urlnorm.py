@@ -525,3 +525,88 @@ class TestNofollowAndScoping:
         assert g == {("s.test", "f.test")}
         g2 = {r.dst_host for r in host_link_graph(pages).collect()}
         assert g2 == {"f.test", "n.test"}
+
+
+class TestResolveHref:
+    """RFC 3986 §5.2 reference resolution — differential against
+    urllib.parse.urljoin, plus the pinned frontier deviations."""
+
+    BASES = [
+        "http://a.test/b/c",
+        "http://a.test/b/c/",
+        "https://a.test",
+        "http://a.test/b/c?q=9",
+    ]
+    HREFS = [
+        "d", "d/e", "./d", "../d", "../../d", "../../../../d",
+        "/x", "/x/../y", "/a/.", "d/./e", "..", ".", "d?x=1&y=2",
+        "?z=3", "http://other.test/p", "https://o.test/a/../b",
+        "//h.test/p/q", "x;p=1", "d%20e", "/", "a..b/c", "x..",
+    ]
+
+    def test_differential_vs_urljoin(self, spark):
+        from urllib.parse import urljoin
+
+        from table_ocr_spark.operators.linkgraph import resolve_href
+
+        rows = [(b, h) for b in self.BASES for h in self.HREFS]
+        df = spark.createDataFrame(rows, "base string, href string")
+        got = (
+            df.select(
+                "base", "href",
+                resolve_href(F.col("base"), F.col("href")).alias("r"),
+            )
+        ).collect()
+        for r in got:
+            want = urljoin(r["base"], r["href"])
+            assert r["r"] == want, (r["base"], r["href"], r["r"], want)
+
+    @pytest.mark.parametrize(
+        "base,href,want",
+        [
+            # pinned deviations from urljoin: self-references and
+            # non-fetchable schemes yield NULL, fragments strip
+            ("http://a.test/b", "", None),
+            ("http://a.test/b", "#top", None),
+            ("http://a.test/b", "mailto:x@y.z", None),
+            ("http://a.test/b", "javascript:void(0)", None),
+            ("http://a.test/b", "data:text/plain,hi", None),
+            ("http://a.test/b", "d#frag", "http://a.test/d"),
+            ("http://a.test/b", "http://o.test/p#f", "http://o.test/p"),
+            # unparseable base
+            ("not a url", "d", None),
+            # whitespace-padded hrefs trim
+            ("http://a.test/b/", "  d  ", "http://a.test/b/d"),
+            # ftp passes resolution (the frontier filters schemes)
+            ("http://a.test/b", "ftp://f.test/x", "ftp://f.test/x"),
+        ],
+    )
+    def test_pinned_deviations(self, spark, base, href, want):
+        from table_ocr_spark.operators.linkgraph import resolve_href
+
+        [r] = (
+            spark.createDataFrame([(base, href)], "base string, href string")
+            .select(resolve_href(F.col("base"), F.col("href")).alias("r"))
+            .collect()
+        )
+        assert r["r"] == want, (base, href, r["r"], want)
+
+    def test_extract_links_all_hrefs_mode(self, spark):
+        from table_ocr_spark.operators.linkgraph import extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "http://a.test/d/p",
+                    '<a href="http://abs.test/x">a</a>'
+                    '<a href="rel/y">r</a><a href="/root">s</a>',
+                )
+            ],
+            "url string, html string",
+        )
+        assert extract_links(pages).count() == 1  # default: absolute
+        rows = extract_links(pages, absolute_only=False).collect()
+        assert {r["href"] for r in rows} == {
+            "http://abs.test/x", "rel/y", "/root",
+        }
+        assert all(r["n_links_total"] == 3 for r in rows)
