@@ -109,6 +109,8 @@ R4_NEW = [
     "robots_decisions",
     "sitemap_digest",
     "crawl_frontier",
+    "surt_key",
+    "resolve_href",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -157,6 +159,8 @@ def _bench_queries(em) -> dict:
         "robots_decisions": em.q_robots_decisions,
         "sitemap_digest": em.q_sitemap_digest,
         "crawl_frontier": em.q_crawl_frontier,
+        "surt_key": em.q_surt_key,
+        "resolve_href": em.q_resolve_href,
     }
     return {**em.queries(), **comp}
 

@@ -20,8 +20,11 @@
      index + entity-escaped locs), closed-form entry counts.
   J. frontier plan: 1M urls over 100k hosts (Zipf-ish sizes via a
      quadratic host map), per-host seq/eta closed-form asserts.
+  K. CDX index: write_cdx 1M urls -> 64 globally-sorted cdx-*.gz +
+     cluster.idx, manifest totals closed-form, one pruned site
+     lookup (candidate files strictly < 64), read-back count.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|j ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|k ...]
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghij")
+    only = set(sys.argv[2:]) or set("abcdefghijk")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -592,6 +595,66 @@ def main() -> int:
               f"{agg.hosts:,} hosts ({n/t:,.0f} urls/s), max per-host "
               f"queue {agg.max_seq + 1}, eta/worker invariants exact")
         urls.unpersist()
+
+    # ---------------------------------------------------- K: cdx
+    if "k" in only:
+        import shutil
+
+        from table_ocr_spark.sources.cdx import (
+            candidate_files,
+            cdx_lookup,
+            read_cdx,
+            write_cdx,
+        )
+
+        n_hosts = 100_000
+        host_id = ((did * did % (4 * n)) * n_hosts / (4 * n)).cast("long")
+        pages = base.select(
+            F.concat(
+                F.lit("http://c"), host_id.cast("string"),
+                F.lit(".test/p"), did.cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(1700000000 + did % 86400).alias("warc_ts"),
+        ).persist()
+        pages.count()
+        out = tempfile.mkdtemp(prefix="cdx_rehearse_")
+        try:
+            t0 = time.time()
+            m = write_cdx(pages, out, n_files=64)
+            t_w = time.time() - t0
+            # second write re-times steady state: the first pays
+            # cold-session JIT/codegen (the 64-branch CASE chain) —
+            # the same cold/warm split block C documents
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+            t0 = time.time()
+            m = write_cdx(pages, out, n_files=64)
+            t_warm = time.time() - t0
+            rows = m.collect()
+            assert sum(r["n_records"] for r in rows) == n, rows
+            # global order across files: manifest ranges must chain
+            rows.sort(key=lambda r: r["file"])
+            for a, b in zip(rows, rows[1:]):
+                assert a["last_key"] <= b["first_key"], (a, b)
+            t0 = time.time()
+            n_back = read_cdx(spark, out).count()
+            t_r = time.time() - t0
+            assert n_back == n
+            cands = candidate_files(out, "test,c0)")
+            t0 = time.time()
+            n_hit = cdx_lookup(spark, out, "test,c0)").count()
+            t_l = time.time() - t0
+            assert 0 < len(cands) < 64, cands
+            assert n_hit > 0
+            print(f"[probe {probe_effective_cores():.1f}/32] "
+                  f"K: write_cdx {t_w:.1f} s cold / {t_warm:.1f} s "
+                  f"warm over {n:,} urls -> 64 sorted files "
+                  f"({n/t_warm:,.0f} urls/s warm); read-back "
+                  f"{t_r:.1f} s; site lookup {t_l:.2f} s touching "
+                  f"{len(cands)}/64 files ({n_hit} captures)")
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        pages.unpersist()
 
     return 0
 
