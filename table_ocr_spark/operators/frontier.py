@@ -71,14 +71,20 @@ def plan_fetches(
         raise ValueError(f"workers must be positive, got {workers}")
     if delay_s < 0:
         raise ValueError(f"delay_s must be >= 0, got {delay_s}")
-    cols = ["url"] if priority_col is None else ["url", priority_col]
-    urls = (
-        df.select(F.col(url_col).alias("url"), *[
-            F.col(c) for c in cols[1:]
-        ])
-        .dropDuplicates(["url"])
-        .withColumn("host", host_canonical(F.col("url")))
-    )
+    if priority_col is None:
+        urls = df.select(F.col(url_col).alias("url")).dropDuplicates(
+            ["url"]
+        )
+    else:
+        # a url submitted twice with different priorities resolves
+        # DETERMINISTICALLY to the highest one (dropDuplicates would
+        # keep an arbitrary row) — one exchange either way
+        urls = (
+            df.select(F.col(url_col).alias("url"), F.col(priority_col))
+            .groupBy("url")
+            .agg(F.max(priority_col).alias(priority_col))
+        )
+    urls = urls.withColumn("host", host_canonical(F.col("url")))
     delay = F.lit(float(delay_s))
     if host_delays is not None:
         d = (

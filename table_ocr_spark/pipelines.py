@@ -518,3 +518,90 @@ def materialize_tiered_corpus(
             "n_shards": agg["n_shards"],
         }
     return report
+
+
+def publish_extraction(
+    pages: DataFrame,
+    out_dir: str,
+    n_wet_files: int = 8,
+    n_cdx_files: int = 8,
+    extra_cdx_cols: tuple = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Publish extracted pages the way Common Crawl publishes a
+    segment: WET text shards + a sorted CDX url index, both
+    byte-deterministic, under ``out_dir/wet`` and ``out_dir/cdx``.
+
+    ``pages`` needs (url, warc_ts, text). Returns the two per-file
+    manifests (each an eagerly-materialized ACTION — the files exist
+    when this returns); their rows double as lineage entries, and
+    because both sinks are byte-reproducible for fixed file counts a
+    re-publication after a crash is idempotent, the same contract as
+    the extraction pipeline's bucketed resume.
+
+    Scale shape: one exchange per sink (url-hash buckets for WET,
+    boundary-ranged file ids for CDX) — publishing is exactly two
+    shuffles of the narrow (url, ts, text) projection, and the html
+    column never enters either plan.
+    """
+    import os as _os
+
+    from table_ocr_spark.sources.cdx import write_cdx
+    from table_ocr_spark.sources.wet import write_wet
+
+    wet_manifest = write_wet(
+        pages, _os.path.join(out_dir, "wet"), n_files=n_wet_files
+    )
+    cdx_manifest = write_cdx(
+        pages,
+        _os.path.join(out_dir, "cdx"),
+        n_files=n_cdx_files,
+        extra_cols=extra_cdx_cols,
+    )
+    return wet_manifest, cdx_manifest
+
+
+def sitemap_frontier(
+    sitemaps: DataFrame,
+    body_col: str = "sitemap_xml",
+    delay_s: float = 1.0,
+    workers: int = 64,
+    max_per_host: int = None,
+    host_delays: DataFrame = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Seed a crawl frontier from fetched sitemap bodies: parse
+    urlset/index entries, schedule the listed urls with RECENCY
+    priority (``<lastmod>`` descending — ISO-8601 date strings order
+    lexicographically, so the string IS the sort key; urls without
+    one fetch last), and surface nested ``<sitemap>`` locs as the
+    next round of sitemap fetches.
+
+    Returns ``(plan, nested)``: a ``plan_fetches`` frame over the
+    listed urls, and the distinct nested sitemap urls still to fetch
+    (the sitemapindex recursion, one level per crawl turn — the loop
+    shape ``next_frontier`` uses for pages).
+    """
+    from table_ocr_spark.operators.frontier import plan_fetches
+    from table_ocr_spark.operators.sitemaps import parse_sitemaps
+
+    parsed = parse_sitemaps(sitemaps, key_cols=(), body_col=body_col)
+    urls = (
+        parsed.filter(F.col("kind") == "url")
+        .groupBy(F.col("loc").alias("url"))
+        # a url listed in several sitemaps keeps its MOST RECENT
+        # lastmod (max; NULL loses to any real date)
+        .agg(F.max("lastmod").alias("lastmod"))
+    )
+    plan = plan_fetches(
+        urls,
+        priority_col="lastmod",
+        delay_s=delay_s,
+        workers=workers,
+        max_per_host=max_per_host,
+        host_delays=host_delays,
+    )
+    nested = (
+        parsed.filter(F.col("kind") == "sitemap")
+        .select(F.col("loc").alias("sitemap_url"))
+        .distinct()
+    )
+    return plan, nested

@@ -340,3 +340,87 @@ class TestNextFrontier:
             robots=robots,
         )
         assert plan2.count() == 0
+
+
+class TestPublishExtraction:
+    def test_wet_cdx_segment_publication(self, spark, tmp_path):
+        import gzip
+        import os
+
+        from pyspark.sql import functions as F
+
+        from table_ocr_spark.pipelines import publish_extraction
+        from table_ocr_spark.sources.cdx import cdx_lookup
+        from table_ocr_spark.sources.warc import read_warc
+
+        did = F.col("id")
+        pages = spark.range(40).select(
+            F.concat(
+                F.lit("http://p"), (did % 5).cast("string"),
+                F.lit(".test/d"), did.cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(1700000000 + did).alias("warc_ts"),
+            F.concat(F.lit("text of "), did.cast("string")).alias("text"),
+        )
+        out = str(tmp_path / "segment")
+        wet_m, cdx_m = publish_extraction(
+            pages, out, n_wet_files=3, n_cdx_files=2
+        )
+        assert sum(r["n_records"] for r in wet_m.collect()) == 40
+        assert sum(r["n_records"] for r in cdx_m.collect()) == 40
+        # WET round-trips through our own WARC reader
+        back = read_warc(
+            spark, os.path.join(out, "wet", "*.warc.wet.gz"),
+            warc_types=("conversion",),
+        )
+        assert back.count() == 40
+        # CDX lookup finds one site's captures
+        hits = cdx_lookup(spark, os.path.join(out, "cdx"), "test,p3)")
+        assert hits.count() == 8
+        # idempotent re-publication: byte-identical files
+        before = {
+            f: open(os.path.join(out, "cdx", f), "rb").read()
+            for f in os.listdir(os.path.join(out, "cdx"))
+        }
+        publish_extraction(pages, out, n_wet_files=3, n_cdx_files=2)
+        for f, b in before.items():
+            assert open(os.path.join(out, "cdx", f), "rb").read() == b, f
+
+
+class TestSitemapFrontier:
+    def test_seed_plan_and_nested(self, spark):
+        from pyspark.sql import functions as F
+
+        from table_ocr_spark.pipelines import sitemap_frontier
+
+        body1 = (
+            "<urlset>"
+            "<url><loc>http://s.test/old</loc>"
+            "<lastmod>2025-01-01</lastmod></url>"
+            "<url><loc>http://s.test/new</loc>"
+            "<lastmod>2026-05-05</lastmod></url>"
+            "<url><loc>http://s.test/undated</loc></url>"
+            "</urlset>"
+        )
+        # the same url listed again with an OLDER lastmod: max wins
+        body2 = (
+            "<urlset>"
+            "<url><loc>http://s.test/new</loc>"
+            "<lastmod>2024-01-01</lastmod></url>"
+            "<sitemap><loc>http://s.test/more.xml</loc></sitemap>"
+            "</urlset>"
+        )
+        sitemaps = spark.createDataFrame(
+            [(body1,), (body2,)], "sitemap_xml string"
+        )
+        plan, nested = sitemap_frontier(sitemaps, delay_s=2.0)
+        rows = {r["url"]: r for r in plan.collect()}
+        # recency order: new (2026) first, old (2025) second,
+        # undated last
+        assert rows["http://s.test/new"]["seq"] == 0
+        assert rows["http://s.test/old"]["seq"] == 1
+        assert rows["http://s.test/undated"]["seq"] == 2
+        assert rows["http://s.test/old"]["eta_s"] == 2.0
+        assert [r["sitemap_url"] for r in nested.collect()] == [
+            "http://s.test/more.xml"
+        ]
