@@ -115,10 +115,16 @@ def resolve_href(base, href, max_depth: int = 8):
       nesting levels.
     """
     h = F.regexp_replace(href, _TRIM_RE, "")
-    origin = F.regexp_extract(base, _ORIGIN_RE, 1)
-    scheme = F.regexp_extract(
-        base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+    # urljoin lowercases the SCHEME (and only the scheme) in every
+    # relative resolution — matched here so the differential holds on
+    # uppercase-scheme bases too
+    scheme = F.lower(
+        F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
+    authority = F.regexp_extract(
+        base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    origin = F.concat(scheme, F.lit("://"), authority)
     # base path; the merge branch pins '' to '/' (a bare origin
     # resolves like '/'), while the query-only branch keeps the raw
     # form (urljoin parity: 'http://h' + '?q' has no slash)
@@ -141,7 +147,7 @@ def resolve_href(base, href, max_depth: int = 8):
         origin, F.regexp_replace(bpath, "[^/]*$", ""), h
     )
     return (
-        F.when((origin == "") | h.isNull(), F.lit(None))
+        F.when((scheme == "") | h.isNull(), F.lit(None))
         .when((h == "") | h.startswith("#"), F.lit(None))
         .when(h.rlike(_SCHEME_ABS_RE), _strip_frag(h))
         .when(h.rlike(_SCHEME_ANY_RE), F.lit(None))

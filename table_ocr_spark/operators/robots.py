@@ -195,10 +195,16 @@ _DELAY_SCHEMA = T.StructType(
     ]
 )
 
+_ALL_SCHEMA = T.StructType(
+    list(_RULES_SCHEMA.fields)
+    + [T.StructField("crawl_delay", T.DoubleType())]
+)
+
 _EMIT_SCHEMAS = {
     "rules": _RULES_SCHEMA,
     "sitemaps": _SITEMAP_SCHEMA,
     "delays": _DELAY_SCHEMA,
+    "all": _ALL_SCHEMA,
 }
 
 
@@ -228,6 +234,24 @@ def _parse_kernel(agent: str, max_rules: int, emit: str):
                 elif emit == "delays":
                     if delay is not None:
                         rows.append((host, delay))
+                elif emit == "all":
+                    # one row per rule (crawl_delay NULL) plus — when
+                    # the host declares one — a single pattern-NULL
+                    # delay row, so hosts with a delay but no rules
+                    # keep it
+                    for pat, allow in rules:
+                        rows.append(
+                            (
+                                host,
+                                pat,
+                                allow,
+                                len(pat.encode("utf-8")),
+                                robots_pattern_regex(pat),
+                                None,
+                            )
+                        )
+                    if delay is not None:
+                        rows.append((host, None, None, None, None, delay))
                 else:
                     for sm in maps:
                         rows.append((host, sm))
@@ -249,6 +273,34 @@ def robots_rules(
     return robots.select(
         F.col(host_col).alias("_host"), F.col(body_col).alias("_body")
     ).mapInPandas(_parse_kernel(agent, max_rules, "rules"), _RULES_SCHEMA)
+
+
+def robots_tables(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    max_rules: int = 1000,
+    persist: bool = True,
+) -> Tuple[DataFrame, DataFrame]:
+    """(rules, delays) from ONE parse pass over the bodies — the
+    crawl-loop shape, where both tables are consumed every turn and
+    running :func:`robots_rules` + :func:`robots_crawl_delays`
+    separately would parse every body twice. The combined frame is
+    hosts×(rules+1) rows, persisted by default so the two derived
+    tables share the single parse at action time."""
+    combined = robots.select(
+        F.col(host_col).alias("_host"), F.col(body_col).alias("_body")
+    ).mapInPandas(_parse_kernel(agent, max_rules, "all"), _ALL_SCHEMA)
+    if persist:
+        combined = combined.persist()
+    rules = combined.filter(F.col("pattern").isNotNull()).drop(
+        "crawl_delay"
+    )
+    delays = combined.filter(F.col("crawl_delay").isNotNull()).select(
+        "host", "crawl_delay"
+    )
+    return rules, delays
 
 
 def robots_crawl_delays(

@@ -178,8 +178,7 @@ def next_frontier(
     from table_ocr_spark.operators.linkgraph import extract_links, resolve_href
     from table_ocr_spark.operators.robots import (
         filter_robots_allowed,
-        robots_crawl_delays,
-        robots_rules,
+        robots_tables,
     )
     from table_ocr_spark.operators.urlnorm import (
         canonical_url,
@@ -231,19 +230,18 @@ def next_frontier(
         counts["n_unblocked"] = unblocked.count()
 
     allowed = unblocked
+    host_delays = None
     if robots is not None:
-        allowed = filter_robots_allowed(
-            unblocked, robots_rules(robots, agent=agent)
-        )
+        # one parse pass over the bodies serves both the allow/deny
+        # rules and the per-host Crawl-delay (robots_tables persists
+        # the combined frame — separate calls would parse twice)
+        rules, delays = robots_tables(robots, agent=agent)
+        allowed = filter_robots_allowed(unblocked, rules)
+        if respect_crawl_delay:
+            host_delays = delays
     if audit:
         allowed = allowed.persist()
         counts["n_allowed"] = allowed.count()
-
-    host_delays = (
-        robots_crawl_delays(robots, agent=agent)
-        if robots is not None and respect_crawl_delay
-        else None
-    )
     plan = plan_fetches(
         allowed,
         delay_s=delay_s,
@@ -584,13 +582,15 @@ def sitemap_frontier(
     from table_ocr_spark.operators.sitemaps import parse_sitemaps
 
     parsed = parse_sitemaps(sitemaps, key_cols=(), body_col=body_col)
-    urls = (
-        parsed.filter(F.col("kind") == "url")
-        .groupBy(F.col("loc").alias("url"))
-        # a url listed in several sitemaps keeps its MOST RECENT
-        # lastmod (max; NULL loses to any real date)
-        .agg(F.max("lastmod").alias("lastmod"))
+    # the same fetchability pin as next_frontier: relative locs,
+    # entity garbage, and non-http schemes never enter the plan
+    fetchable = F.col("loc").rlike("^(?i)https?://")
+    urls = parsed.filter((F.col("kind") == "url") & fetchable).select(
+        F.col("loc").alias("url"), "lastmod"
     )
+    # no pre-aggregation here: plan_fetches(priority_col=...) already
+    # reduces duplicate urls with groupBy/max — a url listed in
+    # several sitemaps keeps its most recent lastmod in that one pass
     plan = plan_fetches(
         urls,
         priority_col="lastmod",
@@ -600,7 +600,7 @@ def sitemap_frontier(
         host_delays=host_delays,
     )
     nested = (
-        parsed.filter(F.col("kind") == "sitemap")
+        parsed.filter((F.col("kind") == "sitemap") & fetchable)
         .select(F.col("loc").alias("sitemap_url"))
         .distinct()
     )

@@ -165,23 +165,44 @@ def write_cdx(
     os.makedirs(path, exist_ok=True)
 
     ts = F.col(ts_col)
-    ts14 = (
-        F.date_format(ts, "yyyyMMddHHmmss")
-        if isinstance(df.schema[ts_col].dataType, T.TimestampType)
-        else ts.cast("string")
+    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        ts14 = F.date_format(ts, "yyyyMMddHHmmss")
+    else:
+        # string ts_col: already-ts14 strings pass through; anything
+        # to_timestamp can parse is rendered; the rest fails the
+        # grammar filter below
+        s = ts.cast("string")
+        ts14 = F.when(s.rlike(r"^\d{14}$"), s).otherwise(
+            F.date_format(F.try_to_timestamp(s), "yyyyMMddHHmmss")
+        )
+    # the line grammar is space-delimited, so the KEY must not carry
+    # whitespace: literal spaces percent-encode (the Wayback pin —
+    # they survive surt_key via url paths like '/a b'); keys with
+    # other whitespace (tab/newline garbage) are dropped with the
+    # NULL keys, as is any row without a valid 14-digit timestamp —
+    # both counts are auditable as input_count - manifest total
+    key = F.regexp_replace(surt_key(F.col(url_col)), " ", "%20")
+    rows = (
+        df.select(
+            key.alias("_key"),
+            ts14.alias("_ts"),
+            F.to_json(
+                F.struct(F.col(url_col).alias("url"), *extra_cols)
+            ).alias("_json"),
+        )
+        .where(
+            F.col("_key").isNotNull()
+            & ~F.col("_key").rlike(r"\s")
+            & F.col("_ts").rlike(r"^\d{14}$")
+        )
     )
-    rows = df.select(
-        surt_key(F.col(url_col)).alias("_key"),
-        ts14.alias("_ts"),
-        F.to_json(
-            F.struct(F.col(url_col).alias("url"), *extra_cols)
-        ).alias("_json"),
-    ).where(F.col("_key").isNotNull())
     # three passes consume this narrow frame (count, boundary sample,
-    # the write itself) — persist so the upstream plan runs once
-    rows = rows.persist()
+    # the write itself) — persist so the upstream plan runs once;
+    # keep the handle (rebinding `rows` later would make unpersist a
+    # no-op on a derived plan)
+    cached = rows.persist()
 
-    bounds = _boundaries(rows, n_files, max_sample)
+    bounds = _boundaries(cached, n_files, max_sample)
     if bounds:
         # descending CASE chain (first match wins) instead of an
         # interpreted per-element fold: the chain stays inside
@@ -193,7 +214,7 @@ def write_cdx(
         fid = fid.otherwise(F.lit(0))
     else:
         fid = F.lit(0)
-    rows = rows.withColumn("_fid", fid)
+    keyed = cached.withColumn("_fid", fid)
 
     def _write(batches) -> Iterator:
         import pandas as pd
@@ -250,11 +271,11 @@ def write_cdx(
         )
 
     manifest = (
-        rows.repartition(n_files, "_fid")
+        keyed.repartition(n_files, "_fid")
         .sortWithinPartitions("_key", "_ts", "_json")
         .mapInPandas(_write, _MANIFEST_SCHEMA)
     ).collect()
-    rows.unpersist()
+    cached.unpersist()
     manifest.sort(key=lambda r: r["file"])
 
     # cluster.idx: one line per file, sorted — the driver-side summary

@@ -136,3 +136,30 @@ class TestLookup:
         assert len(candidate_files(d, "test,h")) == 4
         # absent site: no candidates, empty result
         assert cdx_lookup(spark, d, "zz,absent)").count() == 0
+
+
+class TestLineGrammarSafety:
+    def test_space_url_and_bad_ts_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        pages = spark.createDataFrame(
+            [
+                ("http://sp.test/a b", "20260101030405"),   # space in path
+                ("http://sp.test/ok", "2026-01-01 03:04:05"),  # parseable
+                ("http://sp.test/bad", "not a time"),       # dropped
+                ("http://sp.test/null", None),              # dropped
+                ("http://tab.test/x\ty", "20260101030405"),  # dropped (tab)
+            ],
+            "url string, warc_ts string",
+        )
+        d = str(tmp_path / "sp")
+        m = write_cdx(pages, d, n_files=1)
+        assert sum(r["n_records"] for r in m.collect()) == 2
+        back = {r["surt"]: r for r in read_cdx(spark, d).collect()}
+        # the space percent-encodes in the KEY; the json keeps the
+        # original url; every ts is 14 digits
+        assert "test,sp)/a%20b" in back
+        assert back["test,sp)/a%20b"]["url"] == "http://sp.test/a b"
+        assert back["test,sp)/ok"]["ts"] == "20260101030405"
+        for r in back.values():
+            assert len(r["ts"]) == 14 and r["ts"].isdigit()

@@ -15,6 +15,7 @@ from table_ocr_spark.operators.robots import (
     filter_robots_allowed,
     parse_robots_body,
     robots_crawl_delays,
+    robots_tables,
     robots_decisions,
     robots_pattern_regex,
     robots_rules,
@@ -225,3 +226,24 @@ class TestDecisions:
             for r in robots_crawl_delays(robots, agent="megabot").collect()
         }
         assert got == {("h1.test", 2.5), ("h3.test", 7.0)}
+
+    def test_robots_tables_single_pass_equivalence(self, spark):
+        robots = spark.createDataFrame(
+            [
+                ("h1.test", BODY),
+                ("h2.test", "User-agent: *\nCrawl-delay: 7"),  # no rules
+                ("h3.test", "User-agent: *\nDisallow: /x"),  # no delay
+            ],
+            "host string, robots_txt string",
+        )
+        rules, delays = robots_tables(robots, agent="megabot")
+        want_rules = {
+            tuple(r) for r in robots_rules(robots, agent="megabot").collect()
+        }
+        assert {tuple(r) for r in rules.collect()} == want_rules
+        want_delays = {
+            tuple(r)
+            for r in robots_crawl_delays(robots, agent="megabot").collect()
+        }
+        assert {tuple(r) for r in delays.collect()} == want_delays
+        assert ("h2.test", 7.0) in want_delays  # delay-only host kept
