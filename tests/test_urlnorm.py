@@ -536,6 +536,8 @@ class TestResolveHref:
         "http://a.test/b/c/",
         "https://a.test",
         "http://a.test/b/c?q=9",
+        # urljoin lowercases the scheme (only) in relative resolutions
+        "HTTP://A.test/B/c",
     ]
     HREFS = [
         "d", "d/e", "./d", "../d", "../../d", "../../../../d",
