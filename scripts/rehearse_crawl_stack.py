@@ -23,8 +23,11 @@
   K. CDX index: write_cdx 1M urls -> 64 globally-sorted cdx-*.gz +
      cluster.idx, manifest totals closed-form, one pruned site
      lookup (candidate files strictly < 64), read-back count.
+  L. crawl-loop turn: next_frontier over 1M pages x 4 anchors
+     (relative resolution, nofollow, robots allow/deny + Crawl-delay,
+     seen anti-join), closed-form plan count and delay split.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|k ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|l ...]
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijk")
+    only = set(sys.argv[2:]) or set("abcdefghijkl")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -654,6 +657,74 @@ def main() -> int:
                   f"{len(cands)}/64 files ({n_hit} captures)")
         finally:
             shutil.rmtree(out, ignore_errors=True)
+        pages.unpersist()
+
+    # ---------------------------------------------------- L: loop
+    if "l" in only:
+        from table_ocr_spark.pipelines import next_frontier
+
+        n_hosts = max(1, n // 20)  # 20 pages per host
+        h = (did % n_hosts).cast("string")
+        pages = base.select(
+            F.concat(F.lit("http://f"), h, F.lit(".test/d/p"),
+                     did.cast("string")).alias("url"),
+            F.concat(
+                F.lit('<a href="http://n'), h, F.lit('.test/x'),
+                did.cast("string"), F.lit('">a</a>'),
+                F.lit('<a href="../r'), did.cast("string"),
+                F.lit('">r</a><a href="#top">f</a>'),
+                F.lit('<a href="http://spam.test/u'),
+                (did % 10).cast("string"),
+                F.lit('" rel="nofollow">s</a>'),
+            ).alias("html"),
+        ).persist()
+        pages.count()
+        k = F.col("id")
+        robots = spark.range(n_hosts).select(
+            F.concat(F.lit("f"), k.cast("string"), F.lit(".test"))
+            .alias("host"),
+            F.when(k % 5 == 0,
+                   F.lit("User-agent: *\nCrawl-delay: 3"))
+            .otherwise(F.lit("User-agent: *\nDisallow:"))
+            .alias("robots_txt"),
+        ).union(
+            spark.range(0, n_hosts, 2).select(
+                F.concat(F.lit("n"), k.cast("string"), F.lit(".test"))
+                .alias("host"),
+                F.lit("User-agent: *\nDisallow: /x").alias("robots_txt"),
+            )
+        )
+        seen = base.where(did % 10 == 0).select(
+            F.concat(F.lit("http://n"), h, F.lit(".test/x"),
+                     did.cast("string")).alias("url")
+        )
+        t0 = time.time()
+        plan, _ = next_frontier(
+            pages, seen_urls=seen, robots=robots,
+            delay_s=1.0, workers=512,
+        )
+        agg = plan.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("delay_s") == 3.0).cast("long")).alias("slow"),
+            F.sum((F.col("eta_s") != F.col("seq") * F.col("delay_s"))
+                  .cast("long")).alias("bad_eta"),
+        ).collect()[0]
+        t = time.time() - t0
+        # absolute n-host links: n minus robots-blocked (even hosts)
+        # minus seen (i%10==0 on odd hosts); relative f-host links:
+        # all n survive (f robots only set delays)
+        n_abs = n - ((n + 1) // 2) - sum(
+            1 for i in range(0, n, 10) if (i % n_hosts) % 2 == 1
+        )
+        want = n + n_abs
+        slow_want = sum(1 for i in range(n) if (i % n_hosts) % 5 == 0)
+        assert agg.n == want, (agg.n, want)
+        assert agg.slow == slow_want and agg.bad_eta == 0, agg
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"L: next_frontier {t:.1f} s over {n:,} pages x 4 "
+              f"anchors -> {agg.n:,} planned fetches "
+              f"({4*n/t:,.0f} anchors/s), {agg.slow:,} on "
+              f"Crawl-delay hosts, eta invariant exact")
         pages.unpersist()
 
     return 0
