@@ -58,6 +58,10 @@ ANCHOR_HREF_RE = 'href="([^"]*)"'
 NOFOLLOW_RE = '(?i)rel="[^"]*nofollow'
 _ABS_RE = "^(?i)(https?)://"
 
+# first <base href="..."> in the document (HTML spec: only the FIRST
+# base element is honored); value-scoped like ANCHOR_HREF_RE
+BASE_HREF_RE = '(?i)<base [^>]*href="([^"]*)"'
+
 # CLOSED anchors with their visible text: href value (group 1), any
 # further attributes up to the tag close, then text with no nested
 # markup (group 2). Identical match set in Java regex, RE2, Python re.
@@ -161,6 +165,19 @@ def resolve_href(base, href, max_depth: int = 8):
     )
 
 
+def effective_base(url, html):
+    """The base url relative hrefs resolve against: the document's
+    first ``<base href>`` — itself resolved against the page url,
+    since the spec allows a relative base — else the page url.
+    ``resolve_href``'s NULL pins (empty/fragment/non-hierarchical
+    base href) fall back to the page url rather than poisoning every
+    link on the page."""
+    base_href = F.regexp_extract(
+        html.cast("string"), BASE_HREF_RE, 1
+    )
+    return F.coalesce(resolve_href(url, base_href), url)
+
+
 def _host_key(level: str):
     if level not in ("host", "site"):
         raise ValueError(f"level must be 'host' or 'site', got {level!r}")
@@ -179,6 +196,7 @@ def extract_links(
     html_col: str = "html",
     url_col: str = "url",
     absolute_only: bool = True,
+    with_base: bool = False,
 ) -> DataFrame:
     """Page → one row per ABSOLUTE anchor href: (url_col, href,
     nofollow, n_links_total) where ``n_links_total`` is the page's
@@ -197,19 +215,30 @@ def extract_links(
         f"regexp_extract_all(CAST({html_col} AS STRING), "
         f"'{ANCHOR_TAG_RE}', 1)"
     )
-    # attr blob -> (href, nofollow); blobs without an href drop
+    # attr blob -> (href, nofollow); blobs without an href drop.
+    # with_base adds base_url — the document <base href> resolved
+    # against the page url (falling back to the page url), computed
+    # in this same pass because the html column does not travel
+    base_cols = (
+        [effective_base(F.col(url_col), F.col(html_col)).alias("base_url")]
+        if with_base
+        else []
+    )
     base = df.select(
         F.col(url_col),
+        *base_cols,
         F.filter(
             tags, lambda a: F.regexp_extract(a, ANCHOR_HREF_RE, 1) != ""
         ).alias("_tags"),
     ).select(
         url_col,
+        *(["base_url"] if with_base else []),
         F.size("_tags").cast("long").alias("n_links_total"),
         F.explode("_tags").alias("_a"),
     )
     out = base.select(
         url_col,
+        *(["base_url"] if with_base else []),
         F.regexp_extract("_a", ANCHOR_HREF_RE, 1).alias("href"),
         F.col("_a").rlike(NOFOLLOW_RE).alias("nofollow"),
         "n_links_total",
@@ -220,7 +249,7 @@ def extract_links(
     # builders and their oracle pin
     if absolute_only:
         out = out.filter(F.col("href").rlike(_ABS_RE))
-    return out.select(url_col, "href", "nofollow", "n_links_total")
+    return out
 
 
 def host_link_graph(

@@ -148,8 +148,10 @@ def next_frontier(
     1. ``extract_links`` — anchor hrefs (map-only regex;
        ``respect_nofollow`` drops rel=nofollow edges); with
        ``resolve_relative`` (default) relative hrefs resolve against
-       their page url (``resolve_href``, RFC 3986 §5 — most real
-       links are relative, a frontier that drops them starves)
+       the document's effective base — its first ``<base href>`` if
+       present, else the page url (``resolve_href``, RFC 3986 §5 —
+       most real links are relative, a frontier that drops them
+       starves)
     2. ``canonical_url`` + distinct — frontier candidates
     3. anti-join against ``seen_urls`` (column ``url``, assumed
        already canonical — it is this function's own prior output
@@ -185,11 +187,19 @@ def next_frontier(
         filter_blocked_hosts,
     )
 
-    links = extract_links(pages, absolute_only=not resolve_relative)
+    links = extract_links(
+        pages,
+        absolute_only=not resolve_relative,
+        with_base=resolve_relative,
+    )
     if respect_nofollow:
         links = links.filter(~F.col("nofollow"))
+    # relative hrefs resolve against the document's effective base —
+    # the first <base href> when present (itself page-url-resolved),
+    # else the page url (extract_links computes it in the harvest
+    # pass, since html does not travel past it)
     target = (
-        resolve_href(F.col("url"), F.col("href"))
+        resolve_href(F.col("base_url"), F.col("href"))
         if resolve_relative
         else F.col("href")
     )

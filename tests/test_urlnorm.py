@@ -612,3 +612,55 @@ class TestResolveHref:
             "http://abs.test/x", "rel/y", "/root",
         }
         assert all(r["n_links_total"] == 3 for r in rows)
+
+    def test_base_tag_resolution(self, spark):
+        from table_ocr_spark.operators.linkgraph import (
+            effective_base,
+            extract_links,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                # absolute base: links resolve against it
+                ("http://a.test/d/p",
+                 '<base href="http://b.test/x/"><a href="r">r</a>'),
+                # relative base: itself resolves against the page url
+                ("http://a.test/d/p",
+                 '<base href="sub/"><a href="r2">r</a>'),
+                # no base tag: page url is the base
+                ("http://a.test/d/p", '<a href="r3">r</a>'),
+                # second base tag ignored (spec: first wins)
+                ("http://a.test/d/p",
+                 '<base href="http://one.test/"><base href="http://two.test/">'
+                 '<a href="r4">r</a>'),
+                # garbage base falls back to the page url
+                ("http://a.test/d/p",
+                 '<base href="#frag"><a href="r5">r</a>'),
+            ],
+            "url string, html string",
+        )
+        links = extract_links(
+            pages, absolute_only=False, with_base=True
+        ).collect()
+        from table_ocr_spark.operators.linkgraph import resolve_href as rh
+        resolved = {
+            r["href"]: r["base_url"] for r in links
+        }
+        assert resolved["r"] == "http://b.test/x/"
+        assert resolved["r2"] == "http://a.test/d/sub/"
+        assert resolved["r3"] == "http://a.test/d/p"
+        assert resolved["r4"] == "http://one.test/"
+        assert resolved["r5"] == "http://a.test/d/p"
+
+    def test_base_tag_through_next_frontier(self, spark):
+        from table_ocr_spark.pipelines import next_frontier
+
+        pages = spark.createDataFrame(
+            [("http://a.test/d/p",
+              '<base href="http://cdn.test/assets/"><a href="x">l</a>')],
+            "url string, html string",
+        )
+        plan, _ = next_frontier(pages, workers=2)
+        assert [r["url"] for r in plan.collect()] == [
+            "http://cdn.test/assets/x"
+        ]
