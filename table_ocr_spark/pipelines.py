@@ -139,6 +139,9 @@ def next_frontier(
     workers: int = 64,
     max_per_host: int = None,
     respect_crawl_delay: bool = True,
+    prioritize: str = None,
+    authority: DataFrame = None,
+    broadcast_authority: bool = False,
     audit: bool = False,
 ):
     """One full crawl-loop turn: the pages just fetched → the next
@@ -165,6 +168,34 @@ def next_frontier(
        Crawl-delay raises its effective delay above the ``delay_s``
        floor (``robots_crawl_delays`` → ``host_delays``)
 
+    ``prioritize`` orders each host's fetch queue by link evidence
+    instead of url order (the reference fetches its one queue FIFO,
+    ``table_ocr/batch.py:221-247``; a crawler fetches what the web
+    vouches for first — OPIC/indegree frontier ordering):
+
+    - ``"indegree"`` — priority = number of DISTINCT EXTERNAL
+      referring hosts of the candidate url in this batch (the
+      spam-resistant count ``host_authority`` uses: one link farm is
+      one referrer). Internal links still DISCOVER a url (it stays a
+      candidate) but vouch nothing (priority 0) — else every site
+      boosts itself.
+    - ``"authority"`` — same distinct-external-referrer rollup, but
+      each referrer counts its weight from ``authority`` — any
+      ``(host, weight)`` frame, e.g. ``host_authority(...)``'s
+      ``(host, in_hosts)`` from PRIOR rounds (this batch's graph
+      works too, but prior-round authority is the OPIC shape).
+      Referrers absent from the frame weigh 0; duplicate hosts take
+      their max weight. ``broadcast_authority`` forces a broadcast
+      join for curated frames (at crawl scale the weight table is
+      host-cardinality — leave it a hash join).
+
+    With ``max_per_host`` the cap keeps each host's HIGHEST-priority
+    urls (``plan_fetches`` seats priority-descending), turning the
+    per-host budget into an authority-weighted harvest — CC's
+    frontier budgeting. Priority changes ordering only; the candidate
+    SET is identical to the unprioritized run, and ties (equal
+    priority) fall back to url order, so plans stay deterministic.
+
     Returns ``(plan, FrontierReport)``. With ``audit=False`` (the
     default) the whole thing is ONE lazy plan and the report carries
     -1s except ``n_planned`` is left uncounted too (count it when you
@@ -172,10 +203,13 @@ def next_frontier(
     and pays one count per stage — turn it on for crawl-ops
     dashboards, not for the hot loop.
 
-    Scale shape: stages 1-2 are map-only; 3 is one left-anti join on
-    the canonical url (Bloom-prunable); 4-5 are the bounded-side
-    joins their operators document; 6 is the host window. Nothing
-    collects to the driver."""
+    Scale shape: stages 1-2 are map-only (with ``prioritize`` the
+    stage-2 distinct becomes a two-key aggregate — the SAME single
+    url-keyed exchange, plus for ``"authority"`` one host-keyed join
+    against the weight table); 3 is one left-anti join on the
+    canonical url (Bloom-prunable); 4-5 are the bounded-side joins
+    their operators document; 6 is the host window. Nothing collects
+    to the driver."""
     from table_ocr_spark.operators.frontier import plan_fetches
     from table_ocr_spark.operators.linkgraph import extract_links, resolve_href
     from table_ocr_spark.operators.robots import (
@@ -185,7 +219,18 @@ def next_frontier(
     from table_ocr_spark.operators.urlnorm import (
         canonical_url,
         filter_blocked_hosts,
+        host_canonical,
     )
+
+    if prioritize not in (None, "indegree", "authority"):
+        raise ValueError(
+            "prioritize must be None, 'indegree' or 'authority', "
+            f"got {prioritize!r}"
+        )
+    if prioritize == "authority" and authority is None:
+        raise ValueError(
+            "prioritize='authority' needs an authority (host, weight) frame"
+        )
 
     links = extract_links(
         pages,
@@ -203,15 +248,59 @@ def next_frontier(
         if resolve_relative
         else F.col("href")
     )
-    candidates = (
-        links.select(canonical_url(target).alias("url"))
-        # only fetchable web urls enter the frontier: resolve_href
-        # passes any scheme:// through verbatim (ftp:, irc:), and a
-        # crawler fetches http(s) only — same pin extract_links'
-        # absolute-edge filter applies on the non-resolving path
-        .where(F.col("url").rlike("^(?i)https?://"))
-        .dropDuplicates(["url"])
-    )
+    # only fetchable web urls enter the frontier: resolve_href
+    # passes any scheme:// through verbatim (ftp:, irc:), and a
+    # crawler fetches http(s) only — same pin extract_links'
+    # absolute-edge filter applies on the non-resolving path
+    _fetchable = F.col("url").rlike("^(?i)https?://")
+    if prioritize is None:
+        candidates = (
+            links.select(canonical_url(target).alias("url"))
+            .where(_fetchable)
+            .dropDuplicates(["url"])
+        )
+    else:
+        # (candidate url, referring host) pairs; external = the
+        # referrer vouches for someone else's page. Both hosts are
+        # functions of the pair key, so the dedup keeps a
+        # deterministic row.
+        pairs = (
+            links.select(
+                host_canonical(F.col("url")).alias("_src_host"),
+                canonical_url(target).alias("url"),
+            )
+            .where(_fetchable)
+            .dropDuplicates(["url", "_src_host"])
+            .withColumn(
+                "_ext",
+                # '' is host_canonical's unparseable-source sentinel —
+                # a referrer with no identifiable host vouches nothing
+                (F.col("_src_host") != "")
+                & (F.col("_src_host") != host_canonical(F.col("url"))),
+            )
+        )
+        if prioritize == "authority":
+            w = (
+                authority.select(
+                    F.col(authority.columns[0]).alias("_src_host"),
+                    F.col(authority.columns[1])
+                    .cast("double")
+                    .alias("_w"),
+                )
+                .groupBy("_src_host")
+                .agg(F.max("_w").alias("_w"))
+            )
+            if broadcast_authority:
+                w = F.broadcast(w)
+            pairs = pairs.join(w, "_src_host", "left")
+            vouch = F.coalesce(F.col("_w"), F.lit(0.0))
+        else:
+            vouch = F.lit(1.0)
+        candidates = pairs.groupBy("url").agg(
+            F.sum(F.when(F.col("_ext"), vouch).otherwise(F.lit(0.0)))
+            .cast("double")
+            .alias("_priority")
+        )
 
     counts = {}
     if audit:
@@ -258,6 +347,7 @@ def next_frontier(
         workers=workers,
         max_per_host=max_per_host,
         host_delays=host_delays,
+        priority_col="_priority" if prioritize is not None else None,
     )
     report = FrontierReport(
         n_pages=counts.get("n_pages", -1),

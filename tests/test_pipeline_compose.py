@@ -325,6 +325,75 @@ class TestNextFrontier:
         assert rep.n_allowed == 4
         assert rep.n_planned == 4
 
+    def test_prioritized_frontier(self, spark):
+        """Authority-driven ordering: a host's fetch queue seats urls
+        by distinct-external-referrer evidence, internal links
+        discover but don't vouch, and max_per_host keeps the
+        highest-priority urls."""
+        from table_ocr_spark.pipelines import next_frontier
+
+        # hub.test/popular is vouched for by two external hosts;
+        # hub.test/niche by one; hub.test/self only by hub.test
+        # itself (internal — discovers, priority 0). Repeated links
+        # from one referrer count once.
+        pages = spark.createDataFrame(
+            [
+                (
+                    "http://a.test/p",
+                    '<a href="http://hub.test/popular">1</a>'
+                    '<a href="http://hub.test/popular">again</a>'
+                    '<a href="http://hub.test/niche">2</a>',
+                ),
+                ("http://b.test/p", '<a href="http://hub.test/popular">3</a>'),
+                ("http://hub.test/p", '<a href="http://hub.test/self">4</a>'),
+            ],
+            "url string, html string",
+        )
+        plan, _ = next_frontier(pages, prioritize="indegree", delay_s=2.0)
+        rows = {r["url"]: r for r in plan.collect()}
+        assert set(rows) == {
+            "http://hub.test/popular",
+            "http://hub.test/niche",
+            "http://hub.test/self",
+        }
+        assert rows["http://hub.test/popular"]["seq"] == 0
+        assert rows["http://hub.test/niche"]["seq"] == 1
+        assert rows["http://hub.test/self"]["seq"] == 2
+        assert rows["http://hub.test/niche"]["eta_s"] == 2.0
+
+        # authority weighting flips the order: b.test's vouch weighs
+        # 10, a.test's two vouches weigh 1 each — niche (a only, 1.0)
+        # now trails popular (a+b, 11.0); unknown hosts weigh 0
+        authority = spark.createDataFrame(
+            [("a.test", 1), ("b.test", 10)], "host string, in_hosts int"
+        )
+        plan2, _ = next_frontier(
+            pages,
+            prioritize="authority",
+            authority=authority,
+            broadcast_authority=True,
+        )
+        rows2 = {r["url"]: r["seq"] for r in plan2.collect()}
+        assert rows2["http://hub.test/popular"] == 0
+        assert rows2["http://hub.test/niche"] == 1
+
+        # the per-host budget keeps the top-priority urls
+        plan3, _ = next_frontier(pages, prioritize="indegree", max_per_host=1)
+        assert [r["url"] for r in plan3.collect()] == [
+            "http://hub.test/popular"
+        ]
+
+        # candidate SET identical to the unprioritized run
+        base, _ = next_frontier(pages)
+        assert {r["url"] for r in base.collect()} == set(rows)
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            next_frontier(pages, prioritize="authority")
+        with _pytest.raises(ValueError):
+            next_frontier(pages, prioritize="pagerank")
+
     def test_lazy_default_builds_one_plan(self, spark):
         from table_ocr_spark.pipelines import next_frontier
 
