@@ -430,6 +430,112 @@ class TestLinkGraph:
             host_link_graph(pages, level="domain")
 
 
+class TestHostPageRank:
+    """host_pagerank vs closed forms and a dense numpy twin (ranks
+    are float iterates — tolerance compares, never hashes)."""
+
+    def _graph(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "src_host string, dst_host string, n_links long"
+        )
+
+    def test_cycle_is_uniform(self, spark):
+        from table_ocr_spark.operators.linkgraph import host_pagerank
+
+        hosts = [f"h{i}.test" for i in range(4)]
+        g = self._graph(
+            spark,
+            [(hosts[i], hosts[(i + 1) % 4], 1) for i in range(4)],
+        )
+        ranks = {r.host: r.rank for r in host_pagerank(g).collect()}
+        assert set(ranks) == set(hosts)
+        for v in ranks.values():
+            assert abs(v - 0.25) < 1e-9
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+    def test_dangling_and_self_edges(self, spark):
+        from table_ocr_spark.operators.linkgraph import host_pagerank
+
+        # sink.test has no out-edge (dangling); loner.test appears
+        # only in a self-edge (excluded, but the host keeps a row)
+        g = self._graph(
+            spark,
+            [
+                ("a.test", "sink.test", 3),
+                ("b.test", "sink.test", 1),
+                ("loner.test", "loner.test", 5),
+            ],
+        )
+        ranks = {r.host: r.rank for r in host_pagerank(g).collect()}
+        assert set(ranks) == {"a.test", "b.test", "sink.test", "loner.test"}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+        # the endorsed sink outranks its (teleport-only) endorsers,
+        # and the self-vouching loner gains nothing over them
+        assert ranks["sink.test"] > ranks["a.test"]
+        assert abs(ranks["loner.test"] - ranks["a.test"]) < 1e-9
+
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_differential_vs_dense_numpy(self, spark, weighted):
+        import random
+
+        import numpy as np
+
+        from table_ocr_spark.operators.linkgraph import host_pagerank
+
+        rng = random.Random(20260819)
+        n = 30
+        hosts = [f"n{i}.test" for i in range(n)]
+        pairs = set()
+        while len(pairs) < 150:
+            s, t = rng.randrange(n), rng.randrange(n)
+            pairs.add((s, t))  # self-pairs included on purpose
+        edges = [(s, t, rng.randrange(1, 6)) for s, t in sorted(pairs)]
+        g = self._graph(
+            spark, [(hosts[s], hosts[t], w) for s, t, w in edges]
+        )
+
+        # dense twin with identical semantics: self-edges excluded,
+        # uniform-over-distinct-neighbors or n_links-proportional
+        # weights, dangling mass spread uniformly
+        W = np.zeros((n, n))
+        for s, t, w in edges:
+            if s != t:
+                W[s, t] = 1.0 if not weighted else w
+        out = W.sum(axis=1) if weighted else (W > 0).sum(axis=1)
+        P = np.divide(
+            W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0
+        )
+        # compare the exact 25th iterate on both sides (tol pinned
+        # unreachably low) — same map, same start, so every iterate
+        # must agree; full convergence would cost ~170 Spark rounds
+        # for no extra differential power
+        d, r = 0.85, np.full(n, 1.0 / n)
+        for _ in range(25):
+            dmass = r[out == 0].sum()
+            r = (1 - d) / n + d * (r @ P + dmass / n)
+
+        got = {
+            row.host: row.rank
+            for row in host_pagerank(
+                g, max_iters=25, tol=1e-300, weighted=weighted
+            ).collect()
+        }
+        assert len(got) == n
+        for i, h in enumerate(hosts):
+            assert abs(got[h] - r[i]) < 1e-8, (h, got[h], r[i])
+
+    def test_param_validation_and_empty(self, spark):
+        from table_ocr_spark.operators.linkgraph import host_pagerank
+
+        g = self._graph(spark, [])
+        assert host_pagerank(g).count() == 0
+        g2 = self._graph(spark, [("a.test", "b.test", 1)])
+        with pytest.raises(ValueError):
+            host_pagerank(g2, damping=1.0)
+        with pytest.raises(ValueError):
+            host_pagerank(g2, max_iters=0)
+
+
 class TestAnchorText:
     @pytest.fixture(scope="class")
     def pages(self, spark):
