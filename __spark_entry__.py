@@ -2009,6 +2009,38 @@ def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY component (not a contract row: PageRank ranks are
+    float power-iterates — cross-engine hash equality is the wrong
+    gate; correctness is pinned by the closed-form + numpy-twin
+    tests in tests/test_urlnorm.py and rehearsal block M's exact
+    recurrence twin). Damped PageRank over the same deterministic
+    linky corpus as q_host_authority: 50 h-hosts linked by a mod-7
+    permutation + the hub every page cites, 10 fixed rounds."""
+    from table_ocr_spark.operators.linkgraph import (
+        host_link_graph,
+        host_pagerank,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    h = (did % 50).cast("string")
+    h7 = ((did * 7) % 50).cast("string")
+    url = F.concat(
+        F.lit("http://h"), h, F.lit(".test/p"), did.cast("string")
+    )
+    html = F.concat(
+        F.lit('<a href="http://h'),
+        h7,
+        F.lit('.test/x">a</a>'),
+        F.lit('<a href="HTTPS://Hub.test:8080/y">h</a>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return host_pagerank(
+        host_link_graph(pages), max_iters=10, tol=1e-300
+    )
+
+
 def q_usage_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_usage_rollup (events) ∪ cost_model (lineitem), unified
     to (variant, k, metric, n) — metric is exact under double for

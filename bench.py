@@ -103,6 +103,7 @@ R4_NEW = [
     "ccnet_buckets",
     "remove_repeated_paragraphs",
     "host_authority",
+    "host_pagerank",
     "warc_extract",
     "page_metadata",
     "normalize_text",
@@ -153,6 +154,7 @@ def _bench_queries(em) -> dict:
         "gopher_repetition": em.q_gopher_repetition,
         "ccnet_buckets": em.q_ccnet_buckets,
         "host_authority": em.q_host_authority,
+        "host_pagerank": em.q_host_pagerank,
         "warc_extract": em.q_warc_extract,
         "page_metadata": em.q_page_metadata,
         "normalize_text": em.q_normalize_text,

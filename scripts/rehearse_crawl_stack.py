@@ -26,8 +26,14 @@
   L. crawl-loop turn: next_frontier over 1M pages x 4 anchors
      (relative resolution, nofollow, robots allow/deny + Crawl-delay,
      seen anti-join), closed-form plan count and delay split.
+  M. authority loop: host_pagerank over the 1M-page host graph
+     (ring + sink structure collapses to an exact 2-variable
+     recurrence — per-iterate closed-form twin), then
+     next_frontier(prioritize=...) with nested referrer sets so the
+     per-host fetch order is closed-form; times the priority
+     aggregate against the plain frontier on the same pages.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|l ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|m ...]
 """
 
 from __future__ import annotations
@@ -45,7 +51,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijkl")
+    only = set(sys.argv[2:]) or set("abcdefghijklm")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -725,6 +731,116 @@ def main() -> int:
               f"anchors -> {agg.n:,} planned fetches "
               f"({4*n/t:,.0f} anchors/s), {agg.slow:,} on "
               f"Crawl-delay hosts, eta invariant exact")
+        pages.unpersist()
+
+    # ------------------------------------------------ M: authority loop
+    if "m" in only:
+        from table_ocr_spark.operators.linkgraph import (
+            host_link_graph,
+            host_pagerank,
+        )
+        from table_ocr_spark.pipelines import next_frontier
+
+        # H f-hosts in a ring, each also linking the tgt.test sink;
+        # tier(h) = h % 4 nests the tgt referrer sets: u0 is linked
+        # by ALL hosts, u1 by 3/4, u2 by 1/2, u3 by 1/4 — so both
+        # the graph (ring + dangling sink) and the per-host fetch
+        # order are closed-form
+        H = max(4, (n // 20) // 4 * 4)
+        h = did % H
+        tier = h % 4
+        u_links = [
+            F.when(
+                tier >= j,
+                F.lit(f'<a href="http://tgt.test/u{j}">t</a>'),
+            ).otherwise(F.lit(""))
+            for j in range(4)
+        ]
+        pages = base.select(
+            F.concat(
+                F.lit("http://f"), h.cast("string"), F.lit(".test/p"),
+                did.cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<a href="http://f'),
+                ((h + 1) % H).cast("string"),
+                F.lit('.test/r">n</a>'),
+                *u_links,
+            ).alias("html"),
+        ).persist()
+        pages.count()
+
+        iters = 20
+        t0 = time.time()
+        g = host_link_graph(pages)
+        pr = host_pagerank(g, max_iters=iters, tol=1e-300)
+        ranks = {r.host: r.rank for r in pr.collect()}
+        t_pr = time.time() - t0
+        # exact per-iterate twin: by ring symmetry every f-host holds
+        # the same rank r; tgt is the one dangling node. Each f-host
+        # splits 0.5/0.5 between tgt and the next ring host.
+        N = H + 1
+        d = 0.85
+        r = R = 1.0 / N
+        for _ in range(iters):
+            r, R = (
+                (1 - d) / N + d * (0.5 * r + R / N),
+                (1 - d) / N + d * (0.5 * r * H + R / N),
+            )
+        assert len(ranks) == N, len(ranks)
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6
+        assert abs(ranks["tgt.test"] - R) < 1e-9, (ranks["tgt.test"], R)
+        for probe_host in ("f0.test", f"f{H // 2}.test"):
+            assert abs(ranks[probe_host] - r) < 1e-9, probe_host
+
+        # each timing is ONE action over a persisted plan; ordering
+        # asserts run untimed afterwards (a collect + count pair
+        # would execute the pipeline twice and double the print)
+        t0 = time.time()
+        plain, _ = next_frontier(pages)
+        n_plain = plain.count()
+        t_plain = time.time() - t0
+        plan, _ = next_frontier(pages, prioritize="indegree")
+        plan = plan.persist()
+        t0 = time.time()
+        n_prior = plan.count()
+        t_prior = time.time() - t0
+        # candidates: H ring urls + the 4 tgt urls, identical sets
+        assert n_plain == n_prior == H + 4, (n_plain, n_prior, H)
+        rows = {
+            x["url"]: x["seq"]
+            for x in plan.where(F.col("host") == "tgt.test").collect()
+        }
+        plan.unpersist()
+        # nested referrer counts (H, 3H/4, H/2, H/4) force the order
+        assert [rows[f"http://tgt.test/u{j}"] for j in range(4)] == [
+            0, 1, 2, 3,
+        ], rows
+
+        # rank-weighted priority agrees (nested sets x uniform ring
+        # ranks are monotone) — this is the PageRank->frontier loop
+        plan2, _ = next_frontier(
+            pages, prioritize="authority",
+            authority=pr.select("host", "rank"),
+        )
+        plan2 = plan2.persist()
+        t0 = time.time()
+        n_auth = plan2.count()
+        t_auth = time.time() - t0
+        assert n_auth == n_plain
+        rows2 = {
+            x["url"]: x["seq"]
+            for x in plan2.where(F.col("host") == "tgt.test").collect()
+        }
+        plan2.unpersist()
+        assert rows2 == rows, (rows2, rows)
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"M: host_pagerank {t_pr:.1f} s ({iters} rounds, "
+              f"{N:,} hosts, {2 * H:,} edges; per-iterate twin exact "
+              f"to 1e-9); frontier plain {t_plain:.1f} s vs "
+              f"indegree-prioritized {t_prior:.1f} s vs "
+              f"pagerank-weighted {t_auth:.1f} s over {5 * n:,} "
+              f"anchors, fetch order closed-form exact")
         pages.unpersist()
 
     return 0

@@ -355,9 +355,11 @@ def host_pagerank(
     pages are 10^12, orders below the page stream; the normalized
     edge frame is built once and persisted across rounds. Each round
     is one edge-keyed join + host-keyed aggregate (the irreducible
-    PageRank shuffle) plus two single-row probes (dangling mass, L1
-    delta — the same bounded-driver discipline as
-    ``duplicate_clusters``'s label-sum probe). Every round's frame is
+    PageRank shuffle) plus ONE single-row probe that materializes the
+    checkpoint, measures the L1 delta, and harvests the next round's
+    dangling mass in the same pass (round 0's mass is closed-form
+    under the uniform start) — the same bounded-driver discipline as
+    ``duplicate_clusters``'s label-sum probe. Every round's frame is
     checkpointed (``_truncate_plan``) and the previous round's cache
     explicitly unpersisted, so plans stay flat and executor storage
     holds at most two rank frames. Ranks are float sums, so exact
@@ -409,14 +411,14 @@ def host_pagerank(
     ranks, cached = _truncate_plan(ranks)
     ranks.count()
     prev_cached = cached
+    # uniform start makes round 0's dangling mass closed-form; each
+    # later round's is folded into the previous round's delta probe,
+    # so the loop runs ONE driver action (and one pass over the rank
+    # frame) per round instead of two
+    dang_flag = dangling.withColumn("_d", F.lit(1))
+    dmass = dangling.count() * (1.0 / n)
     try:
         for _ in range(max_iters):
-            dmass_row = (
-                ranks.join(dangling, "host", "left_semi")
-                .agg(F.sum("rank"))
-                .first()[0]
-            )
-            dmass = float(dmass_row or 0.0)
             contrib = (
                 edges.join(ranks, edges.src_host == ranks.host)
                 .groupBy(F.col("dst_host").alias("host"))
@@ -430,16 +432,27 @@ def host_pagerank(
                 ),
             )
             nxt, cached = _truncate_plan(nxt)
-            # the delta probe is the action that materializes the
-            # checkpoint — one job serves both
-            delta = (
+            # one probe action per round: materializes the checkpoint,
+            # measures the L1 delta, and harvests the NEXT round's
+            # dangling mass in the same pass
+            delta_row = (
                 nxt.join(
                     ranks.select("host", F.col("rank").alias("_prev")),
                     "host",
                 )
-                .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))))
-                .first()[0]
+                .join(dang_flag, "host", "left")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_prev"))),
+                    F.sum(
+                        F.when(F.col("_d") == 1, F.col("rank")).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                )
+                .first()
             )
+            delta = delta_row[0]
+            dmass = float(delta_row[1] or 0.0)
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = cached
