@@ -839,7 +839,9 @@ def main() -> int:
               f"{N:,} hosts, {2 * H:,} edges; per-iterate twin exact "
               f"to 1e-9); frontier plain {t_plain:.1f} s vs "
               f"indegree-prioritized {t_prior:.1f} s vs "
-              f"pagerank-weighted {t_auth:.1f} s over {5 * n:,} "
+              # 1 ring anchor + mean(tier+1) = 2.5 tgt anchors per
+              # page (tier uniform over 0..3 since 4 | H and H | n)
+              f"pagerank-weighted {t_auth:.1f} s over {7 * n // 2:,} "
               f"anchors, fetch order closed-form exact")
         pages.unpersist()
 

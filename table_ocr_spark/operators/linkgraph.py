@@ -464,6 +464,11 @@ def host_pagerank(
         edges.unpersist()
         nodes.unpersist()
         dangling.unpersist()
+        # the final round's cache: its checkpoint materialized in the
+        # probe action, so the backing persist is dead weight (same
+        # final unpersist duplicate_clusters does)
+        if prev_cached is not None:
+            prev_cached.unpersist()
 
 
 def extract_anchor_texts(

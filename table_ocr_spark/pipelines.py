@@ -194,7 +194,13 @@ def next_frontier(
     per-host budget into an authority-weighted harvest — CC's
     frontier budgeting. Priority changes ordering only; the candidate
     SET is identical to the unprioritized run, and ties (equal
-    priority) fall back to url order, so plans stay deterministic.
+    priority) fall back to url order. ``"indegree"`` plans are fully
+    deterministic (priorities are integer-valued counts); with
+    ``"authority"`` the priority is a float sum of weights, so
+    determinism holds to the float-sum reproducibility of the weight
+    rollup — urls whose sums differ below that noise can swap seats
+    across runs (harmless for fetch scheduling; pin integer weights
+    if byte-stable plans matter).
 
     Returns ``(plan, FrontierReport)``. With ``audit=False`` (the
     default) the whole thing is ONE lazy plan and the report carries
@@ -204,12 +210,14 @@ def next_frontier(
     dashboards, not for the hot loop.
 
     Scale shape: stages 1-2 are map-only (with ``prioritize`` the
-    stage-2 distinct becomes a two-key aggregate — the SAME single
-    url-keyed exchange, plus for ``"authority"`` one host-keyed join
-    against the weight table); 3 is one left-anti join on the
-    canonical url (Bloom-prunable); 4-5 are the bounded-side joins
-    their operators document; 6 is the host window. Nothing collects
-    to the driver."""
+    stage-2 single url-keyed distinct becomes TWO narrow exchanges —
+    the (url, referrer-host) pair dedup, then the url rollup; both
+    carry id-width rows only, and block M measures the pair within
+    ~6% of the plain path at 3.5M anchors — plus for ``"authority"``
+    one host-keyed join against the weight table); 3 is one
+    left-anti join on the canonical url (Bloom-prunable); 4-5 are
+    the bounded-side joins their operators document; 6 is the host
+    window. Nothing collects to the driver."""
     from table_ocr_spark.operators.frontier import plan_fetches
     from table_ocr_spark.operators.linkgraph import extract_links, resolve_href
     from table_ocr_spark.operators.robots import (
