@@ -324,6 +324,7 @@ def host_pagerank(
     max_iters: int = 20,
     tol: float = 1e-6,
     weighted: bool = False,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Damped PageRank over a :func:`host_link_graph` edge list →
     ``(host, rank)`` with ``sum(rank) == 1``. The global counterpart
@@ -349,6 +350,15 @@ def host_pagerank(
       ``tol``, else after ``max_iters`` (damping bounds the mixing
       time: delta contracts by ``damping`` per round, so 20 rounds
       reach ~1e-2 · 0.85^20 ≈ 4e-4 from any start).
+    - ``teleport`` — optional ``(host, weight)`` frame making this
+      PERSONALIZED PageRank (the focused-crawl variant: concentrate
+      teleport mass on seed hosts and ranks measure proximity to the
+      seed set). Weights are normalized over the graph's hosts
+      (absent hosts get 0; duplicate hosts take their max); both the
+      restart term and the dangling redistribution follow the
+      teleport vector, and iteration starts at it. Negative or
+      all-vanishing weights fail fast. Default: uniform ``1/n``
+      (classic global PageRank).
 
     Scale shape (100-TB argument): iteration state is ONE
     node-cardinality ``(host, rank)`` frame — hosts are ~10^8 when
@@ -385,51 +395,96 @@ def host_pagerank(
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
-    out_tot = ext.groupBy("src_host").agg(
-        F.sum("n_links").alias("_tot"),
-        F.count(F.lit(1)).alias("_deg"),
-    )
-    share = (
-        (F.col("n_links") / F.col("_tot"))
-        if weighted
-        else (F.lit(1.0) / F.col("_deg"))
-    )
-    edges = (
-        ext.join(out_tot, "src_host")
-        .select("src_host", "dst_host", share.alias("weight"))
-        .persist()
-    )
-    # hosts with no external out-edge, fixed across rounds
-    dangling = nodes.join(
-        edges.select("src_host").dropDuplicates(["src_host"]),
-        nodes.host == F.col("src_host"),
-        "left_anti",
-    ).persist()
-
-    d = float(damping)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    ranks, cached = _truncate_plan(ranks)
-    ranks.count()
-    prev_cached = cached
-    # uniform start makes round 0's dangling mass closed-form; each
-    # later round's is folded into the previous round's delta probe,
-    # so the loop runs ONE driver action (and one pass over the rank
-    # frame) per round instead of two
-    dang_flag = dangling.withColumn("_d", F.lit(1))
-    dmass = dangling.count() * (1.0 / n)
+    edges = nodes_t = dangling = prev_cached = None
     try:
+        out_tot = ext.groupBy("src_host").agg(
+            F.sum("n_links").alias("_tot"),
+            F.count(F.lit(1)).alias("_deg"),
+        )
+        share = (
+            (F.col("n_links") / F.col("_tot"))
+            if weighted
+            else (F.lit(1.0) / F.col("_deg"))
+        )
+        edges = (
+            ext.join(out_tot, "src_host")
+            .select("src_host", "dst_host", share.alias("weight"))
+            .persist()
+        )
+        # teleport vector as a per-node column: uniform 1/n (classic)
+        # or the caller's normalized seed weights (personalized)
+        if teleport is None:
+            nodes_t = nodes.withColumn("_t", F.lit(1.0 / n)).persist()
+        else:
+            tp = (
+                teleport.select(
+                    F.col(teleport.columns[0]).alias("host"),
+                    F.col(teleport.columns[1])
+                    .cast("double")
+                    .alias("_w"),
+                )
+                .groupBy("host")
+                .agg(F.max("_w").alias("_w"))
+            )
+            raw = nodes.join(tp, "host", "left").withColumn(
+                "_w", F.coalesce(F.col("_w"), F.lit(0.0))
+            )
+            stats = raw.agg(F.sum("_w"), F.min("_w")).first()
+            tot_w = float(stats[0] or 0.0)
+            min_w = float(stats[1] or 0.0)
+            if min_w < 0.0:
+                raise ValueError(
+                    "teleport weights must be non-negative"
+                )
+            if tot_w <= 0.0:
+                raise ValueError(
+                    "teleport weights vanish on the graph's hosts"
+                )
+            nodes_t = raw.select(
+                "host", (F.col("_w") / F.lit(tot_w)).alias("_t")
+            ).persist()
+
+        # hosts with no external out-edge, fixed across rounds
+        dangling = nodes.join(
+            edges.select("src_host").dropDuplicates(["src_host"]),
+            nodes.host == F.col("src_host"),
+            "left_anti",
+        ).persist()
+
+        d = float(damping)
+        ranks = nodes_t.select("host", F.col("_t").alias("rank"))
+        ranks, cached = _truncate_plan(ranks)
+        ranks.count()
+        prev_cached = cached
+        # round 0's dangling mass is one bootstrap aggregate
+        # (closed-form count/n in the uniform case); each later
+        # round's is folded into the previous round's delta probe, so
+        # the loop runs ONE driver action (and one pass over the rank
+        # frame) per round instead of two
+        dang_flag = dangling.withColumn("_d", F.lit(1))
+        if teleport is None:
+            dmass = dangling.count() * (1.0 / n)
+        else:
+            dmass = float(
+                ranks.join(dangling, "host", "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
         for _ in range(max_iters):
             contrib = (
                 edges.join(ranks, edges.src_host == ranks.host)
                 .groupBy(F.col("dst_host").alias("host"))
                 .agg(F.sum(F.col("rank") * F.col("weight")).alias("_c"))
             )
-            base = F.lit((1.0 - d) / n + d * dmass / n)
-            nxt = nodes.join(contrib, "host", "left").select(
+            # restart + dangling redistribution both follow the
+            # teleport vector: r' = (1-d)·t + d·(rP + dmass·t)
+            nxt = nodes_t.join(contrib, "host", "left").select(
                 "host",
-                (base + F.lit(d) * F.coalesce("_c", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(1.0 - d + d * dmass) * F.col("_t")
+                    + F.lit(d) * F.coalesce("_c", F.lit(0.0))
+                ).alias("rank"),
             )
             nxt, cached = _truncate_plan(nxt)
             # one probe action per round: materializes the checkpoint,
@@ -461,14 +516,15 @@ def host_pagerank(
                 break
         return ranks
     finally:
-        edges.unpersist()
+        # prev_cached: the final round's checkpoint materialized in
+        # the probe action, so its backing persist is dead weight
+        # (same final unpersist duplicate_clusters does); the None
+        # guards cover a teleport-validation raise before a frame
+        # exists
+        for f in (edges, nodes_t, dangling, prev_cached):
+            if f is not None:
+                f.unpersist()
         nodes.unpersist()
-        dangling.unpersist()
-        # the final round's cache: its checkpoint materialized in the
-        # probe action, so the backing persist is dead weight (same
-        # final unpersist duplicate_clusters does)
-        if prev_cached is not None:
-            prev_cached.unpersist()
 
 
 def extract_anchor_texts(

@@ -524,6 +524,79 @@ class TestHostPageRank:
         for i, h in enumerate(hosts):
             assert abs(got[h] - r[i]) < 1e-8, (h, got[h], r[i])
 
+    def test_personalized_teleport_vs_numpy(self, spark):
+        """Personalized PageRank: teleport mass on a seed set — the
+        focused-crawl variant. Differential vs the dense twin with
+        the same teleport vector at the exact 20th iterate, plus the
+        seed-proximity property."""
+        import random
+
+        import numpy as np
+
+        from table_ocr_spark.operators.linkgraph import host_pagerank
+
+        rng = random.Random(4)
+        n = 24
+        hosts = [f"n{i}.test" for i in range(n)]
+        pairs = set()
+        while len(pairs) < 90:
+            pairs.add((rng.randrange(n), rng.randrange(n)))
+        edges = [(s, t, rng.randrange(1, 4)) for s, t in sorted(pairs)]
+        g = self._graph(
+            spark, [(hosts[s], hosts[t], w) for s, t, w in edges]
+        )
+        # teleport weights on a third of the hosts (unnormalized on
+        # purpose — the operator normalizes), absent hosts weigh 0
+        seeds = {i: float(rng.randrange(1, 9)) for i in range(0, n, 3)}
+        tp = spark.createDataFrame(
+            [(hosts[i], w) for i, w in seeds.items()],
+            "host string, weight double",
+        )
+
+        W = np.zeros((n, n))
+        for s, t, w in edges:
+            if s != t:
+                W[s, t] = 1.0
+        out = (W > 0).sum(axis=1)
+        P = np.divide(
+            W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0
+        )
+        tvec = np.array([seeds.get(i, 0.0) for i in range(n)])
+        tvec = tvec / tvec.sum()
+        d, r = 0.85, tvec.copy()
+        for _ in range(20):
+            dmass = r[out == 0].sum()
+            r = (1 - d) * tvec + d * (r @ P + dmass * tvec)
+
+        got = {
+            row.host: row.rank
+            for row in host_pagerank(
+                g, max_iters=20, tol=1e-300, teleport=tp
+            ).collect()
+        }
+        assert len(got) == n
+        for i, h in enumerate(hosts):
+            assert abs(got[h] - r[i]) < 1e-8, (h, got[h], r[i])
+        # seed proximity: a zero-teleport host with no in-edges from
+        # the walk holds rank 0 under personalization (vs >0 global)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_teleport_validation(self, spark):
+        from table_ocr_spark.operators.linkgraph import host_pagerank
+
+        g = self._graph(spark, [("a.test", "b.test", 1)])
+        bad_neg = g.sparkSession.createDataFrame(
+            [("a.test", -1.0)], "host string, weight double"
+        )
+        with pytest.raises(ValueError, match="non-negative"):
+            host_pagerank(g, teleport=bad_neg)
+        # weights only on hosts absent from the graph vanish
+        off_graph = g.sparkSession.createDataFrame(
+            [("elsewhere.test", 5.0)], "host string, weight double"
+        )
+        with pytest.raises(ValueError, match="vanish"):
+            host_pagerank(g, teleport=off_graph)
+
     def test_param_validation_and_empty(self, spark):
         from table_ocr_spark.operators.linkgraph import host_pagerank
 
