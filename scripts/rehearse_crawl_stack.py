@@ -32,8 +32,11 @@
      next_frontier(prioritize=...) with nested referrer sets so the
      per-host fetch order is closed-form; times the priority
      aggregate against the plain frontier on the same pages.
+  N. revisit scheduling: revisit_schedule over ~1M captures with a
+     (captures, changes) grid chosen so every per-url interval — and
+     their corpus-wide sum — is closed-form.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|m ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|n ...]
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijklm")
+    only = set(sys.argv[2:]) or set("abcdefghijklmn")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -844,6 +847,72 @@ def main() -> int:
               f"pagerank-weighted {t_auth:.1f} s over {7 * n // 2:,} "
               f"anchors, fetch order closed-form exact")
         pages.unpersist()
+
+    # ------------------------------------------------ N: revisit
+    if "n" in only:
+        from table_ocr_spark.operators.frontier import revisit_schedule
+
+        # url i carries k = (i%4)+1 captures at j·D (mean 2.5 →
+        # ~n capture rows), digests all "A" except the LAST capture of
+        # even-i urls with k≥2, which is "B": n_changes ∈ {0, 1} and
+        # every interval is closed-form with no clamp in play
+        D = 86400.0
+        U = (2 * n) // 5
+        k_of = F.col("id") % 4 + 1
+        caps = (
+            spark.range(U)
+            .select(
+                F.col("id"),
+                k_of.alias("_k"),
+                F.explode(F.sequence(F.lit(0), k_of - 1)).alias("_j"),
+            )
+            .select(
+                F.concat(
+                    F.lit("http://r"), (F.col("id") % 99991).cast("string"),
+                    F.lit(".test/p"), F.col("id").cast("string"),
+                ).alias("url"),
+                F.timestamp_seconds(F.col("_j") * F.lit(D)).alias(
+                    "warc_ts"
+                ),
+                F.when(
+                    (F.col("id") % 2 == 0)
+                    & (F.col("_k") >= 2)
+                    & (F.col("_j") == F.col("_k") - 1),
+                    F.lit("B"),
+                )
+                .otherwise(F.lit("A"))
+                .alias("digest"),
+            )
+            .persist()
+        )
+        n_caps = caps.count()
+        t0 = time.time()
+        sched = revisit_schedule(caps)
+        agg = sched.agg(
+            F.count("*").alias("urls"),
+            F.sum("n_changes").alias("chg"),
+            F.sum("interval_s").alias("tot_int"),
+        ).collect()[0]
+        t = time.time() - t0
+        # python twin of the same grid
+        want_chg = want_int = 0.0
+        for i in range(U):
+            k = i % 4 + 1
+            if k == 1:
+                want_int += 7 * D
+                continue
+            chg = 1 if i % 2 == 0 else 0
+            want_chg += chg
+            want_int += (k - 1) * D / (chg + 1)
+        assert agg.urls == U and agg.chg == want_chg, agg
+        assert abs(agg.tot_int - want_int) < 1e-3 * U, (
+            agg.tot_int, want_int,
+        )
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"N: revisit_schedule {t:.1f} s over {n_caps:,} captures "
+              f"of {U:,} urls ({n_caps/t:,.0f} captures/s); per-url "
+              f"intervals + corpus sum closed-form exact")
+        caps.unpersist()
 
     return 0
 

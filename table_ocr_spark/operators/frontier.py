@@ -38,6 +38,110 @@ from pyspark.sql import functions as F
 from .urlnorm import host_canonical
 
 
+def revisit_schedule(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    min_interval_s: float = 3600.0,
+    max_interval_s: float = 30.0 * 86400.0,
+    default_interval_s: float = 7.0 * 86400.0,
+) -> DataFrame:
+    """Freshness-aware recrawl scheduling (the Cho/Garcia-Molina
+    revisit-policy axis the frontier planner lacks): a CDX-shaped
+    capture history ``(url, ts, digest)`` → per-url change evidence
+    and the next fetch time. The reference refetches nothing (every
+    PDF is processed once, ``table_ocr/core.py:158-215``); a crawler
+    that never revisits serves stale pages forever, one that
+    revisits uniformly wastes its fetch budget on pages that never
+    change.
+
+    Pinned rule (mirrored by the differential SQL twin in tests):
+
+    - captures of a url are ordered by ``(ts, digest)`` — the digest
+      tie-break makes equal-ts at-least-once redeliveries
+      deterministic (the ``latest_capture`` discipline);
+    - ``n_changes`` counts consecutive pairs whose digest differs;
+    - ``interval_s = clamp(span_s / (n_changes + 1), min, max)``
+      where ``span_s`` is the observed first→last capture span: the
+      add-one-smoothed mean time between observed changes. A page
+      that never changed across a long history drifts toward the
+      ceiling; a page that changed every capture is revisited at the
+      observed capture cadence, floored at ``min_interval_s``;
+    - single-capture urls (no evidence either way) get
+      ``default_interval_s``;
+    - ``next_fetch_ts = last_ts + interval_s``.
+
+    Feed the due subset straight into :func:`plan_fetches` with the
+    overdue seconds as ``priority_col``::
+
+        due = sched.where(F.col("next_fetch_ts") <= F.lit(now))
+        plan = plan_fetches(
+            due.withColumn(
+                "overdue_s",
+                F.lit(now).cast("double")
+                - F.unix_timestamp("next_fetch_ts"),
+            ),
+            priority_col="overdue_s",
+        )
+
+    Scale shape: one url-keyed window (running lag — state is one
+    row) feeding one url-keyed aggregate on the SAME partitioning
+    (no second exchange), all codegen expressions; output is
+    url-cardinality, orders below the capture stream.
+    """
+    if not 0 < min_interval_s <= max_interval_s:
+        raise ValueError(
+            "need 0 < min_interval_s <= max_interval_s, got "
+            f"{min_interval_s}, {max_interval_s}"
+        )
+    per = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(digest_col).alias("_dg"),
+    )
+    w = Window.partitionBy("url").orderBy("_ts", "_dg")
+    per = per.withColumn(
+        "_chg",
+        F.coalesce(
+            (F.col("_dg") != F.lag("_dg").over(w)).cast("long"),
+            F.lit(0),
+        ),
+    )
+    agg = per.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        F.min("_ts").alias("_first"),
+        F.max("_ts").alias("last_ts"),
+    )
+    span_s = (
+        F.unix_timestamp("last_ts") - F.unix_timestamp("_first")
+    ).cast("double")
+    interval = F.when(
+        F.col("n_captures") < 2, F.lit(float(default_interval_s))
+    ).otherwise(
+        F.least(
+            F.greatest(
+                span_s / (F.col("n_changes") + F.lit(1)).cast("double"),
+                F.lit(float(min_interval_s)),
+            ),
+            F.lit(float(max_interval_s)),
+        )
+    )
+    return agg.select(
+        "url",
+        "n_captures",
+        "n_changes",
+        "last_ts",
+        interval.alias("interval_s"),
+    ).withColumn(
+        "next_fetch_ts",
+        F.timestamp_seconds(
+            F.unix_timestamp("last_ts") + F.col("interval_s")
+        ),
+    )
+
+
 def plan_fetches(
     df: DataFrame,
     url_col: str = "url",

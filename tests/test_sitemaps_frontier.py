@@ -158,3 +158,159 @@ class TestPlanFetches:
         for r in plan.collect():
             assert r["delay_s"] == want[r["host"]], r
             assert r["eta_s"] == r["seq"] * want[r["host"]], r
+
+
+class TestRevisitSchedule:
+    """Freshness-aware recrawl scheduling: pinned closed forms, a
+    DuckDB differential twin of the full rule, and the plan_fetches
+    composition."""
+
+    def test_closed_forms(self, spark):
+        from table_ocr_spark.operators.frontier import revisit_schedule
+
+        D = 86400
+        rows = [
+            # one change over a 20-day span -> interval 10 d
+            ("http://a.test/x", 0, "A"),
+            ("http://a.test/x", 10 * D, "A"),
+            ("http://a.test/x", 20 * D, "B"),
+            # never changed over 20 d -> span/1 = 20 d
+            ("http://b.test/y", 0, "A"),
+            ("http://b.test/y", 20 * D, "A"),
+            # changes every capture, 1 h apart -> 3600/3 floors to min
+            ("http://c.test/z", 0, "A"),
+            ("http://c.test/z", 1800, "B"),
+            ("http://c.test/z", 3600, "C"),
+            # single capture -> default
+            ("http://d.test/w", 0, "A"),
+            # long never-changing history -> ceiling clamp
+            ("http://e.test/v", 0, "A"),
+            ("http://e.test/v", 90 * D, "A"),
+        ]
+        caps = spark.createDataFrame(
+            [(u, t, d) for u, t, d in rows], "url string, t long, digest string"
+        ).select("url", F.timestamp_seconds("t").alias("warc_ts"), "digest")
+        got = {
+            r["url"]: r
+            for r in revisit_schedule(caps, min_interval_s=3600.0).collect()
+        }
+        assert got["http://a.test/x"]["n_changes"] == 1
+        assert got["http://a.test/x"]["interval_s"] == 10 * D
+        assert got["http://b.test/y"]["interval_s"] == 20 * D
+        assert got["http://c.test/z"]["n_changes"] == 2
+        assert got["http://c.test/z"]["interval_s"] == 3600.0  # floor
+        assert got["http://d.test/w"]["interval_s"] == 7 * D  # default
+        assert got["http://e.test/v"]["interval_s"] == 30 * D  # ceiling
+        # next_fetch_ts = last_ts + interval
+        a = got["http://a.test/x"]
+        assert (
+            a["next_fetch_ts"] - a["last_ts"]
+        ).total_seconds() == a["interval_s"]
+
+    def test_equal_ts_redelivery_deterministic(self, spark):
+        from table_ocr_spark.operators.frontier import revisit_schedule
+
+        # two captures at the SAME ts with different digests: the
+        # (ts, digest) order pins the lag sequence -> exactly one
+        # change regardless of input row order
+        for order in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+            rows = [
+                ("http://a.test/x", 100, "B"),
+                ("http://a.test/x", 100, "A"),
+                ("http://a.test/x", 200, "B"),
+            ]
+            rows = [rows[i] for i in order]
+            caps = spark.createDataFrame(
+                rows, "url string, t long, digest string"
+            ).select(
+                "url", F.timestamp_seconds("t").alias("warc_ts"), "digest"
+            )
+            r = revisit_schedule(caps).collect()[0]
+            # A,B,B ordered: one change (A->B), span 100 s
+            assert r["n_changes"] == 1 and r["n_captures"] == 3
+
+    def test_differential_vs_duckdb(self, spark):
+        import random
+
+        import duckdb
+
+        from table_ocr_spark.operators.frontier import revisit_schedule
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(200):
+            url = f"http://h{i % 37}.test/p{i}"
+            n_caps = rng.randrange(1, 8)
+            t = rng.randrange(0, 10**6)
+            for _ in range(n_caps):
+                rows.append((url, t, f"d{rng.randrange(3)}"))
+                t += rng.randrange(1, 10**6)
+        caps = spark.createDataFrame(
+            rows, "url string, t long, digest string"
+        ).select("url", F.timestamp_seconds("t").alias("warc_ts"), "digest")
+        got = {
+            r["url"]: (r["n_captures"], r["n_changes"], r["interval_s"])
+            for r in revisit_schedule(caps).collect()
+        }
+
+        con = duckdb.connect()
+        con.execute(
+            "create table caps(url varchar, t bigint, digest varchar)"
+        )
+        con.executemany("insert into caps values (?, ?, ?)", rows)
+        want = con.sql(
+            """
+            with ordered as (
+              select url, t, digest,
+                     lag(digest) over (partition by url order by t, digest)
+                       as prev
+              from caps
+            ), agg as (
+              select url, count(*) as n_captures,
+                     sum(case when prev is not null and digest <> prev
+                          then 1 else 0 end) as n_changes,
+                     max(t) - min(t) as span_s
+              from ordered group by url
+            )
+            select url, n_captures, n_changes,
+                   case when n_captures < 2 then 604800.0
+                        else least(greatest(span_s / (n_changes + 1),
+                                            3600.0), 2592000.0) end
+                     as interval_s
+            from agg
+            """
+        ).fetchall()
+        assert len(want) == len(got)
+        for url, n_caps, n_chg, interval in want:
+            g = got[url]
+            assert g[0] == n_caps and g[1] == n_chg, url
+            assert g[2] == interval, (url, g[2], interval)
+
+    def test_composes_with_plan_fetches(self, spark):
+        from table_ocr_spark.operators.frontier import (
+            plan_fetches,
+            revisit_schedule,
+        )
+
+        D = 86400
+        rows = [
+            ("http://h.test/often", 0, "A"),
+            ("http://h.test/often", D, "B"),
+            ("http://h.test/often", 2 * D, "C"),   # interval 1 d
+            ("http://h.test/rare", 0, "A"),
+            ("http://h.test/rare", 20 * D, "A"),   # interval 20 d
+        ]
+        caps = spark.createDataFrame(
+            rows, "url string, t long, digest string"
+        ).select("url", F.timestamp_seconds("t").alias("warc_ts"), "digest")
+        sched = revisit_schedule(caps)
+        now = 40 * D  # both due; 'often' is more overdue
+        due = sched.where(
+            F.unix_timestamp("next_fetch_ts") <= F.lit(now)
+        ).withColumn(
+            "overdue_s",
+            F.lit(float(now)) - F.unix_timestamp("next_fetch_ts"),
+        )
+        plan = plan_fetches(due, priority_col="overdue_s")
+        seqs = {r["url"]: r["seq"] for r in plan.collect()}
+        assert seqs == {"http://h.test/often": 0, "http://h.test/rare": 1}
