@@ -66,6 +66,7 @@ def ingest_crawl(
     warc_glob: str,
     keep_statuses: tuple = (200,),
     html_only: bool = True,
+    with_digest: bool = False,
 ) -> DataFrame:
     """WARC files → the canonical pages frame (BASELINE.json input
     hint): (url, warc_ts timestamp, html binary, text, lang) — the
@@ -86,7 +87,19 @@ def ingest_crawl(
        latest-capture treats NULL as oldest)
 
     ``text``/``lang`` are NULL here: they are EXTRACTION outputs, and
-    the corpus builder computes them from ``html``."""
+    the corpus builder computes them from ``html``.
+
+    ``with_digest`` appends a ``digest`` column — sha1 hex of the
+    RE-ENCODED UTF-8 bytes (charset-normalized: the same content
+    shipped under a different transport encoding — BOM'd utf-16 one
+    crawl, plain utf-8 the next — digests identically, where CC's
+    raw-payload sha1-b32 would call it a change; content whose
+    DECODED text differs, including its own meta charset
+    declaration, still registers). This is exactly the
+    capture-history shape
+    :func:`operators.frontier.revisit_schedule` consumes, and it
+    rides :func:`sources.cdx.write_cdx` ``extra_cols`` into the CDX
+    index."""
     from table_ocr_spark.operators.pagemeta import (
         decode_payloads,
         sniff_charset,
@@ -105,14 +118,19 @@ def ingest_crawl(
     decoded = decode_payloads(
         staged, keep_columns=("url", "warc_ts", "charset")
     )
+    html_bytes = F.encode(F.col("decoded_text"), "UTF-8")
+    digest_cols = (
+        [F.sha1(html_bytes).alias("digest")] if with_digest else []
+    )
     return decoded.select(
         F.col("url"),
         F.to_timestamp(
             F.replace(F.col("warc_ts"), F.lit("Z"), F.lit("+00:00"))
         ).alias("warc_ts"),
-        F.encode(F.col("decoded_text"), "UTF-8").alias("html"),
+        html_bytes.alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
+        *digest_cols,
     )
 
 

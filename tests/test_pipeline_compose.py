@@ -250,6 +250,48 @@ class TestIngestCrawl:
             "beta35 gamma"
         )
 
+    def test_ingest_digest_charset_invariant(self, spark, tmp_path):
+        """with_digest: sha1 over the charset-NORMALIZED bytes, so the
+        same content shipped under a different transport encoding
+        (BOM'd utf-16 vs plain utf-8) digests identically — the
+        revisit_schedule capture-history contract."""
+        import hashlib
+
+        from table_ocr_spark.pipelines import ingest_crawl
+        from table_ocr_spark.sources.warc import build_warc_record
+
+        content = "señal <b>x</b>"
+        def rec(url, ts, body):
+            block = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body
+            )
+            return build_warc_record(url, ts, block, http=False)
+
+        recs = [
+            rec("http://a.test/p", "2026-01-01T00:00:00Z",
+                content.encode("utf-8")),
+            # same text shipped as BOM'd utf-16le: the sniffer picks
+            # the BOM, decode strips it, re-encoded bytes identical
+            rec("http://a.test/p", "2026-01-02T00:00:00Z",
+                b"\xff\xfe" + content.encode("utf-16-le")),
+            rec("http://a.test/p", "2026-01-03T00:00:00Z",
+                "changed".encode("utf-8")),
+        ]
+        (tmp_path / "d.warc").write_bytes(b"".join(recs))
+        pages = ingest_crawl(spark, str(tmp_path) + "/*", with_digest=True)
+        rows = sorted(pages.collect(), key=lambda r: str(r.warc_ts))
+        assert rows[0].digest == rows[1].digest  # charset-invariant
+        assert rows[2].digest != rows[0].digest  # real change visible
+        assert rows[0].digest == hashlib.sha1(
+            content.encode("utf-8")
+        ).hexdigest()
+        # feeds revisit_schedule directly: 3 captures, 1 change
+        from table_ocr_spark.operators.frontier import revisit_schedule
+
+        r = revisit_schedule(pages).collect()[0]
+        assert r["n_captures"] == 3 and r["n_changes"] == 1
+
 
 class TestNextFrontier:
     """One crawl-loop turn: links out of the fetched pages → novel,
