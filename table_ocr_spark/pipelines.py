@@ -100,13 +100,33 @@ def ingest_crawl(
     :func:`operators.frontier.revisit_schedule` consumes, and it
     rides :func:`sources.cdx.write_cdx` ``extra_cols`` into the CDX
     index."""
+    from table_ocr_spark.sources.warc import read_warc
+
+    return crawl_pages(
+        read_warc(spark, warc_glob),
+        keep_statuses=keep_statuses,
+        html_only=html_only,
+        with_digest=with_digest,
+    )
+
+
+def crawl_pages(
+    parsed: DataFrame,
+    keep_statuses: tuple = (200,),
+    html_only: bool = True,
+    with_digest: bool = False,
+) -> DataFrame:
+    """The WARC-records → canonical-pages transform of
+    :func:`ingest_crawl`, factored out so it applies to ANY records
+    frame with the ``read_warc`` schema — a batch read, a
+    ``read_warc_stream`` micro-batch (``streaming.crawl``), or a
+    caller-assembled frame. Same stages, same pins; see
+    :func:`ingest_crawl`."""
     from table_ocr_spark.operators.pagemeta import (
         decode_payloads,
         sniff_charset,
     )
-    from table_ocr_spark.sources.warc import read_warc
 
-    parsed = read_warc(spark, warc_glob)
     gate = F.col("http_status").isin(*[int(x) for x in keep_statuses])
     if html_only:
         gate = gate & (

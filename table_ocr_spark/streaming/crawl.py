@@ -1,0 +1,139 @@
+"""Streaming crawl-loop turns: the incremental twin of
+``pipelines.next_frontier``.
+
+A live crawl drops ``.warc(.gz)`` files into a bucket as fetch workers
+finish; each ``streaming_frontier`` invocation drains the NOT-yet-seen
+files (Structured Streaming file-source checkpoint, the
+``read_warc_stream`` contract) and turns every micro-batch into the
+next politeness fetch plan via the SAME batch composition —
+``crawl_pages`` → ``next_frontier`` — so the streaming path inherits
+every pin (charset normalization, RFC 3986 resolution, robots gate,
+Crawl-delay floors, prioritization) from the batch operators instead
+of re-implementing them.
+
+State layout under ``state_dir`` (all batch-id-keyed, so foreachBatch
+RETRIES overwrite their own output instead of duplicating — the
+idempotence rule Structured Streaming asks of sinks):
+
+- ``checkpoint/`` — the file-source progress (which WARC files are
+  ingested);
+- ``plans/batch=N/`` — parquet fetch plan of micro-batch N
+  (``plan_fetches`` schema: url, host, seq, worker, delay_s, eta_s);
+- ``seen/batch=N/`` — canonical urls CLAIMED by batch N: the urls it
+  planned plus the urls it fetched. Later batches anti-join their
+  candidates against the union of all earlier ``seen`` parts, so a
+  url is planned at most once across the stream's lifetime.
+
+Equivalence contract (pinned in tests): the UNION of planned url
+sets across streaming batches equals the all-at-once
+``next_frontier`` run (with every fetched url as ``seen_urls``) PLUS
+the urls that were planned in an early turn and then fetched in a
+later one — the loop working as intended: a plan is made before its
+fetches land, so the all-at-once view retroactively marks those
+targets "already fetched" while the stream correctly planned them
+first. Per-host ``seq``/``eta_s`` are assigned WITHIN each batch
+(politeness is enforced per fetch round), so they differ from the
+all-at-once plan by construction.
+
+Scale shape: per micro-batch, the ``seen`` side is one parquet scan
+of url-cardinality (Bloom-prunable anti-join, same as the batch
+loop); everything else is the batch plan. The per-batch listing cost
+of ``seen/`` grows with batch count — compact it offline (coalesce
+old ``batch=N`` parts into one) when a long-lived stream accumulates
+thousands of turns; the layout makes that a rename-safe operation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def streaming_frontier(
+    spark: SparkSession,
+    warc_glob: str,
+    state_dir: str,
+    keep_statuses: tuple = (200,),
+    html_only: bool = True,
+    seen_urls: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
+    **frontier_kwargs,
+) -> None:
+    """Drain all new WARC files under ``warc_glob`` (availableNow) and
+    write one fetch plan per micro-batch under
+    ``state_dir/plans/batch=N``; blocks until drained. ``seen_urls``
+    optionally seeds the already-crawled set (column ``url``,
+    canonical) on top of the stream's own accumulated claims;
+    ``frontier_kwargs`` pass through to
+    :func:`pipelines.next_frontier` (robots frame, blocklist,
+    prioritize, delays, ...)."""
+    from table_ocr_spark.pipelines import crawl_pages, next_frontier
+    from table_ocr_spark.sources.warc import read_warc_stream
+
+    plans_root = os.path.join(state_dir, "plans")
+    seen_root = os.path.join(state_dir, "seen")
+
+    def _turn(records: DataFrame, batch_id: int) -> None:
+        sess = records.sparkSession
+        pages = crawl_pages(
+            records, keep_statuses=keep_statuses, html_only=html_only
+        )
+        seen = None
+        if _fs_exists(sess, seen_root):
+            # batch=N dirs partition-discover an extra column; only
+            # the url column is the claim set
+            seen = sess.read.parquet(seen_root).select("url")
+        if seen_urls is not None:
+            extra = seen_urls.select("url")
+            seen = extra if seen is None else seen.union(extra)
+        plan, _ = next_frontier(pages, seen_urls=seen, **frontier_kwargs)
+        plan = plan.persist()
+        try:
+            plan.write.mode("overwrite").parquet(
+                os.path.join(plans_root, f"batch={batch_id}")
+            )
+            # claims: what this batch planned + what it fetched —
+            # written AFTER the plan so a crash between the writes
+            # re-runs the batch with the plan absent from seen (the
+            # retry then overwrites both, converging)
+            from table_ocr_spark.operators.urlnorm import canonical_url
+
+            claimed = plan.select("url").union(
+                pages.select(canonical_url(F.col("url")).alias("url"))
+            ).dropDuplicates(["url"])
+            claimed.write.mode("overwrite").parquet(
+                os.path.join(seen_root, f"batch={batch_id}")
+            )
+        finally:
+            plan.unpersist()
+
+    q = (
+        read_warc_stream(
+            spark,
+            warc_glob,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .writeStream.foreachBatch(_turn)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_plans(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All fetch plans the stream has emitted, tagged with their
+    micro-batch id (the ``batch=N`` dirs partition-discover as a
+    ``batch`` column)."""
+    return spark.read.parquet(os.path.join(state_dir, "plans"))

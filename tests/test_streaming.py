@@ -367,3 +367,82 @@ def test_map_only_corpus_ops_compose_with_streaming(spark, tmp_path):
         [(r["doc_id"], r["url"]) for r in
          spark.sql("SELECT * FROM maponly_stream").collect()]
     )
+
+
+def test_streaming_frontier_loop(spark, tmp_path):
+    """Streaming crawl turns: each availableNow drain plans only the
+    novel urls; claims persist across invocations; re-running with no
+    new files is a no-op; the batch-vs-stream relation holds exactly
+    (stream union = all-at-once plan + planned-then-fetched urls)."""
+    from table_ocr_spark.pipelines import ingest_crawl, next_frontier
+    from table_ocr_spark.sources.warc import build_warc_record
+    from table_ocr_spark.streaming.crawl import (
+        read_plans,
+        streaming_frontier,
+    )
+
+    warc_dir = tmp_path / "warc"
+    state = str(tmp_path / "state")
+    warc_dir.mkdir()
+
+    def rec(url, ts, html):
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html.encode()
+        )
+        return build_warc_record(url, ts, block, http=False)
+
+    # turn 1: one fetched page linking two new urls
+    (warc_dir / "a.warc").write_bytes(
+        rec(
+            "http://a.test/start",
+            "2026-04-01T00:00:00Z",
+            '<a href="http://b.test/page">b</a>'
+            '<a href="http://n1.test/x">n</a>',
+        )
+    )
+    streaming_frontier(spark, str(warc_dir) + "/*", state)
+    p1 = {r["url"] for r in read_plans(spark, state).collect()}
+    assert p1 == {"http://b.test/page", "http://n1.test/x"}
+
+    # turn 2: b.test/page was fetched (as planned); it links one new
+    # url, one url claimed in turn 1, and the already-fetched start
+    (warc_dir / "b.warc").write_bytes(
+        rec(
+            "http://b.test/page",
+            "2026-04-02T00:00:00Z",
+            '<a href="http://c.test/y">c</a>'
+            '<a href="http://n1.test/x">dup</a>'
+            '<a href="http://a.test/start">back</a>',
+        )
+    )
+    streaming_frontier(spark, str(warc_dir) + "/*", state)
+    plans = read_plans(spark, state)
+    by_batch = {
+        b: {r["url"] for r in rows.collect()}
+        for b, rows in [
+            (x["batch"], plans.where(F.col("batch") == x["batch"]))
+            for x in plans.select("batch").distinct().collect()
+        ]
+    }
+    assert len(by_batch) == 2
+    later = by_batch[max(by_batch)]
+    # only the genuinely novel url: n1 claimed in turn 1, a.test/start
+    # fetched in turn 1
+    assert later == {"http://c.test/y"}
+
+    # drain again with nothing new: no third batch dir
+    streaming_frontier(spark, str(warc_dir) + "/*", state)
+    assert read_plans(spark, state).select("batch").distinct().count() == 2
+
+    # batch-vs-stream relation: all-at-once with every fetched url
+    # seen = stream union MINUS the planned-then-fetched urls
+    pages = ingest_crawl(spark, str(warc_dir) + "/*")
+    from table_ocr_spark.operators.urlnorm import canonical_url
+
+    fetched = pages.select(canonical_url(F.col("url")).alias("url"))
+    once, _ = next_frontier(pages, seen_urls=fetched)
+    once_urls = {r["url"] for r in once.collect()}
+    stream_union = set().union(*by_batch.values())
+    planned_then_fetched = {"http://b.test/page"}
+    assert stream_union == once_urls | planned_then_fetched
