@@ -70,6 +70,11 @@ def revisit_schedule(
       observed capture cadence, floored at ``min_interval_s``;
     - single-capture urls (no evidence either way) get
       ``default_interval_s``;
+    - NULL-timestamp captures are dropped up front (``ingest_crawl``
+      keeps malformed WARC-Dates as NULL rows): an undated capture
+      is no scheduling evidence, and counting it while min/max skip
+      it would collapse the span to 0. Urls with ONLY undated
+      captures get no schedule row;
     - ``next_fetch_ts = last_ts + interval_s``.
 
     Feed the due subset straight into :func:`plan_fetches` with the
@@ -99,7 +104,13 @@ def revisit_schedule(
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("_ts"),
         F.col(digest_col).alias("_dg"),
-    )
+    # undated captures (ingest_crawl keeps malformed WARC-Dates as
+    # NULL warc_ts) carry no scheduling evidence: counting them
+    # would skip the default branch while min/max ignore them —
+    # span 0, hourly refetch for a once-observed page — and their
+    # NULLS-FIRST seat in the lag order could manufacture a change.
+    # Dropped here; urls with ONLY undated captures get no row.
+    ).where(F.col("_ts").isNotNull())
     w = Window.partitionBy("url").orderBy("_ts", "_dg")
     per = per.withColumn(
         "_chg",

@@ -416,26 +416,23 @@ def host_pagerank(
         if teleport is None:
             nodes_t = nodes.withColumn("_t", F.lit(1.0 / n)).persist()
         else:
-            tp = (
-                teleport.select(
-                    F.col(teleport.columns[0]).alias("host"),
-                    F.col(teleport.columns[1])
-                    .cast("double")
-                    .alias("_w"),
-                )
-                .groupBy("host")
-                .agg(F.max("_w").alias("_w"))
+            tp_raw = teleport.select(
+                F.col(teleport.columns[0]).alias("host"),
+                F.col(teleport.columns[1]).cast("double").alias("_w"),
             )
-            raw = nodes.join(tp, "host", "left").withColumn(
-                "_w", F.coalesce(F.col("_w"), F.lit(0.0))
-            )
-            stats = raw.agg(F.sum("_w"), F.min("_w")).first()
-            tot_w = float(stats[0] or 0.0)
-            min_w = float(stats[1] or 0.0)
-            if min_w < 0.0:
+            # sign check on the RAW frame: a negative weight on an
+            # off-graph host (dropped by the join) or shadowed by a
+            # duplicate row's max is still the caller's sign error
+            raw_min = tp_raw.agg(F.min("_w")).first()[0]
+            if raw_min is not None and float(raw_min) < 0.0:
                 raise ValueError(
                     "teleport weights must be non-negative"
                 )
+            tp = tp_raw.groupBy("host").agg(F.max("_w").alias("_w"))
+            raw = nodes.join(tp, "host", "left").withColumn(
+                "_w", F.coalesce(F.col("_w"), F.lit(0.0))
+            )
+            tot_w = float(raw.agg(F.sum("_w")).first()[0] or 0.0)
             if tot_w <= 0.0:
                 raise ValueError(
                     "teleport weights vanish on the graph's hosts"

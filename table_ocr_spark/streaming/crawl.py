@@ -20,9 +20,12 @@ idempotence rule Structured Streaming asks of sinks):
 - ``plans/batch=N/`` — parquet fetch plan of micro-batch N
   (``plan_fetches`` schema: url, host, seq, worker, delay_s, eta_s);
 - ``seen/batch=N/`` — canonical urls CLAIMED by batch N: the urls it
-  planned plus the urls it fetched. Later batches anti-join their
-  candidates against the union of all earlier ``seen`` parts, so a
-  url is planned at most once across the stream's lifetime.
+  planned plus the urls it fetched. Each batch anti-joins its
+  candidates against its OWN fetched urls plus the union of all
+  EARLIER ``seen`` parts (strictly ``batch < N`` — a retrying batch
+  must not read its crashed attempt's claims, which would anti-join
+  away its whole frontier and commit an empty plan), so a url is
+  planned at most once across the stream's lifetime.
 
 Equivalence contract (pinned in tests): the UNION of planned url
 sets across streaming batches equals the all-at-once
@@ -50,12 +53,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+from table_ocr_spark.operators.dedup import _fs_exists
 
 
 def streaming_frontier(
@@ -83,38 +81,57 @@ def streaming_frontier(
     seen_root = os.path.join(state_dir, "seen")
 
     def _turn(records: DataFrame, batch_id: int) -> None:
+        from table_ocr_spark.operators.urlnorm import canonical_url
+
         sess = records.sparkSession
+        # pages back two consumers (the plan and the claims write);
+        # persist so the WARC parse + charset decode kernels run once
         pages = crawl_pages(
             records, keep_statuses=keep_statuses, html_only=html_only
-        )
-        seen = None
-        if _fs_exists(sess, seen_root):
-            # batch=N dirs partition-discover an extra column; only
-            # the url column is the claim set
-            seen = sess.read.parquet(seen_root).select("url")
-        if seen_urls is not None:
-            extra = seen_urls.select("url")
-            seen = extra if seen is None else seen.union(extra)
-        plan, _ = next_frontier(pages, seen_urls=seen, **frontier_kwargs)
-        plan = plan.persist()
+        ).persist()
+        plan = None
         try:
+            fetched = pages.select(
+                canonical_url(F.col("url")).alias("url")
+            )
+            # this batch's OWN fetched urls are seen too — a
+            # multi-file batch (e.g. the bootstrap drain of a full
+            # bucket) must not plan pages it just ingested
+            seen = fetched
+            if _fs_exists(sess, seen_root):
+                # batch=N dirs partition-discover a `batch` column;
+                # a RETRYING batch must not read its own crashed
+                # attempt's claims (it would anti-join away its
+                # whole frontier and commit an empty plan)
+                seen = seen.union(
+                    sess.read.parquet(seen_root)
+                    .where(F.col("batch") < F.lit(int(batch_id)))
+                    .select("url")
+                )
+            if seen_urls is not None:
+                seen = seen.union(seen_urls.select("url"))
+            plan, _ = next_frontier(
+                pages, seen_urls=seen, **frontier_kwargs
+            )
+            plan = plan.persist()
             plan.write.mode("overwrite").parquet(
                 os.path.join(plans_root, f"batch={batch_id}")
             )
             # claims: what this batch planned + what it fetched —
             # written AFTER the plan so a crash between the writes
-            # re-runs the batch with the plan absent from seen (the
-            # retry then overwrites both, converging)
-            from table_ocr_spark.operators.urlnorm import canonical_url
-
-            claimed = plan.select("url").union(
-                pages.select(canonical_url(F.col("url")).alias("url"))
-            ).dropDuplicates(["url"])
+            # re-runs the batch with these claims invisible (the
+            # batch < batch_id filter) and overwrites both,
+            # converging
+            claimed = plan.select("url").union(fetched).dropDuplicates(
+                ["url"]
+            )
             claimed.write.mode("overwrite").parquet(
                 os.path.join(seen_root, f"batch={batch_id}")
             )
         finally:
-            plan.unpersist()
+            if plan is not None:
+                plan.unpersist()
+            pages.unpersist()
 
     q = (
         read_warc_stream(

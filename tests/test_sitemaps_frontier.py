@@ -314,3 +314,29 @@ class TestRevisitSchedule:
         plan = plan_fetches(due, priority_col="overdue_s")
         seqs = {r["url"]: r["seq"] for r in plan.collect()}
         assert seqs == {"http://h.test/often": 0, "http://h.test/rare": 1}
+
+    def test_null_ts_captures_carry_no_evidence(self, spark):
+        """Review regression: undated captures (NULL warc_ts, the
+        ingest_crawl malformed-date row) must not collapse the span
+        to 0 and trigger hourly refetch."""
+        from table_ocr_spark.operators.frontier import revisit_schedule
+
+        caps = spark.createDataFrame(
+            [
+                ("http://a.test/x", None, "A"),
+                ("http://a.test/x", 1000, "B"),
+                ("http://only-null.test/y", None, "A"),
+            ],
+            "url string, t long, digest string",
+        ).select(
+            "url",
+            F.timestamp_seconds("t").alias("warc_ts"),
+            "digest",
+        )
+        rows = {r["url"]: r for r in revisit_schedule(caps).collect()}
+        # one dated capture -> default interval, NULL row uncounted
+        a = rows["http://a.test/x"]
+        assert a["n_captures"] == 1 and a["n_changes"] == 0
+        assert a["interval_s"] == 7 * 86400
+        # only undated captures -> no schedule row at all
+        assert "http://only-null.test/y" not in rows

@@ -446,3 +446,55 @@ def test_streaming_frontier_loop(spark, tmp_path):
     stream_union = set().union(*by_batch.values())
     planned_then_fetched = {"http://b.test/page"}
     assert stream_union == once_urls | planned_then_fetched
+
+
+def test_streaming_frontier_bootstrap_and_retry(spark, tmp_path):
+    """Review regressions: (1) a multi-file bootstrap batch must not
+    plan urls it just fetched; (2) a retrying batch must not read its
+    own crashed attempt's claims (which would commit an empty plan)."""
+    from table_ocr_spark.sources.warc import build_warc_record
+    from table_ocr_spark.streaming.crawl import (
+        read_plans,
+        streaming_frontier,
+    )
+
+    def rec(url, html):
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html.encode()
+        )
+        return build_warc_record(url, "2026-04-01T00:00:00Z", block, http=False)
+
+    # (1) bootstrap: BOTH files present before the first drain — one
+    # batch containing a page and its own link target
+    warc = tmp_path / "warc"
+    warc.mkdir()
+    (warc / "a.warc").write_bytes(
+        rec("http://a.test/start", '<a href="http://b.test/page">b</a>')
+    )
+    (warc / "b.warc").write_bytes(
+        rec("http://b.test/page", '<a href="http://c.test/y">c</a>'
+            '<a href="http://a.test/start">back</a>')
+    )
+    state = str(tmp_path / "state")
+    streaming_frontier(spark, str(warc) + "/*", state)
+    urls = {r["url"] for r in read_plans(spark, state).collect()}
+    # b.test/page and a.test/start were FETCHED in this very batch
+    assert urls == {"http://c.test/y"}
+
+    # (2) retry: a crashed attempt left seen/batch=0 claims but no
+    # committed checkpoint — the fresh run (batch_id 0 again) must
+    # ignore them and still produce the full plan
+    warc2 = tmp_path / "warc2"
+    warc2.mkdir()
+    (warc2 / "a.warc").write_bytes(
+        rec("http://a.test/start", '<a href="http://b.test/page">b</a>')
+    )
+    state2 = str(tmp_path / "state2")
+    ghost = spark.createDataFrame(
+        [("http://b.test/page",)], "url string"
+    )
+    ghost.write.parquet(state2 + "/seen/batch=0")
+    streaming_frontier(spark, str(warc2) + "/*", state2)
+    urls2 = {r["url"] for r in read_plans(spark, state2).collect()}
+    assert urls2 == {"http://b.test/page"}

@@ -590,6 +590,20 @@ class TestHostPageRank:
         )
         with pytest.raises(ValueError, match="non-negative"):
             host_pagerank(g, teleport=bad_neg)
+        # sign errors must not slip past the join (off-graph host) or
+        # the duplicate-row max (review regression)
+        off_neg = g.sparkSession.createDataFrame(
+            [("a.test", 2.0), ("elsewhere.test", -5.0)],
+            "host string, weight double",
+        )
+        with pytest.raises(ValueError, match="non-negative"):
+            host_pagerank(g, teleport=off_neg)
+        dup_neg = g.sparkSession.createDataFrame(
+            [("a.test", 3.0), ("a.test", -1.0)],
+            "host string, weight double",
+        )
+        with pytest.raises(ValueError, match="non-negative"):
+            host_pagerank(g, teleport=dup_neg)
         # weights only on hosts absent from the graph vanish
         off_graph = g.sparkSession.createDataFrame(
             [("elsewhere.test", 5.0)], "host string, weight double"
