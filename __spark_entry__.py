@@ -1914,11 +1914,76 @@ def q_resolve_href(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (redirects.redirect_edges →
+    resolve_redirects → annotate_final_urls, max_hops=8) over a
+    deterministic capture set synthesized from documents: url(d) =
+    http://r<d%50>.test/p<d>; every 10th doc is a 200 terminal, every
+    13th (of the rest) 301s to ITSELF (a self-loop the resolver must
+    flag), every 7th 302s to the ROOT-RELATIVE '/p<d-1>' (exercising
+    RFC 9110 relative-Location resolution — the resolved node keeps
+    THIS doc's host, an alien terminal), and everything else 301s
+    down the absolute chain to url(d-1). Chains run up to 9 hops, so
+    max_hops=8 genuinely bites on the d%10==9 pure chains. The
+    oracle is a DuckDB recursive CTE walking the identical edge set
+    hop by hop — the pointer-doubling plan must agree with the
+    naive bounded walk on every verdict."""
+    from table_ocr_spark.operators.redirects import (
+        annotate_final_urls,
+        redirect_edges,
+        resolve_redirects,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _url(n):
+        return F.concat(
+            F.lit("http://r"), (did % 50).cast("string"),
+            F.lit(".test/p"), n.cast("string"),
+        )
+
+    url = _url(did)
+    loc = (
+        F.when(did % 10 == 0, F.lit(None).cast("string"))
+        .when(did % 13 == 0, url)
+        .when(did % 7 == 0, F.concat(F.lit("/p"), (did - 1).cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("http://r"), ((did - 1) % 50).cast("string"),
+                F.lit(".test/p"), (did - 1).cast("string"),
+            )
+        )
+    )
+    status = (
+        F.when(did % 10 == 0, F.lit(200))
+        .when(did % 13 == 0, F.lit(301))
+        .when(did % 7 == 0, F.lit(302))
+        .otherwise(F.lit(301))
+    )
+    caps = docs.select(
+        "doc_id",
+        url.alias("url"),
+        status.alias("http_status"),
+        loc.alias("redirect_location"),
+    )
+    resolved = resolve_redirects(redirect_edges(caps), max_hops=8)
+    return annotate_final_urls(
+        caps.select("doc_id", "url"), resolved
+    ).select(
+        "doc_id",
+        "final_url",
+        F.col("hops").cast("long").alias("hops"),
+        "redirect_loop",
+    )
+
+
 def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url_canonicalize ⊕ registrable_domain ⊕ robots_decisions ⊕
-    sitemap_digest ⊕ crawl_frontier ⊕ surt_key, joined on doc_id
-    (each leg is a 1:1 per-document url/crawl-identity verdict; the
-    joins are the only exchanges in the composite)."""
+    sitemap_digest ⊕ crawl_frontier ⊕ surt_key ⊕ resolve_href ⊕
+    redirect_chains, joined on doc_id (each leg is a 1:1
+    per-document url/crawl-identity verdict; the joins are the only
+    exchanges in the composite)."""
     return (
         q_url_canonicalize(spark, sf_dir)
         .join(q_registrable_domain(spark, sf_dir), "doc_id")
@@ -1927,6 +1992,7 @@ def q_url_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q_crawl_frontier(spark, sf_dir), "doc_id")
         .join(q_surt_key(spark, sf_dir), "doc_id")
         .join(q_resolve_href(spark, sf_dir), "doc_id")
+        .join(q_redirect_chains(spark, sf_dir), "doc_id")
     )
 
 
@@ -3907,6 +3973,58 @@ def oracle_sql() -> dict[str, str]:
         END AS resolved_url
       FROM documents
     """
+    # redirect chains: the oracle walks the identical functional
+    # graph hop-by-hop with a bounded recursive CTE (the naive
+    # O(max_hops)-round twin of the pointer-doubling plan); the
+    # annotate join mirrors redirects.annotate_final_urls (terminal
+    # docs keep themselves at 0 hops; loop rows coalesce to self)
+    sql["redirect_chains"] = """
+      WITH RECURSIVE rc_caps AS (
+        SELECT doc_id,
+          'http://r' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          CASE
+            WHEN doc_id % 10 = 0 THEN NULL
+            WHEN doc_id % 13 = 0 THEN
+              'http://r' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' ||
+              CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 7 = 0 THEN
+              'http://r' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' ||
+              CAST(doc_id - 1 AS VARCHAR)
+            ELSE
+              'http://r' || CAST((doc_id - 1) % 50 AS VARCHAR) ||
+              '.test/p' || CAST(doc_id - 1 AS VARCHAR)
+          END AS dst
+        FROM documents
+      ),
+      rc_edges AS (SELECT url AS src, dst FROM rc_caps
+                   WHERE dst IS NOT NULL),
+      rc_walk AS (
+        SELECT src, dst AS cur, 1 AS hops FROM rc_edges
+        UNION ALL
+        SELECT w.src, e.dst, w.hops + 1
+        FROM rc_walk w JOIN rc_edges e ON e.src = w.cur
+        WHERE w.hops < 8
+      ),
+      rc_last AS (SELECT src, arg_max(cur, hops) AS cur,
+                         max(hops) AS hops
+                  FROM rc_walk GROUP BY src),
+      rc_srcs AS (SELECT DISTINCT src FROM rc_edges),
+      rc_resolved AS (
+        SELECT l.src,
+               CASE WHEN s.src IS NULL AND l.hops <= 8
+                    THEN l.cur END AS final_url,
+               CASE WHEN s.src IS NULL AND l.hops <= 8
+                    THEN l.hops END AS hops,
+               (s.src IS NOT NULL OR l.hops > 8) AS redirect_loop
+        FROM rc_last l LEFT JOIN rc_srcs s ON s.src = l.cur
+      )
+      SELECT c.doc_id,
+             COALESCE(r.final_url, c.url) AS final_url,
+             CAST(COALESCE(r.hops, 0) AS BIGINT) AS hops,
+             COALESCE(r.redirect_loop, FALSE) AS redirect_loop
+      FROM rc_caps c LEFT JOIN rc_resolved r ON r.src = c.url
+    """
     sql["url_identity"] = (
         f"SELECT * FROM ({sql.pop('url_canonicalize')}) a "
         f"JOIN ({sql.pop('registrable_domain')}) b USING (doc_id) "
@@ -3914,7 +4032,8 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN ({sql.pop('sitemap_digest')}) d USING (doc_id) "
         f"JOIN ({sql.pop('crawl_frontier')}) e USING (doc_id) "
         f"JOIN ({sql.pop('surt_key')}) f USING (doc_id) "
-        f"JOIN ({sql.pop('resolve_href')}) g USING (doc_id)"
+        f"JOIN ({sql.pop('resolve_href')}) g USING (doc_id) "
+        f"JOIN ({sql.pop('redirect_chains')}) h USING (doc_id)"
     )
     sql["usage_cost_rollup"] = (
         "SELECT 'usage' AS variant, event_type AS k, "

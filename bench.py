@@ -112,6 +112,7 @@ R4_NEW = [
     "crawl_frontier",
     "surt_key",
     "resolve_href",
+    "redirect_chains",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -163,6 +164,7 @@ def _bench_queries(em) -> dict:
         "crawl_frontier": em.q_crawl_frontier,
         "surt_key": em.q_surt_key,
         "resolve_href": em.q_resolve_href,
+        "redirect_chains": em.q_redirect_chains,
     }
     return {**em.queries(), **comp}
 
@@ -232,6 +234,9 @@ def run_headline(
         # a co-tenant spike inflates them 2-3x where map-only queries
         # inflate ~20% — they need the extra trial most
         "duplicate_clusters", "dedup_survivors",
+        # pointer-doubling redirect walk: 5 sequential checkpoint
+        # rounds, same barrier-sensitivity class as CC
+        "redirect_chains",
     }
     # in-band host-capacity probes (VERDICT r3 #8): one effective-core
     # probe per query GROUP, so entries taken under a co-tenant spike

@@ -70,6 +70,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType()),
         T.StructField("http_content_type", T.StringType()),
         T.StructField("html", T.BinaryType()),
+        T.StructField("redirect_location", T.StringType()),
     ]
 )
 
@@ -82,14 +83,18 @@ def build_warc_record(
     warc_type: str = "response",
     http_status: int = 200,
     http: bool = True,
+    location: Optional[str] = None,
 ) -> bytes:
     """Python twin of the Spark-expression record builder below —
     the single source of the record grammar, used by tests and the
     datagen path. ``parse_warc(build_warc_record(x)) == x`` is the
-    module's contract."""
+    module's contract. ``location`` adds a Location header (redirect
+    captures — pair with a 3xx ``http_status``)."""
     if http:
+        loc_hdr = f"Location: {location}\r\n" if location is not None else ""
         block = (
             f"HTTP/1.1 {http_status} OK\r\n"
+            f"{loc_hdr}"
             "Content-Type: text/html; charset=utf-8\r\n\r\n"
         ).encode("ascii") + body
     else:
@@ -148,18 +153,21 @@ def gzip_members(records: Iterable[bytes]) -> bytes:
 # ---------------------------------------------------------------- parse
 def split_http_payload(
     block: bytes,
-) -> Tuple[Optional[int], Optional[str], bytes]:
+) -> Tuple[Optional[int], Optional[str], bytes, Optional[str]]:
     """Strip the HTTP envelope from a response block → (status,
-    content_type, body). ``content_type`` is the Content-Type header
-    value lowercased and trimmed (with charset params — the pagemeta
-    sniffer consumes them) or NULL when absent. A block that does not
-    start ``HTTP/`` is returned whole with NULL status/type
+    content_type, body, location). ``content_type`` is the
+    Content-Type header value lowercased and trimmed (with charset
+    params — the pagemeta sniffer consumes them) or NULL when absent;
+    ``location`` is the Location header value trimmed but case- and
+    percent-encoding-PRESERVED (it is a url — the redirect resolver
+    consumes it verbatim), NULL when absent. A block that does not
+    start ``HTTP/`` is returned whole with NULL status/type/location
     (metadata/resource records carry raw blocks)."""
     if not block.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, block, None
     end = block.find(_HDR_END)
     if end < 0:  # envelope never closes: treat everything as headers
-        return None, None, b""
+        return None, None, b"", None
     head = block[:end]
     status_line = head[: _line_end(head)]
     parts = status_line.split(b" ")
@@ -167,12 +175,19 @@ def split_http_payload(
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
     ctype: Optional[str] = None
+    location: Optional[str] = None
     for line in head.split(_CRLF)[1:]:
         k, sep, v = line.partition(b":")
-        if sep and k.strip().lower() == b"content-type":
+        if not sep:
+            continue
+        key = k.strip().lower()
+        if key == b"content-type" and ctype is None:
             ctype = v.strip().lower().decode("ascii", "replace")
+        elif key == b"location" and location is None:
+            location = v.strip().decode("ascii", "replace")
+        if ctype is not None and location is not None:
             break
-    return status, ctype, block[end + len(_HDR_END):]
+    return status, ctype, block[end + len(_HDR_END):], location
 
 
 def _line_end(b: bytes) -> int:
@@ -275,7 +290,9 @@ def _parse_kernel(path_col: str, blob_col: str, warc_types, batch_rows):
                 for rec in iter_warc_records(bytes(blob)):
                     if keep is not None and rec["warc_type"] not in keep:
                         continue
-                    status, ctype, body = split_http_payload(rec["block"])
+                    status, ctype, body, location = split_http_payload(
+                        rec["block"]
+                    )
                     rows.append(
                         (
                             path,
@@ -285,6 +302,7 @@ def _parse_kernel(path_col: str, blob_col: str, warc_types, batch_rows):
                             status,
                             ctype,
                             body,
+                            location,
                         )
                     )
                     if len(rows) >= batch_rows:

@@ -42,7 +42,8 @@ class TestKernel:
             out = list(iter_warc_records(blob))
             assert len(out) == 20
             assert out[13]["url"] == "http://h6.test/p13"
-            status, ctype, body = split_http_payload(out[13]["block"])
+            status, ctype, body, location = split_http_payload(out[13]["block"])
+            assert location is None
             assert status == 200
             assert ctype == "text/html; charset=utf-8"
             assert body == b"<html><body>doc 13 body words</body></html>"
@@ -81,14 +82,30 @@ class TestKernel:
             warc_type="metadata", http=False,
         )
         rec = next(iter(iter_warc_records(raw)))
-        status, ctype, body = split_http_payload(rec["block"])
+        status, ctype, body, location = split_http_payload(rec["block"])
         assert status is None and ctype is None and body == b"raw bytes"
+        assert location is None
         assert split_http_payload(b"HTTP/1.1 nope\r\n\r\nB") == (
-            None, None, b"B",
+            None, None, b"B", None,
         )
         assert split_http_payload(b"HTTP/1.1 200 OK\r\nnever-ends") == (
-            None, None, b"",
+            None, None, b"", None,
         )
+
+    def test_redirect_location_surfaced(self):
+        raw = build_warc_record(
+            "http://a.test/old", "2026-01-01T00:00:00Z", b"",
+            http_status=301, location="https://a.test/new",
+        )
+        rec = next(iter(iter_warc_records(raw)))
+        status, ctype, body, location = split_http_payload(rec["block"])
+        assert status == 301
+        assert location == "https://a.test/new"
+        # first Location wins; header name is case-insensitive
+        assert split_http_payload(
+            b"HTTP/1.1 302 Found\r\nLOCATION:  /rel\r\n"
+            b"Location: /other\r\n\r\nB"
+        ) == (302, None, b"B", "/rel")
 
 
 class TestSpark:
