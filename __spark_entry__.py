@@ -944,7 +944,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_stats(docs, bench, k=DECON_K, threshold=DECON_T)
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pack_sequences_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing): global exclusive prefix
     sum of token counts in doc order via the two-phase distributed
     prefix sum (bucket partials + broadcast bases), vs the oracle's
@@ -954,6 +954,41 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return pack_sequences(docs, capacity=PACK_CAPACITY, bucket_width=64)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (packing.chunk_documents, max 50 /
+    overlap 10): every emitted window, its provenance offset, and the
+    re-joined chunk text, vs the oracle's generate_series +
+    list_slice twin of the same pinned stride/clip/no-degenerate-tail
+    rules. Zero-token docs must vanish (the sequence(0,-1) descending
+    trap is pinned in pytest)."""
+    from table_ocr_spark.operators.packing import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=50, overlap=10)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences ⊕ chunk_documents — the two directions of
+    training-sequence shaping (concatenate short docs / cut long
+    docs) in one contract row, unified to
+    (variant, doc_id, a, b, c, s)."""
+    pack = q_pack_sequences_only(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("a"),
+        F.col("start_offset").alias("b"),
+        F.col("seq_id").alias("c"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    chunk = q_chunk_documents(spark, sf_dir).select(
+        "doc_id",
+        F.col("chunk_tokens").alias("a"),
+        F.col("start_token").alias("b"),
+        F.col("chunk_id").alias("c"),
+        F.col("chunk_text").alias("s"),
+    )
+    return _tagged_union("variant", [("pack", pack), ("chunk", chunk)])
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2769,6 +2804,9 @@ def oracle_sql() -> dict[str, str]:
 
     # oracle = the naive single-window global cumsum (fine at oracle SF;
     # the operator's two-phase prefix sum must agree exactly)
+    # pack leg: plain global window cumsum; chunk leg: the
+    # generate_series + list_slice twin of chunk_documents (max 50,
+    # stride 40; unnest of the empty series drops zero-token docs)
     sql["pack_sequences"] = f"""
       WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
       c AS (SELECT doc_id, n,
@@ -2776,9 +2814,28 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         AS BIGINT) AS so
             FROM t)
-      SELECT doc_id, n AS n_tokens, so AS start_offset,
-             CAST(floor(so / {float(PACK_CAPACITY)}) AS BIGINT) AS seq_id
+      SELECT 'pack' AS variant, doc_id, n AS a, so AS b,
+             CAST(floor(so / {float(PACK_CAPACITY)}) AS BIGINT) AS c,
+             CAST(NULL AS VARCHAR) AS s
       FROM c
+      UNION ALL
+      SELECT 'chunk', doc_id,
+             CAST(len(list_slice(toks, k * 40 + 1, k * 40 + 50)) AS BIGINT),
+             CAST(k * 40 AS BIGINT),
+             CAST(k AS BIGINT),
+             array_to_string(list_slice(toks, k * 40 + 1, k * 40 + 50), ' ')
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, nc - 1)) AS k
+        FROM (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) = 0 THEN 0
+                      WHEN len(toks) <= 50 THEN 1
+                      ELSE CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1
+                 END AS nc
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        )
+      )
     """
 
     # closed-form EXPECTED canonical url (host/scheme lowered, :443

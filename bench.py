@@ -113,6 +113,7 @@ R4_NEW = [
     "surt_key",
     "resolve_href",
     "redirect_chains",
+    "chunk_documents",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -165,6 +166,10 @@ def _bench_queries(em) -> dict:
         "surt_key": em.q_surt_key,
         "resolve_href": em.q_resolve_href,
         "redirect_chains": em.q_redirect_chains,
+        # pack_sequences became a composite row; keep timing the pure
+        # prefix-sum component for r1-r3 comparability
+        "pack_sequences": em.q_pack_sequences_only,
+        "chunk_documents": em.q_chunk_documents,
     }
     return {**em.queries(), **comp}
 

@@ -35,8 +35,13 @@
   N. revisit scheduling: revisit_schedule over ~1M captures with a
      (captures, changes) grid chosen so every per-url interval — and
      their corpus-wide sum — is closed-form.
+  O. redirect chains: redirect_edges → resolve_redirects over ~1M
+     captures arranged in 16-deep chains (relative Locations on odd
+     hops) + a self-loop family, max_hops=10 so the bound bites at
+     depth 11-15; resolved/loop counts, the hops sum, AND every
+     resolved final_url are closed-form exact.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|n ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|o ...]
 """
 
 from __future__ import annotations
@@ -54,7 +59,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijklmn")
+    only = set(sys.argv[2:]) or set("abcdefghijklmno")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -913,6 +918,92 @@ def main() -> int:
               f"of {U:,} urls ({n_caps/t:,.0f} captures/s); per-url "
               f"intervals + corpus sum closed-form exact")
         caps.unpersist()
+
+    # --------------------------------------------- O: redirect chains
+    if "o" in only:
+        from table_ocr_spark.operators.redirects import (
+            redirect_edges,
+            resolve_redirects,
+        )
+
+        # nn urls in B = nn/16 blocks; block b holds the 16-chain
+        # p(16b+15) -> ... -> p(16b) (terminal). All urls of a block
+        # share host h<b>, so the odd hops can use ROOT-RELATIVE
+        # Locations ('/p<i-1>') and still resolve onto the chain.
+        # Plus L detached self-loop urls. With max_hops=10: chain
+        # positions 1-10 resolve to the block base (hops = position),
+        # 11-15 exceed the bound -> loop, self-loops -> loop.
+        B = n // 16
+        nn = B * 16
+        L = n // 100
+        i = F.col("id")
+        c = i % 16
+        blk = (i / 16).cast("long")
+        url = F.concat(
+            F.lit("http://h"), blk.cast("string"),
+            F.lit(".test/p"), i.cast("string"),
+        )
+        prev_abs = F.concat(
+            F.lit("http://h"), blk.cast("string"),
+            F.lit(".test/p"), (i - 1).cast("string"),
+        )
+        loc = (
+            F.when(c == 0, F.lit(None).cast("string"))
+            .when(c % 2 == 1, F.concat(F.lit("/p"), (i - 1).cast("string")))
+            .otherwise(prev_abs)
+        )
+        chain_caps = spark.range(nn).select(
+            url.alias("url"),
+            F.when(c == 0, F.lit(200)).otherwise(F.lit(301)).alias(
+                "http_status"
+            ),
+            loc.alias("redirect_location"),
+        )
+        loop_url = F.concat(
+            F.lit("http://loop"), i.cast("string"), F.lit(".test/")
+        )
+        loop_caps = spark.range(L).select(
+            loop_url.alias("url"),
+            F.lit(301).alias("http_status"),
+            loop_url.alias("redirect_location"),
+        )
+        caps = chain_caps.unionByName(loop_caps)
+        t0 = time.time()
+        res = resolve_redirects(redirect_edges(caps), max_hops=10)
+        agg = res.agg(
+            F.count("*").alias("srcs"),
+            F.sum(
+                F.when(~F.col("redirect_loop"), 1).otherwise(0)
+            ).alias("resolved"),
+            F.sum(
+                F.when(F.col("redirect_loop"), 1).otherwise(0)
+            ).alias("looped"),
+            F.sum("hops").alias("hops_sum"),
+        ).collect()[0]
+        t = time.time() - t0
+        assert agg.srcs == 15 * B + L, agg
+        assert agg.resolved == 10 * B, agg
+        assert agg.looped == 5 * B + L, agg
+        assert agg.hops_sum == 55 * B, agg
+        # every resolved final_url must equal its block base exactly
+        exp = spark.range(nn).select(
+            url.alias("url"),
+            F.concat(
+                F.lit("http://h"), blk.cast("string"),
+                F.lit(".test/p"), (blk * 16).cast("string"),
+            ).alias("exp_final"),
+            c.alias("_c"),
+        ).filter((F.col("_c") >= 1) & (F.col("_c") <= 10))
+        n_match = (
+            res.join(exp, "url")
+            .filter(F.col("final_url") == F.col("exp_final"))
+            .count()
+        )
+        assert n_match == 10 * B, (n_match, 10 * B)
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"O: resolve_redirects {t:.1f} s over {15*B+L:,} redirect "
+              f"srcs ({(15*B+L)/t:,.0f} urls/s); resolved/loop/hops "
+              f"counts AND all {10*B:,} final urls closed-form exact")
 
     return 0
 

@@ -145,3 +145,76 @@ def packing_summary(packed: DataFrame, capacity: int) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window chunking RAG indexing and long-document training
+    pipelines run ahead of embedding/packing (the complement of
+    :func:`pack_sequences`: packing concatenates SHORT docs into
+    fixed sequences; chunking cuts LONG docs down to them).
+
+    Pinned semantics (the oracle contract):
+
+    - tokenization is the pinned whitespace ``tokens()`` shared with
+      doc_stats; ``chunk_text`` re-joins with single spaces (a
+      normalization, not a byte-span of the original — byte-faithful
+      spans would need the offset-preserving tokenizer, a documented
+      production swap-in);
+    - stride = ``max_tokens - overlap``; chunk k covers tokens
+      ``[k*stride, k*stride + max_tokens)`` clipped to the doc;
+    - windows are emitted until one covers the document end — no
+      degenerate tail chunk that is a pure suffix of its predecessor
+      (n ≤ max_tokens → exactly 1 chunk; else
+      ``ceil((n - max_tokens)/stride) + 1``);
+    - zero-token documents yield ZERO chunks (nothing to embed;
+      presence auditing belongs to doc_stats).
+
+    Scale shape: map-only — tokens, chunk count, and the explode are
+    all computed inside one projection over the scan; no exchange, no
+    UDF, no driver participation. Output rows carry provenance
+    (``start_token``) so chunks join back to documents losslessly."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    stride = max_tokens - overlap
+    n = F.size(F.col("_toks"))
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= max_tokens, F.lit(1))
+        .otherwise(
+            F.floor((n - max_tokens + stride - 1) / stride).cast("int") + 1
+        )
+    )
+    # sequence(0, -1) DESCENDS in Spark rather than being empty, so
+    # the zero-chunk case must short-circuit to an empty array
+    chunk_ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        "_toks",
+        F.explode(chunk_ids).alias("chunk_id"),
+    )
+    start = F.col("chunk_id").cast("long") * stride
+    sliced = base.withColumn(
+        "_chunk", F.slice("_toks", F.col("chunk_id") * stride + 1, max_tokens)
+    )
+    return sliced.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_token"),
+        F.size("_chunk").cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )

@@ -333,3 +333,80 @@ def test_dsir_bucket_kernel_matches_column_expression(spark):
     k = {r["doc_id"]: r["b"] for r in kern}
     e = {r["doc_id"]: r["b"] for r in expr}
     assert k == e
+
+
+class TestChunkDocuments:
+    def _reference(self, text, max_tokens, overlap):
+        toks = text.split()
+        n, stride = len(toks), max_tokens - overlap
+        if n == 0:
+            return []
+        out, k = [], 0
+        while True:
+            w = toks[k * stride: k * stride + max_tokens]
+            out.append((k, k * stride, len(w), " ".join(w)))
+            if k * stride + max_tokens >= n:
+                return out
+            k += 1
+
+    def test_edge_cases_pinned(self, spark):
+        from pyspark.sql import Row
+
+        from table_ocr_spark.operators.packing import chunk_documents
+
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="   "),  # whitespace-only: zero chunks
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text=" ".join(f"t{i}" for i in range(8))),
+            Row(doc_id=3, text=" ".join(f"t{i}" for i in range(9))),
+        ])
+        got = {}
+        for r in chunk_documents(docs, max_tokens=8, overlap=4).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.start_token, r.chunk_tokens, r.chunk_text))
+        assert 0 not in got
+        assert got[1] == [(0, 0, 3, "a b c")]
+        assert got[2] == [(0, 0, 8, " ".join(f"t{i}" for i in range(8)))]
+        # n == max+1: second chunk starts at stride, clipped to 5 toks
+        assert len(got[3]) == 2 and got[3][1][2] == 5
+
+    def test_differential_vs_reference(self, spark):
+        from pyspark.sql import Row
+
+        from table_ocr_spark.operators.packing import chunk_documents
+
+        docs = spark.createDataFrame([
+            Row(doc_id=i, text=" ".join(
+                f"w{(i * 31 + j) % 97}" for j in range((i * 53) % 41)))
+            for i in range(120)
+        ])
+        for max_tokens, overlap in [(10, 0), (10, 3), (7, 6), (1, 0)]:
+            got = {}
+            for r in chunk_documents(docs, max_tokens, overlap).collect():
+                got.setdefault(r.doc_id, []).append(
+                    (r.chunk_id, r.start_token, r.chunk_tokens, r.chunk_text))
+            for row in docs.collect():
+                want = self._reference(row.text, max_tokens, overlap)
+                have = sorted(got.get(row.doc_id, []))
+                assert [(k, s, ln, tx) for k, s, ln, tx in want] == have, (
+                    row.doc_id, max_tokens, overlap)
+
+    def test_validation(self, spark):
+        from pyspark.sql import Row
+
+        from table_ocr_spark.operators.packing import chunk_documents
+
+        docs = spark.createDataFrame([Row(doc_id=0, text="a")])
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(docs, max_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(docs, max_tokens=4, overlap=4)
+
+    def test_plan_is_map_only(self, spark):
+        from pyspark.sql import Row
+
+        from table_ocr_spark.operators.packing import chunk_documents
+
+        docs = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+        plan = chunk_documents(docs, 8, 2)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
