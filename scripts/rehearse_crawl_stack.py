@@ -40,8 +40,13 @@
      hops) + a self-loop family, max_hops=10 so the bound bites at
      depth 11-15; resolved/loop counts, the hops sum, AND every
      resolved final_url are closed-form exact.
+  P. incremental CDX merge: base index of 1M urls (64 files), then a
+     10k-capture single-site increment via merge_cdx — asserts only
+     the site's candidate files were rewritten (everything else
+     byte-identical) and times the merge against the full re-index
+     of the union.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|o ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|p ...]
 """
 
 from __future__ import annotations
@@ -59,7 +64,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijklmno")
+    only = set(sys.argv[2:]) or set("abcdefghijklmnop")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -1004,6 +1009,74 @@ def main() -> int:
               f"O: resolve_redirects {t:.1f} s over {15*B+L:,} redirect "
               f"srcs ({(15*B+L)/t:,.0f} urls/s); resolved/loop/hops "
               f"counts AND all {10*B:,} final urls closed-form exact")
+
+    # ------------------------------------------ P: incremental CDX merge
+    if "p" in only:
+        from table_ocr_spark.sources.cdx import (
+            candidate_files,
+            merge_cdx,
+            read_cdx,
+            write_cdx,
+        )
+
+        workdir = tempfile.mkdtemp(prefix="cdx_merge_")
+        base_dir = os.path.join(workdir, "base")
+        out_dir = os.path.join(workdir, "merged")
+        full_dir = os.path.join(workdir, "full")
+        i = F.col("id")
+        urls = spark.range(n).select(
+            F.concat(
+                F.lit("http://h"), (i % 100000).cast("string"),
+                F.lit(".test/p"), i.cast("string"),
+            ).alias("url"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        )
+        t0 = time.time()
+        write_cdx(urls, base_dir, n_files=64)
+        t_base = time.time() - t0
+        base_bytes = {
+            f: os.path.getsize(os.path.join(base_dir, f))
+            for f in os.listdir(base_dir)
+        }
+
+        inc = spark.range(10_000).select(
+            F.concat(
+                F.lit("http://h777.test/new"), i.cast("string")
+            ).alias("url"),
+            F.to_timestamp(F.lit("2026-02-01 00:00:00")).alias("warc_ts"),
+        )
+        t0 = time.time()
+        merge_cdx(inc, base_dir, out_dir)
+        t_merge = time.time() - t0
+        cands = set(candidate_files(base_dir, "test,h777)"))
+        changed = set()
+        for f in os.listdir(out_dir):
+            if not f.endswith(".gz"):
+                continue
+            same = (
+                os.path.getsize(os.path.join(out_dir, f))
+                == base_bytes.get(f)
+                and open(os.path.join(out_dir, f), "rb").read()
+                == open(os.path.join(base_dir, f), "rb").read()
+            )
+            if not same:
+                changed.add(f)
+        assert changed and changed <= cands, (changed, cands)
+        n_merged = read_cdx(spark, out_dir).count()
+        assert n_merged == n + 10_000, n_merged
+
+        t0 = time.time()
+        write_cdx(
+            urls.unionByName(inc), full_dir, n_files=64
+        )
+        t_full = time.time() - t0
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"P: merge_cdx 10k-capture single-site increment into a "
+              f"{n:,}-row 64-file index: {t_merge:.1f} s rewriting "
+              f"{len(changed)}/64 files (others byte-identical) vs "
+              f"{t_full:.1f} s full re-index ({t_full/t_merge:.1f}x); "
+              f"base build {t_base:.1f} s; merged read-back exact")
+        shutil.rmtree(workdir, ignore_errors=True)
 
     return 0
 

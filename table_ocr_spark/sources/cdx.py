@@ -139,6 +139,58 @@ def _boundaries(
     ]
 
 
+def _prepare_rows(
+    df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    extra_cols: Sequence[str],
+) -> DataFrame:
+    """The (``_key``, ``_ts``, ``_json``) projection every CDX write
+    path shares. The line grammar is space-delimited, so the KEY must
+    not carry whitespace: literal spaces percent-encode (the Wayback
+    pin — they survive surt_key via url paths like ``/a b``); keys
+    with other whitespace (tab/newline garbage) are dropped with the
+    NULL keys, as is any row without a valid 14-digit timestamp —
+    both counts are auditable as input_count - manifest total."""
+    ts = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        ts14 = F.date_format(ts, "yyyyMMddHHmmss")
+    else:
+        # string ts_col: already-ts14 strings pass through; anything
+        # to_timestamp can parse is rendered; the rest fails the
+        # grammar filter below
+        s = ts.cast("string")
+        ts14 = F.when(s.rlike(r"^\d{14}$"), s).otherwise(
+            F.date_format(F.try_to_timestamp(s), "yyyyMMddHHmmss")
+        )
+    key = F.regexp_replace(surt_key(F.col(url_col)), " ", "%20")
+    return df.select(
+        key.alias("_key"),
+        ts14.alias("_ts"),
+        F.to_json(
+            F.struct(F.col(url_col).alias("url"), *extra_cols)
+        ).alias("_json"),
+    ).where(
+        F.col("_key").isNotNull()
+        & ~F.col("_key").rlike(r"\s")
+        & F.col("_ts").rlike(r"^\d{14}$")
+    )
+
+
+def _fid_expr(bounds: List[str]) -> Column:
+    """File id of ``_key`` under sorted boundary literals: descending
+    CASE chain (first match wins) instead of an interpreted
+    per-element fold — the chain stays inside whole-stage codegen
+    (measured 2.3x on the 1M rehearsal over the F.aggregate HOF
+    form)."""
+    if not bounds:
+        return F.lit(0)
+    fid = F.when(F.col("_key") >= bounds[-1], F.lit(len(bounds)))
+    for i in range(len(bounds) - 2, -1, -1):
+        fid = fid.when(F.col("_key") >= bounds[i], F.lit(i + 1))
+    return fid.otherwise(F.lit(0))
+
+
 def write_cdx(
     df: DataFrame,
     path: str,
@@ -164,38 +216,7 @@ def write_cdx(
         raise ValueError(f"n_files must be positive, got {n_files}")
     os.makedirs(path, exist_ok=True)
 
-    ts = F.col(ts_col)
-    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
-        ts14 = F.date_format(ts, "yyyyMMddHHmmss")
-    else:
-        # string ts_col: already-ts14 strings pass through; anything
-        # to_timestamp can parse is rendered; the rest fails the
-        # grammar filter below
-        s = ts.cast("string")
-        ts14 = F.when(s.rlike(r"^\d{14}$"), s).otherwise(
-            F.date_format(F.try_to_timestamp(s), "yyyyMMddHHmmss")
-        )
-    # the line grammar is space-delimited, so the KEY must not carry
-    # whitespace: literal spaces percent-encode (the Wayback pin —
-    # they survive surt_key via url paths like '/a b'); keys with
-    # other whitespace (tab/newline garbage) are dropped with the
-    # NULL keys, as is any row without a valid 14-digit timestamp —
-    # both counts are auditable as input_count - manifest total
-    key = F.regexp_replace(surt_key(F.col(url_col)), " ", "%20")
-    rows = (
-        df.select(
-            key.alias("_key"),
-            ts14.alias("_ts"),
-            F.to_json(
-                F.struct(F.col(url_col).alias("url"), *extra_cols)
-            ).alias("_json"),
-        )
-        .where(
-            F.col("_key").isNotNull()
-            & ~F.col("_key").rlike(r"\s")
-            & F.col("_ts").rlike(r"^\d{14}$")
-        )
-    )
+    rows = _prepare_rows(df, url_col, ts_col, extra_cols)
     # three passes consume this narrow frame (count, boundary sample,
     # the write itself) — persist so the upstream plan runs once;
     # keep the handle (rebinding `rows` later would make unpersist a
@@ -203,18 +224,24 @@ def write_cdx(
     cached = rows.persist()
 
     bounds = _boundaries(cached, n_files, max_sample)
-    if bounds:
-        # descending CASE chain (first match wins) instead of an
-        # interpreted per-element fold: the chain stays inside
-        # whole-stage codegen — measured 2.3x on the 1M rehearsal
-        # (185.8 s -> 81.5 s write) over the F.aggregate HOF form
-        fid = F.when(F.col("_key") >= bounds[-1], F.lit(len(bounds)))
-        for i in range(len(bounds) - 2, -1, -1):
-            fid = fid.when(F.col("_key") >= bounds[i], F.lit(i + 1))
-        fid = fid.otherwise(F.lit(0))
-    else:
-        fid = F.lit(0)
-    keyed = cached.withColumn("_fid", fid)
+    keyed = cached.withColumn("_fid", _fid_expr(bounds))
+
+    _write = _writer_kernel(path)
+    manifest = (
+        keyed.repartition(n_files, "_fid")
+        .sortWithinPartitions("_key", "_ts", "_json")
+        .mapInPandas(_write, _MANIFEST_SCHEMA)
+    ).collect()
+    cached.unpersist()
+    manifest.sort(key=lambda r: r["file"])
+    _write_cluster_idx(path, manifest)
+    spark = df.sparkSession
+    return spark.createDataFrame(manifest, _MANIFEST_SCHEMA)
+
+
+def _writer_kernel(path: str):
+    """mapInPandas kernel writing key-sorted ``cdx-<fid>.gz`` files
+    with per-fid streaming gzip appenders; yields manifest rows."""
 
     def _write(batches) -> Iterator:
         import pandas as pd
@@ -270,24 +297,19 @@ def write_cdx(
             out, columns=[f.name for f in _MANIFEST_SCHEMA.fields]
         )
 
-    manifest = (
-        keyed.repartition(n_files, "_fid")
-        .sortWithinPartitions("_key", "_ts", "_json")
-        .mapInPandas(_write, _MANIFEST_SCHEMA)
-    ).collect()
-    cached.unpersist()
-    manifest.sort(key=lambda r: r["file"])
+    return _write
 
-    # cluster.idx: one line per file, sorted — the driver-side summary
-    # a lookup binary-searches instead of opening every cdx file
+
+def _write_cluster_idx(path: str, manifest) -> None:
+    """cluster.idx: one line per file, sorted — the driver-side
+    summary a lookup binary-searches instead of opening every cdx
+    file."""
     with open(os.path.join(path, CLUSTER_IDX), "w") as fh:
         for r in manifest:
             fh.write(
                 f"{r['first_key']} {r['first_ts']}\t{r['file']}\t"
                 f"{r['last_key']}\t{r['n_records']}\n"
             )
-    spark = df.sparkSession
-    return spark.createDataFrame(manifest, _MANIFEST_SCHEMA)
 
 
 _CDX_LINE = r"^(\S+) (\S+) (.*)$"
@@ -340,4 +362,140 @@ def cdx_lookup(
         )
     return read_cdx(spark, path, files=cands).where(
         F.col("surt").startswith(prefix)
+    )
+
+
+def _read_cluster_idx(path: str) -> List[dict]:
+    """Parse cluster.idx into manifest-shaped dicts (driver-side,
+    n_files lines). Missing index → ValueError (an unindexed
+    directory cannot be merged into; build it with write_cdx)."""
+    idx = os.path.join(path, CLUSTER_IDX)
+    if not os.path.exists(idx):
+        raise ValueError(
+            f"merge_cdx: no {CLUSTER_IDX} under {path!r} — build the "
+            "base index with write_cdx first"
+        )
+    out = []
+    with open(idx) as fh:
+        for line in fh:
+            head, fname, last_key, n_records = (
+                line.rstrip("\n").split("\t")
+            )
+            first_key, first_ts = head.split(" ", 1)
+            out.append(
+                {
+                    "file": fname,
+                    "first_key": first_key,
+                    "first_ts": first_ts,
+                    "last_key": last_key,
+                    "n_records": int(n_records),
+                }
+            )
+    out.sort(key=lambda r: r["file"])
+    return out
+
+
+def merge_cdx(
+    new_df: DataFrame,
+    existing_path: str,
+    out_path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    extra_cols: Sequence[str] = (),
+    dedup: bool = True,
+) -> DataFrame:
+    """Merge new captures into an existing CDX index WITHOUT
+    rewriting files their keys never touch — the incremental-index
+    operation behind a cumulative crawl index (CC publishes per-crawl
+    indexes and a rolling cumulative one; re-sorting 10^12 lines per
+    increment is the naive cost this avoids).
+
+    The existing index's file boundaries (cluster.idx first-keys) are
+    REUSED as the partition of key space: every new row maps to the
+    file whose range holds its key (the same codegen CASE chain
+    write_cdx uses), so only the files with ≥1 new row are re-merged
+    — read back, unioned with their new rows, re-sorted within the
+    file, re-written byte-deterministically. Untouched files are
+    copied verbatim (byte-identical; on an object store this is a
+    server-side copy/rename, the local shutil is the sandbox stand-
+    in) and their manifest rows carried over. A patch crawl touching
+    one site therefore costs O(that site's files), not O(index).
+
+    ``dedup=True`` (default) drops exact duplicate (key, ts, json)
+    lines between the existing file and the increment, making the
+    merge IDEMPOTENT: merging the same captures twice yields
+    byte-identical files (pinned in tests) — the same at-least-once
+    delivery stance as the lineage/resume contract.
+
+    Boundaries are reused, never re-balanced: a long series of skewed
+    increments can grow some files past others. Rebalancing IS the
+    full rewrite (write_cdx over read_cdx) by design — a deliberate,
+    scheduled operation, not something a routine merge does
+    implicitly. Returns the merged manifest (one row per output
+    file)."""
+    if os.path.abspath(out_path) == os.path.abspath(existing_path):
+        raise ValueError(
+            "merge_cdx: out_path must differ from existing_path (the "
+            "re-merged files are read and written in the same job)"
+        )
+    existing = _read_cluster_idx(existing_path)
+    bounds = [r["first_key"] for r in existing[1:]]
+    os.makedirs(out_path, exist_ok=True)
+
+    spark = new_df.sparkSession
+    rows = _prepare_rows(new_df, url_col, ts_col, extra_cols)
+    keyed = rows.withColumn("_fid", _fid_expr(bounds))
+    cached = keyed.persist()
+    touched = sorted(
+        r[0] for r in cached.select("_fid").distinct().collect()
+    )
+
+    manifest: List[dict] = []
+    by_fid = {int(r["file"][4:9]): r for r in existing}
+    untouched = [f for f in by_fid if f not in set(touched)]
+    import shutil
+
+    for f_id in untouched:
+        r = by_fid[f_id]
+        src = os.path.join(existing_path, r["file"])
+        dst = os.path.join(out_path, r["file"])
+        shutil.copyfile(src, dst)
+        manifest.append({**r, "n_bytes": os.path.getsize(dst)})
+
+    if touched:
+        old_files = [
+            by_fid[f]["file"] for f in touched if f in by_fid
+        ]
+        parts = [cached]
+        if old_files:
+            old_rows = read_cdx(
+                spark, existing_path, files=old_files
+            ).select(
+                F.col("surt").alias("_key"),
+                F.col("ts").alias("_ts"),
+                F.col("fields").alias("_json"),
+            ).withColumn("_fid", _fid_expr(bounds))
+            parts.append(old_rows)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        if dedup:
+            merged = merged.dropDuplicates(["_key", "_ts", "_json"])
+        new_manifest = (
+            merged.repartition(max(len(touched), 1), "_fid")
+            .sortWithinPartitions("_key", "_ts", "_json")
+            .mapInPandas(_writer_kernel(out_path), _MANIFEST_SCHEMA)
+        ).collect()
+        manifest.extend(
+            {f.name: r[f.name] for f in _MANIFEST_SCHEMA.fields}
+            for r in new_manifest
+        )
+    cached.unpersist()
+
+    manifest.sort(key=lambda r: r["file"])
+    _write_cluster_idx(out_path, manifest)
+    return spark.createDataFrame(
+        [tuple(m[f.name] for f in _MANIFEST_SCHEMA.fields)
+         for m in manifest],
+        _MANIFEST_SCHEMA,
     )

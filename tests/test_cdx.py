@@ -163,3 +163,98 @@ class TestLineGrammarSafety:
         assert back["test,sp)/ok"]["ts"] == "20260101030405"
         for r in back.values():
             assert len(r["ts"]) == 14 and r["ts"].isdigit()
+
+
+class TestMergeCdx:
+    def _bytes(self, d):
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+        }
+
+    def test_targeted_merge_touches_only_candidate_files(
+        self, spark, tmp_path
+    ):
+        from table_ocr_spark.sources.cdx import merge_cdx
+
+        base = str(tmp_path / "base")
+        write_cdx(_pages(spark, 400), base, n_files=4)
+        base_bytes = self._bytes(base)
+
+        # increment: 10 NEW captures of one existing site (h3)
+        inc = spark.range(10).select(
+            F.concat(
+                F.lit("http://h3.test/new"), F.col("id").cast("string")
+            ).alias("url"),
+            F.to_timestamp(F.lit("2026-02-01 00:00:00")).alias("warc_ts"),
+        )
+        out = str(tmp_path / "merged")
+        m = merge_cdx(inc, base, out)
+
+        # every base file is present in the output
+        assert sorted(f for f in os.listdir(out) if f.endswith(".gz")) \
+            == sorted(f for f in os.listdir(base) if f.endswith(".gz"))
+        # the site's keys land in ONE file range; all other files are
+        # byte-identical copies
+        cands = set(candidate_files(base, "test,h3)"))
+        out_bytes = self._bytes(out)
+        changed = {
+            f for f in out_bytes
+            if f.endswith(".gz") and out_bytes[f] != base_bytes[f]
+        }
+        assert changed and changed <= cands, (changed, cands)
+        # merged row-set == base rows + increment rows
+        back = read_cdx(spark, out)
+        assert back.count() == 410
+        assert back.filter(F.col("surt").startswith("test,h3)/new")) \
+            .count() == 10
+        # manifest total matches and cluster.idx re-reads consistently
+        assert sum(r["n_records"] for r in m.collect()) == 410
+        assert cdx_lookup(spark, out, "test,h3)").count() == 30
+
+    def test_idempotent_and_dedup_off(self, spark, tmp_path):
+        from table_ocr_spark.sources.cdx import merge_cdx
+
+        base = str(tmp_path / "base")
+        pages = _pages(spark, 200)
+        write_cdx(pages, base, n_files=3)
+
+        # merging a subset of the EXISTING captures is a no-op on
+        # bytes (dedup=True default)
+        sub = pages.limit(50)
+        out1 = str(tmp_path / "m1")
+        merge_cdx(sub, base, out1)
+        assert self._bytes(out1) == self._bytes(base)
+
+        # dedup=False keeps the duplicate lines
+        out2 = str(tmp_path / "m2")
+        merge_cdx(sub, base, out2, dedup=False)
+        assert read_cdx(spark, out2).count() == 250
+
+    def test_out_of_range_keys_and_validation(self, spark, tmp_path):
+        from table_ocr_spark.sources.cdx import merge_cdx
+
+        base = str(tmp_path / "base")
+        write_cdx(_pages(spark, 100), base, n_files=3)
+        # keys sorting below the global min and above the global max
+        inc = spark.createDataFrame(
+            [("http://aaa.aa/x",), ("http://zzz.zz/x",)], "url string"
+        ).withColumn(
+            "warc_ts", F.to_timestamp(F.lit("2026-02-01 00:00:00"))
+        )
+        out = str(tmp_path / "m")
+        merge_cdx(inc, base, out)
+        back = read_cdx(spark, out)
+        assert back.count() == 102
+        # global sort still holds across all files
+        keys = []
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".gz"):
+                with gzip.open(os.path.join(out, f), "rt") as fh:
+                    keys.extend(line.split(" ", 1)[0] for line in fh)
+        assert keys == sorted(keys)
+
+        with pytest.raises(ValueError, match="out_path"):
+            merge_cdx(inc, base, base)
+        with pytest.raises(ValueError, match="cluster.idx"):
+            merge_cdx(inc, str(tmp_path / "nope"), out)
