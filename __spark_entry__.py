@@ -2096,17 +2096,66 @@ def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.select(url.alias("url"), html.alias("html"))
     auth = host_authority(host_link_graph(pages))
     anch = anchor_text_signals(pages)
-    return auth.join(anch, "host", "left").select(
-        auth["host"],
-        "in_hosts",
-        "in_links",
-        "out_hosts",
-        "out_links",
-        F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
-        F.coalesce("n_anchor_texts", F.lit(0))
-        .cast("long")
-        .alias("n_anchor_texts"),
-        F.coalesce("top_anchor_text", F.lit("")).alias("top_anchor_text"),
+
+    # crawl-health leg: hub.test has no captures so the left join's
+    # zero-coalesce path is exercised
+    health = q_crawl_health(spark, sf_dir)
+
+    def _z(c):
+        return F.coalesce(c, F.lit(0)).cast("long").alias(c)
+
+    return (
+        auth.join(anch, "host", "left")
+        .join(health, "host", "left")
+        .select(
+            auth["host"],
+            "in_hosts",
+            "in_links",
+            "out_hosts",
+            "out_links",
+            F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
+            F.coalesce("n_anchor_texts", F.lit(0))
+            .cast("long")
+            .alias("n_anchor_texts"),
+            F.coalesce("top_anchor_text", F.lit("")).alias("top_anchor_text"),
+            *[
+                _z(c)
+                for c in (
+                    "n_captures", "n_urls", "n_2xx", "n_3xx", "n_4xx",
+                    "n_5xx", "n_other", "total_bytes", "n_url_digests",
+                )
+            ],
+        )
+    )
+
+
+def q_crawl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl health rollup (crawlstats.crawl_health) over
+    deterministic captures on the SAME h<k>.test hosts as the
+    authority corpus — urls repeat every 100 docs (2 distinct per
+    host), statuses cycle 200/301/404/503/NULL by doc_id%10, digests
+    cycle mod 7. Joined into the host_authority contract row; the
+    oracle is a closed-form GROUP BY twin."""
+    from table_ocr_spark.operators.crawlstats import crawl_health
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d10 = did % 10
+    caps = docs.select(
+        F.concat(
+            F.lit("http://h"), (did % 50).cast("string"),
+            F.lit(".test/p"), (did % 100).cast("string"),
+        ).alias("url"),
+        F.when(d10 <= 5, F.lit(200))
+        .when(d10 == 6, F.lit(301))
+        .when(d10 == 7, F.lit(404))
+        .when(d10 == 8, F.lit(503))
+        .alias("http_status"),
+        F.concat(F.lit("d"), (did % 7).cast("string")).alias("digest"),
+        "text",
+    )
+    return crawl_health(
+        caps, payload_col="text", digest_col="digest", exact=True
     )
 
 
@@ -3837,13 +3886,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, CAST(sum(n) AS BIGINT) AS n_anchors,
                CAST(count(*) AS BIGINT) AS n_anchor_texts,
                min(struct_pack(neg_n := -n, t := t)) AS _top
-        FROM apairs GROUP BY host)
+        FROM apairs GROUP BY host),
+      -- crawl-health leg: closed-form captures over the same hosts
+      -- (urls repeat mod 100, statuses cycle by doc_id%10, digests
+      -- mod 7); chr(31) mirrors the operator's concat_ws pair key
+      caps AS (
+        SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.test' AS host,
+               'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.test/p'
+                 || CAST(doc_id % 100 AS VARCHAR) AS url,
+               CASE WHEN doc_id % 10 <= 5 THEN 200
+                    WHEN doc_id % 10 = 6 THEN 301
+                    WHEN doc_id % 10 = 7 THEN 404
+                    WHEN doc_id % 10 = 8 THEN 503 END AS st,
+               'd' || CAST(doc_id % 7 AS VARCHAR) AS digest,
+               text
+        FROM documents),
+      health AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN st // 100 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_2xx,
+               CAST(sum(CASE WHEN st // 100 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_3xx,
+               CAST(sum(CASE WHEN st // 100 = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_4xx,
+               CAST(sum(CASE WHEN st // 100 = 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_5xx,
+               CAST(sum(CASE WHEN st IS NULL OR st // 100 < 2
+                             OR st // 100 > 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_other,
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               CAST(count(DISTINCT (url || chr(31) || digest))
+                    AS BIGINT) AS n_url_digests
+        FROM caps GROUP BY host)
       SELECT auth.host, in_hosts, in_links, out_hosts, out_links,
              coalesce(n_anchors, CAST(0 AS BIGINT)) AS n_anchors,
              coalesce(n_anchor_texts, CAST(0 AS BIGINT))
                AS n_anchor_texts,
-             coalesce(_top.t, '') AS top_anchor_text
+             coalesce(_top.t, '') AS top_anchor_text,
+             coalesce(n_captures, CAST(0 AS BIGINT)) AS n_captures,
+             coalesce(n_urls, CAST(0 AS BIGINT)) AS n_urls,
+             coalesce(n_2xx, CAST(0 AS BIGINT)) AS n_2xx,
+             coalesce(n_3xx, CAST(0 AS BIGINT)) AS n_3xx,
+             coalesce(n_4xx, CAST(0 AS BIGINT)) AS n_4xx,
+             coalesce(n_5xx, CAST(0 AS BIGINT)) AS n_5xx,
+             coalesce(n_other, CAST(0 AS BIGINT)) AS n_other,
+             coalesce(total_bytes, CAST(0 AS BIGINT)) AS total_bytes,
+             coalesce(n_url_digests, CAST(0 AS BIGINT)) AS n_url_digests
       FROM auth LEFT JOIN asig ON auth.host = asig.host
+                LEFT JOIN health ON auth.host = health.host
     """
 
     # ---- composite rows (see the composite-queries comment above

@@ -114,6 +114,7 @@ R4_NEW = [
     "resolve_href",
     "redirect_chains",
     "chunk_documents",
+    "crawl_health",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -170,6 +171,7 @@ def _bench_queries(em) -> dict:
         # prefix-sum component for r1-r3 comparability
         "pack_sequences": em.q_pack_sequences_only,
         "chunk_documents": em.q_chunk_documents,
+        "crawl_health": em.q_crawl_health,
     }
     return {**em.queries(), **comp}
 

@@ -67,6 +67,7 @@ def ingest_crawl(
     keep_statuses: tuple = (200,),
     html_only: bool = True,
     with_digest: bool = False,
+    with_redirects: bool = False,
 ) -> DataFrame:
     """WARC files → the canonical pages frame (BASELINE.json input
     hint): (url, warc_ts timestamp, html binary, text, lang) — the
@@ -99,7 +100,14 @@ def ingest_crawl(
     capture-history shape
     :func:`operators.frontier.revisit_schedule` consumes, and it
     rides :func:`sources.cdx.write_cdx` ``extra_cols`` into the CDX
-    index."""
+    index.
+
+    ``with_redirects`` appends ``n_redirect_aliases`` — how many
+    OTHER captured urls 3xx-chain to this page (resolved via
+    :mod:`operators.redirects` over the snapshot's redirect captures,
+    latest capture per src) — the alias count dedup and authority
+    consolidation key on. Makes the call partially EAGER (the
+    pointer-doubling walk runs its bounded rounds at build time)."""
     from table_ocr_spark.sources.warc import read_warc
 
     return crawl_pages(
@@ -107,6 +115,7 @@ def ingest_crawl(
         keep_statuses=keep_statuses,
         html_only=html_only,
         with_digest=with_digest,
+        with_redirects=with_redirects,
     )
 
 
@@ -115,6 +124,8 @@ def crawl_pages(
     keep_statuses: tuple = (200,),
     html_only: bool = True,
     with_digest: bool = False,
+    with_redirects: bool = False,
+    redirect_max_hops: int = 16,
 ) -> DataFrame:
     """The WARC-records → canonical-pages transform of
     :func:`ingest_crawl`, factored out so it applies to ANY records
@@ -142,7 +153,7 @@ def crawl_pages(
     digest_cols = (
         [F.sha1(html_bytes).alias("digest")] if with_digest else []
     )
-    return decoded.select(
+    out = decoded.select(
         F.col("url"),
         F.to_timestamp(
             F.replace(F.col("warc_ts"), F.lit("Z"), F.lit("+00:00"))
@@ -152,6 +163,37 @@ def crawl_pages(
         F.lit(None).cast("string").alias("lang"),
         *digest_cols,
     )
+    if with_redirects:
+        # the snapshot's 3xx captures (gated OUT of the pages rows
+        # above) resolve to final destinations; each kept page gets
+        # the count of chain sources landing on it. ISO-8601 warc_ts
+        # strings order lexicographically, so the latest-capture
+        # argmax works on the raw column.
+        from table_ocr_spark.operators.redirects import (
+            redirect_edges,
+            resolve_redirects,
+        )
+
+        resolved = resolve_redirects(
+            redirect_edges(parsed, ts_col="warc_ts"),
+            max_hops=redirect_max_hops,
+        )
+        aliases = (
+            resolved.where(~F.col("redirect_loop"))
+            .groupBy("final_url")
+            .agg(F.count("*").alias("n_redirect_aliases"))
+        )
+        out = (
+            out.join(
+                aliases, out["url"] == aliases["final_url"], "left"
+            )
+            .drop("final_url")
+            .withColumn(
+                "n_redirect_aliases",
+                F.coalesce("n_redirect_aliases", F.lit(0)),
+            )
+        )
+    return out
 
 
 @dataclass

@@ -535,3 +535,46 @@ class TestSitemapFrontier:
         assert [r["sitemap_url"] for r in nested.collect()] == [
             "http://s.test/more.xml"
         ]
+
+
+class TestIngestRedirects:
+    def test_alias_counts_from_snapshot_redirects(self, spark, tmp_path):
+        from table_ocr_spark.pipelines import ingest_crawl
+        from table_ocr_spark.sources.warc import build_warc_record
+
+        def page(url):
+            return build_warc_record(
+                url, "2026-03-01T09:00:00Z",
+                b"<article><p>body words here</p></article>",
+            )
+
+        def redir(url, to, ts="2026-03-01T09:00:00Z"):
+            return build_warc_record(
+                url, ts, b"", http_status=301, location=to,
+            )
+
+        recs = [
+            page("http://a.test/final"),
+            page("http://b.test/other"),
+            # two-hop chain into a.test/final
+            redir("http://a.test/old1", "http://a.test/mid"),
+            redir("http://a.test/mid", "http://a.test/final"),
+            # direct hop into a.test/final
+            redir("http://c.test/moved", "http://a.test/final"),
+            # a loop: contributes no aliases
+            redir("http://l.test/x", "http://l.test/x"),
+            # an earlier stale capture of old1 pointing elsewhere:
+            # the later capture above must win the ts argmax
+            redir("http://a.test/old1", "http://stale.test/",
+                  ts="2026-02-01T09:00:00Z"),
+        ]
+        (tmp_path / "r.warc").write_bytes(b"".join(recs))
+
+        pages = ingest_crawl(
+            spark, str(tmp_path) + "/*", with_redirects=True
+        )
+        got = {r.url: r.n_redirect_aliases for r in pages.collect()}
+        assert got == {
+            "http://a.test/final": 3,  # old1 (2 hops), mid, c.test/moved
+            "http://b.test/other": 0,
+        }
