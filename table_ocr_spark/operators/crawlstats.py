@@ -85,7 +85,14 @@ def crawl_health(
         ).alias("total_bytes"),
     ]
     if digest_col:
-        pair = F.concat_ws("\x1f", F.col(url_col), F.col(digest_col))
+        # NULL url/digest must yield a NULL pair so the distinct count
+        # skips the row (the oracle's `url || chr(31) || digest` NULL
+        # propagation); bare concat_ws would silently SKIP the null
+        # part and count a url-only string as a (url, digest) pair
+        pair = F.when(
+            F.col(url_col).isNotNull() & F.col(digest_col).isNotNull(),
+            F.concat_ws("\x1f", F.col(url_col), F.col(digest_col)),
+        )
         aggs.append(
             (
                 F.count_distinct(pair)

@@ -176,7 +176,18 @@ def resolve_redirects(
             prev_cached.unpersist()
         prev_cached = cached
 
-    srcs = edges.select(F.col("src").alias("_s")).distinct()
+    # the final count() materialized the last checkpoint, so the
+    # frame that fed it is dead — release it now instead of leaking
+    # one cached state frame per call (the ADVICE-r3 rule the CC
+    # closure pins)
+    if prev_cached is not None:
+        prev_cached.unpersist()
+
+    # terminal-probe src set from the CHECKPOINTED state (its src
+    # column is exactly the edge src set): probing `edges` instead
+    # would re-run the whole upstream edge derivation (on the ingest
+    # path, a full WARC parse + argmax) one more time
+    srcs = state.select(F.col("src").alias("_s")).distinct()
     out = (
         state.join(srcs, state["cur"] == srcs["_s"], "left")
         .select(

@@ -444,19 +444,25 @@ def merge_cdx(
 
     spark = new_df.sparkSession
     rows = _prepare_rows(new_df, url_col, ts_col, extra_cols)
+    # _fid here is the POSITION in the name-sorted `existing` list
+    # (bounds are its first-keys). Positions are NOT the numeric file
+    # ids: a base write whose boundary sample had duplicate keys
+    # leaves empty ranges unwritten, so file numbering can have gaps
+    # — keying the lookup by the parsed file number would then read
+    # back the wrong file (or none) and write a misplaced new one
     keyed = rows.withColumn("_fid", _fid_expr(bounds))
     cached = keyed.persist()
     touched = sorted(
         r[0] for r in cached.select("_fid").distinct().collect()
     )
+    touched_set = set(touched)
 
     manifest: List[dict] = []
-    by_fid = {int(r["file"][4:9]): r for r in existing}
-    untouched = [f for f in by_fid if f not in set(touched)]
     import shutil
 
-    for f_id in untouched:
-        r = by_fid[f_id]
+    for pos, r in enumerate(existing):
+        if pos in touched_set:
+            continue
         src = os.path.join(existing_path, r["file"])
         dst = os.path.join(out_path, r["file"])
         shutil.copyfile(src, dst)
@@ -464,9 +470,12 @@ def merge_cdx(
 
     if touched:
         old_files = [
-            by_fid[f]["file"] for f in touched if f in by_fid
+            existing[p]["file"] for p in touched if p < len(existing)
         ]
-        parts = [cached]
+        inc_rows = cached
+        if dedup:
+            inc_rows = inc_rows.dropDuplicates(["_key", "_ts", "_json"])
+        merged = inc_rows
         if old_files:
             old_rows = read_cdx(
                 spark, existing_path, files=old_files
@@ -475,12 +484,27 @@ def merge_cdx(
                 F.col("ts").alias("_ts"),
                 F.col("fields").alias("_json"),
             ).withColumn("_fid", _fid_expr(bounds))
-            parts.append(old_rows)
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        if dedup:
-            merged = merged.dropDuplicates(["_key", "_ts", "_json"])
+            if dedup:
+                # idempotence = the INCREMENT dedups against what the
+                # index already holds; pre-existing duplicate lines
+                # inside the touched files are not the merge's to drop
+                # (a global dropDuplicates would silently shrink them)
+                inc_rows = inc_rows.join(
+                    old_rows.select("_key", "_ts", "_json"),
+                    ["_key", "_ts", "_json"],
+                    "left_anti",
+                )
+            merged = old_rows.unionByName(inc_rows)
+        if existing:
+            # the writer kernel names its output cdx-<_fid>.gz: remap
+            # the positional fid to the existing file's numeric id so
+            # the rewrite overlays the file whose range it extends
+            ids = F.array(
+                *[F.lit(int(r["file"][4:-3])) for r in existing]
+            )
+            merged = merged.withColumn(
+                "_fid", F.element_at(ids, F.col("_fid") + 1)
+            )
         new_manifest = (
             merged.repartition(max(len(touched), 1), "_fid")
             .sortWithinPartitions("_key", "_ts", "_json")
