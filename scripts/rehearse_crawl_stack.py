@@ -45,8 +45,12 @@
      the site's candidate files were rewritten (everything else
      byte-identical) and times the merge against the full re-index
      of the union.
+  Q. crawl health + chunking: crawl_health over 1M captures of 100k
+     hosts (closed-form outcome mix / distinct-url / digest-pair
+     counts per host size), and chunk_documents over 1M docs with a
+     closed-form chunk-count/token-sum grid.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|p ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|q ...]
 """
 
 from __future__ import annotations
@@ -64,7 +68,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijklmnop")
+    only = set(sys.argv[2:]) or set("abcdefghijklmnopq")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -1077,6 +1081,101 @@ def main() -> int:
               f"{t_full:.1f} s full re-index ({t_full/t_merge:.1f}x); "
               f"base build {t_base:.1f} s; merged read-back exact")
         shutil.rmtree(workdir, ignore_errors=True)
+
+    # --------------------------------- Q: crawl health + chunking
+    if "q" in only:
+        from table_ocr_spark.operators.crawlstats import crawl_health
+        from table_ocr_spark.operators.packing import chunk_documents
+
+        i = F.col("id")
+        # 1M captures over 100k hosts (10 captures/host): urls repeat
+        # with period 500000 (5 distinct paths per host), statuses
+        # cycle by id%10 (6x 2xx, 1x 3xx, 1x 4xx, 1x 5xx, 1x NULL),
+        # digest = the capture's epoch (id // 500000) so every capture
+        # is a distinct (url, digest) pair: ud == n for n <= 1M. (An
+        # id%2 digest COLLIDES: the url period 500000 is even, so both
+        # epochs of a url share parity — caught by this assert's first
+        # run.)
+        caps = spark.range(n).select(
+            F.concat(
+                F.lit("http://h"), (i % 100000).cast("string"),
+                F.lit(".test/p"), (i % 500000).cast("string"),
+            ).alias("url"),
+            F.when(i % 10 <= 5, F.lit(200))
+            .when(i % 10 == 6, F.lit(301))
+            .when(i % 10 == 7, F.lit(404))
+            .when(i % 10 == 8, F.lit(503))
+            .alias("http_status"),
+            F.concat(
+                F.lit("d"), (i / 500000).cast("long").cast("string")
+            ).alias("digest"),
+            F.repeat(F.lit("x"), 100).alias("html"),
+        )
+        t0 = time.time()
+        h = crawl_health(caps, digest_col="digest", exact=True)
+        agg = h.agg(
+            F.count("*").alias("hosts"),
+            F.sum("n_captures").alias("caps"),
+            F.sum("n_urls").alias("urls"),
+            F.sum("n_2xx").alias("x2"),
+            F.sum("n_3xx").alias("x3"),
+            F.sum("n_4xx").alias("x4"),
+            F.sum("n_5xx").alias("x5"),
+            F.sum("n_other").alias("oth"),
+            F.sum("total_bytes").alias("b"),
+            F.sum("n_url_digests").alias("ud"),
+        ).collect()[0]
+        t_health = time.time() - t0
+        H = min(n, 100000)
+        assert agg.hosts == H and agg.caps == n, agg
+        assert agg.urls == min(n, 500000), agg
+        assert (agg.x2, agg.x3, agg.x4, agg.x5, agg.oth) == (
+            6 * n // 10, n // 10, n // 10, n // 10, n // 10,
+        ), agg
+        assert agg.b == 100 * n and agg.ud == n, agg
+
+        t0 = time.time()
+        # docs of 0/30/75/120 tokens by id%4 -> chunks 0/1/2/3 at
+        # max=50 stride=40 (75: ceil(25/40)+1=2; 120: ceil(70/40)+1=3)
+        ntok = (i % 4) * 15 + (i % 4 > 1).cast("int") * (
+            (i % 4) * 15 - 30
+        )
+        # sequence(1, 0) DESCENDS (the chunk operator's own pinned
+        # trap) -> empty-doc rows need the explicit empty array
+        words = F.when(
+            ntok > 0, F.sequence(F.lit(1), ntok)
+        ).otherwise(F.array().cast("array<long>"))
+        docs = spark.range(n).select(
+            i.alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    words,
+                    lambda j: F.concat(F.lit("w"), j.cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        ch = chunk_documents(docs, max_tokens=50, overlap=10)
+        got = ch.groupBy((F.col("doc_id") % 4).alias("m")).agg(
+            F.count("*").alias("nc"), F.sum("chunk_tokens").alias("tk")
+        ).collect()
+        t_chunk = time.time() - t0
+        got = {r.m: (r.nc, r.tk) for r in got}
+        q = n // 4  # docs per residue class (n % 4 == 0 at 1M)
+        # m=0: 0 tokens -> no rows; m=1: 15*1=15 tokens... recompute:
+        # token count = (m*15) + (m>1)*(m*15-30): m=1 -> 15, m=2 ->
+        # 30+0=30, m=3 -> 45+15=60. chunks at max50/stride40: 15->1,
+        # 30->1, 60->2 (covers 0..50 + 40..60 => tokens 50+20=70)
+        assert 0 not in got, got
+        assert got[1] == (q, 15 * q), got
+        assert got[2] == (q, 30 * q), got
+        assert got[3] == (2 * q, 70 * q), got
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"Q: crawl_health {t_health:.1f} s over {n:,} captures / "
+              f"{H:,} hosts ({n/t_health:,.0f} caps/s), all per-class "
+              f"counts closed-form exact; chunk_documents {t_chunk:.1f} s "
+              f"over {n:,} docs -> {q*4:,} chunks ({n/t_chunk:,.0f} "
+              f"docs/s), chunk-count and token-sum grid exact")
 
     return 0
 
