@@ -419,6 +419,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, list(range(ANN_QUERIES)), k=IVF_K)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only component (the driver gate is key-capped; PQ's
+    iterative k-means training has no SQL oracle — correctness is the
+    pytest differential vs brute_force_topk, tests/test_pq.py)."""
+    from table_ocr_spark.operators.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_topk(emb, list(range(ANN_QUERIES)), k=ANN_K)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.similarity import cosine_near_dup_pairs
 

@@ -115,6 +115,7 @@ R4_NEW = [
     "redirect_chains",
     "chunk_documents",
     "crawl_health",
+    "ann_pq",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -172,6 +173,7 @@ def _bench_queries(em) -> dict:
         "pack_sequences": em.q_pack_sequences_only,
         "chunk_documents": em.q_chunk_documents,
         "crawl_health": em.q_crawl_health,
+        "ann_pq": em.q_ann_pq,
     }
     return {**em.queries(), **comp}
 
