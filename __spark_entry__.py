@@ -1743,6 +1743,18 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 WARC_FILE_GROUPS = 8  # contract-corpus docs fold into this many "files"
 
 
+def q_wat_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only component: the WAT metadata-envelope build (JVM-side
+    regex scan + to_json, map-only) over the synthesized pages frame.
+    The sink + round trip are pinned in tests/test_wat.py; the bench
+    times the envelope construction, the 100-TB-shaped cost."""
+    from table_ocr_spark.operators.docpages import documents_as_pages
+    from table_ocr_spark.sources.wat import build_wat_payload
+
+    pages = documents_as_pages(_read(spark, sf_dir, "documents"))
+    return build_wat_payload(pages)
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl ingest chain, oracle-gated end to end with NO
     temp files: documents → pages → WARC record bytes (the Spark

@@ -116,6 +116,7 @@ R4_NEW = [
     "chunk_documents",
     "crawl_health",
     "ann_pq",
+    "wat_sidecar",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
@@ -174,6 +175,7 @@ def _bench_queries(em) -> dict:
         "chunk_documents": em.q_chunk_documents,
         "crawl_health": em.q_crawl_health,
         "ann_pq": em.q_ann_pq,
+        "wat_sidecar": em.q_wat_sidecar,
     }
     return {**em.queries(), **comp}
 

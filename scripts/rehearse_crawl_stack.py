@@ -68,7 +68,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijklmnopq")
+    only = set(sys.argv[2:]) or set("abcdefghijklmnopqr")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -624,8 +624,6 @@ def main() -> int:
 
     # ---------------------------------------------------- K: cdx
     if "k" in only:
-        import shutil
-
         from table_ocr_spark.sources.cdx import (
             candidate_files,
             cdx_lookup,
@@ -1176,6 +1174,72 @@ def main() -> int:
               f"counts closed-form exact; chunk_documents {t_chunk:.1f} s "
               f"over {n:,} docs -> {q*4:,} chunks ({n/t_chunk:,.0f} "
               f"docs/s), chunk-count and token-sum grid exact")
+
+    # ------------------------------------------------ R: WAT sidecar
+    if "r" in only:
+        from table_ocr_spark.sources.wat import read_wat, write_wat
+
+        dids = did.cast("string")
+        html = F.concat(
+            F.lit("<html><head><title>Page "), dids,
+            F.lit("</title></head><body>"),
+            F.lit('<a href="http://x.test/a'), dids, F.lit('">l</a>'),
+            F.lit('<a href="/rel/'), dids, F.lit('">r</a>'),
+            F.lit('<a href="http://y.test/nf" rel="nofollow">n</a>'),
+            F.lit("</body></html>"),
+        )
+        pages = base.select(
+            F.concat(F.lit("http://h"), (did % 1000).cast("string"),
+                     F.lit(".test/p"), dids).alias("url"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_ts"),
+            html.cast("binary").alias("html"),
+        ).persist()
+        pages.count()
+        out = tempfile.mkdtemp(prefix="wat_rehearsal_")
+        try:
+            t0 = time.time()
+            manifest = write_wat(pages, out, n_files=64)
+            t_w = time.time() - t0
+            recs = manifest.collect()
+            n_recs = sum(r["n_records"] for r in recs)
+            n_bytes = sum(r["n_bytes"] for r in recs)
+            assert n_recs == n, n_recs
+            t0 = time.time()
+            back = read_wat(spark, out + "/*.warc.wat.gz")
+            got = back.agg(
+                F.count("*").alias("n"),
+                F.sum(F.size("links")).alias("lk"),
+                F.sum(F.size(F.filter(
+                    "links", lambda x: x["nofollow"]
+                ))).alias("nf"),
+            ).collect()[0]
+            t_r = time.time() - t0
+            # closed-form: 3 links per page, exactly 1 nofollow each
+            assert got.n == n and got.lk == 3 * n and got.nf == n, got
+            sample = {
+                r["url"]: r
+                for r in back.filter(
+                    F.xxhash64("url") % 10_000 == 0
+                ).collect()
+            }
+            assert sample
+            for u, r in sample.items():
+                i = u.rsplit("p", 1)[1]
+                assert r["title"] == f"Page {i}"
+                assert [x["url"] for x in r["links"]] == [
+                    f"http://x.test/a{i}", f"/rel/{i}",
+                    "http://y.test/nf",
+                ]
+            print(f"[probe {probe_effective_cores():.1f}/32] "
+                  f"R: write_wat {t_w:.1f} s over {n:,} pages "
+                  f"({n/t_w:,.0f} pages/s, {n_bytes/1e6:.0f} MB gz "
+                  f"across 64 files), read_wat {t_r:.1f} s "
+                  f"({n/t_r:,.0f} recs/s); record/link/nofollow counts "
+                  f"closed-form exact, {len(sample)} sampled envelopes "
+                  f"field-exact")
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        pages.unpersist()
 
     return 0
 

@@ -88,6 +88,81 @@ _WRITE_SCHEMA = T.StructType(
 )
 
 
+def warc_ts_str(df: DataFrame, ts_col: str):
+    """ts column → WARC ISO-8601 Z string; passthrough if already a
+    string (shared by the WET and WAT sinks)."""
+    ts = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return ts.cast("string")
+
+
+def write_member_files(
+    rows: DataFrame,
+    path: str,
+    n_files: int,
+    suffix: str,
+    rec_bytes,
+) -> DataFrame:
+    """Shared deterministic gzip-member sink (WET + WAT): ``rows``
+    must carry (_fid, _url, _ts, _payload); each output file's rows
+    land in exactly one task (hash-repartition on _fid), sorted by
+    (url, ts), one gzip member per record with mtime pinned to 0 —
+    byte-reproducible under re-run. ``rec_bytes(url, ts, payload)``
+    builds the uncompressed record. Returns the per-file manifest
+    (file, n_records, n_bytes) as an eagerly-materialized ACTION.
+    """
+    if n_files <= 0:
+        raise ValueError(f"n_files must be positive, got {n_files}")
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches) -> Iterator:
+        import pandas as pd
+
+        # One gzip appender per file_id seen in this task. Hash
+        # repartitioning puts ALL rows of a file_id in one task, but a
+        # task may own several file_ids (n_files > shuffle partitions,
+        # or hash collisions) — accumulate per file across batches and
+        # close at iterator exhaustion (the multi-batch-group lesson
+        # from the tiered rehearsal writer).
+        handles: dict = {}
+        counts: dict = {}
+        sizes: dict = {}
+        for pdf in batches:
+            for fid, url, ts_v, payload in zip(
+                pdf["_fid"], pdf["_url"], pdf["_ts"], pdf["_payload"]
+            ):
+                fid = int(fid)
+                if fid not in handles:
+                    fname = os.path.join(path, f"part-{fid:05d}{suffix}")
+                    handles[fid] = open(fname, "wb")
+                    counts[fid] = 0
+                    sizes[fid] = 0
+                rec = gzip.compress(
+                    rec_bytes(url, ts_v, "" if payload is None else payload),
+                    mtime=0,
+                )
+                handles[fid].write(rec)
+                counts[fid] += 1
+                sizes[fid] += len(rec)
+        out = []
+        for fid, fh in handles.items():
+            fh.close()
+            out.append((f"part-{fid:05d}{suffix}", counts[fid], sizes[fid]))
+        yield pd.DataFrame(out, columns=["file", "n_records", "n_bytes"])
+
+    manifest = (
+        rows.repartition(n_files, "_fid")
+        .sortWithinPartitions("_url", "_ts")
+        .mapInPandas(_write, _WRITE_SCHEMA)
+    )
+    # Materialize NOW (localCheckpoint would cache; a bounded collect
+    # is fine — the manifest is n_files rows) and return a small frame.
+    recs = manifest.collect()
+    spark = rows.sparkSession
+    return spark.createDataFrame(recs, _WRITE_SCHEMA)
+
+
 def write_wet(
     df: DataFrame,
     path: str,
@@ -105,71 +180,12 @@ def write_wet(
     Timestamps are emitted in the WARC ISO-8601 Z form; ``ts_col``
     may be a timestamp or an already-formatted string.
     """
-    if n_files <= 0:
-        raise ValueError(f"n_files must be positive, got {n_files}")
-    os.makedirs(path, exist_ok=True)
-
-    ts = F.col(ts_col)
-    ts_str = (
-        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        if isinstance(df.schema[ts_col].dataType, T.TimestampType)
-        else ts.cast("string")
-    )
     rows = df.select(
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files)).alias("_fid"),
         F.col(url_col).alias("_url"),
-        ts_str.alias("_ts"),
-        F.col(text_col).alias("_text"),
+        warc_ts_str(df, ts_col).alias("_ts"),
+        F.col(text_col).alias("_payload"),
     )
-
-    def _write(batches) -> Iterator:
-        import pandas as pd
-
-        # One gzip appender per file_id seen in this task. Hash
-        # repartitioning puts ALL rows of a file_id in one task, but a
-        # task may own several file_ids (n_files > shuffle partitions,
-        # or hash collisions) — accumulate per file across batches and
-        # close at iterator exhaustion (the multi-batch-group lesson
-        # from the tiered rehearsal writer).
-        handles: dict = {}
-        counts: dict = {}
-        sizes: dict = {}
-        for pdf in batches:
-            for fid, url, ts_v, text in zip(
-                pdf["_fid"], pdf["_url"], pdf["_ts"], pdf["_text"]
-            ):
-                fid = int(fid)
-                if fid not in handles:
-                    fname = os.path.join(
-                        path, f"part-{fid:05d}.warc.wet.gz"
-                    )
-                    handles[fid] = open(fname, "wb")
-                    counts[fid] = 0
-                    sizes[fid] = 0
-                rec = gzip.compress(
-                    wet_record_bytes(
-                        url, ts_v, "" if text is None else text
-                    ),
-                    mtime=0,
-                )
-                handles[fid].write(rec)
-                counts[fid] += 1
-                sizes[fid] += len(rec)
-        out = []
-        for fid, fh in handles.items():
-            fh.close()
-            out.append(
-                (f"part-{fid:05d}.warc.wet.gz", counts[fid], sizes[fid])
-            )
-        yield pd.DataFrame(out, columns=["file", "n_records", "n_bytes"])
-
-    manifest = (
-        rows.repartition(n_files, "_fid")
-        .sortWithinPartitions("_url", "_ts")
-        .mapInPandas(_write, _WRITE_SCHEMA)
+    return write_member_files(
+        rows, path, n_files, ".warc.wet.gz", wet_record_bytes
     )
-    # Materialize NOW (localCheckpoint would cache; a bounded collect
-    # is fine — the manifest is n_files rows) and return a small frame.
-    recs = manifest.collect()
-    spark = df.sparkSession
-    return spark.createDataFrame(recs, _WRITE_SCHEMA)
