@@ -381,13 +381,18 @@ def pq_topk(
     ksub: int = 16,
     refine: int = 8,
     codebooks=None,
+    codes: Optional[DataFrame] = None,
     vec_col: str = "embedding",
     max_train: int = 65_536,
 ) -> DataFrame:
     """PQ-compressed approximate cosine top-k with exact re-rank.
 
     Plan: (1) train-or-take codebooks (bounded driver k-means);
-    (2) encode the collection — map-only, m bytes/vector; (3) ADC scan:
+    (2) encode the collection — map-only, m bytes/vector — or take a
+    pre-encoded ``codes`` frame (vec_id, code), the production shape:
+    encode ONCE, persist the m-byte table, serve every query batch
+    from it (``codes`` requires ``codebooks`` — codes are meaningless
+    under a retrained codebook, so the pairing is enforced); (3) ADC scan:
     per-query lookup tables (|Q|×m×ksub floats, closure-broadcast) are
     gathered against the codes in one Arrow ``mapInPandas`` kernel that
     keeps a per-PARTITION top-(k·refine) heap per query, so the
@@ -404,6 +409,12 @@ def pq_topk(
     import numpy as np
     from pyspark.sql import types as T
 
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "pq_topk: a pre-encoded `codes` frame requires the `codebooks` "
+            "that produced it — codes are meaningless under a retrained "
+            "codebook"
+        )
     if len(query_ids) > PQ_MAX_QUERIES:
         raise ValueError(
             f"pq_topk: {len(query_ids)} queries exceed the enforced LUT "
@@ -504,8 +515,10 @@ def pq_topk(
         if frames:
             yield pd.concat(frames, ignore_index=True)
 
-    enc = pq_encode(emb, codebooks, vec_col)
-    pre = enc.mapInPandas(scan_partition, schema=out_schema)
+    enc = codes if codes is not None else pq_encode(emb, codebooks, vec_col)
+    pre = enc.select("vec_id", "code").mapInPandas(
+        scan_partition, schema=out_schema
+    )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
@@ -514,22 +527,26 @@ def pq_topk(
         .filter(F.col("_r") <= keep)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank: the ONLY step that reads float vectors, and it reads
-    # them for at most k*refine*|Q| rows
-    qv = base.select(
+    # exact re-rank: the ONLY step that reads float vectors. The query
+    # side is FILTERED to the query ids BEFORE the broadcast (a first
+    # cut broadcast the full projected collection — 512 MB at the 1M
+    # rehearsal, a driver OOM at crawl scale; caught in self-review);
+    # the neighbor join then broadcasts the (k·refine·|Q|)-row
+    # candidate set so the big vector table streams map-only through
+    # a broadcast hash join.
+    qv = base.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("_qv")
     )
     nv = base.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("_nv")
     )
-    rescored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_qv"), F.col("_nv")).alias("_score"),
-        )
+    rescored = nv.join(
+        F.broadcast(cand.join(F.broadcast(qv), "query_id")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_nv")).alias("_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_score"), F.asc("neighbor_id")

@@ -115,6 +115,18 @@ def test_unknown_query_ids_yield_empty(emb, books):
     ]
 
 
+def test_precomputed_codes_equal_inline_encode(emb, books):
+    """The production shape — encode once, persist, serve query batches
+    from the codes table — must return exactly the inline-encode result,
+    and codes without their codebooks must fail fast."""
+    codes = pq_encode(emb, books)
+    a = pq_topk(emb, QUERY_IDS, k=K, codebooks=books).collect()
+    b = pq_topk(emb, QUERY_IDS, k=K, codebooks=books, codes=codes).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_topk(emb, QUERY_IDS, k=K, codes=codes)
+
+
 def test_small_refine_multi_partition(emb, books):
     """Exercise the per-partition pre-reduce across several input
     partitions with a tight refine budget: still exactly k rows per
