@@ -64,8 +64,13 @@ def streaming_export(
 
     q = (
         stream.writeStream.foreachBatch(_emit)
+        # per-KIND checkpoint: wet and wat progress independently, so
+        # exporting both from one state_dir works — a shared checkpoint
+        # would mark files seen for whichever kind ran first and the
+        # second kind would silently emit nothing
         .option(
-            "checkpointLocation", os.path.join(state_dir, "checkpoint")
+            "checkpointLocation",
+            os.path.join(state_dir, f"checkpoint_{kind}"),
         )
         .trigger(availableNow=True)
         .start()

@@ -67,6 +67,19 @@ def test_wat_wave_roundtrip(spark, tmp_path):
     assert [x["url"] for x in r["links"]] == ["http://x.test/l4"]
 
 
+def test_both_kinds_share_a_state_dir(spark, tmp_path):
+    """Per-kind checkpoints: exporting wet THEN wat from one state_dir
+    must emit both (a shared checkpoint would starve the second kind)."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    _wave(spark, 0, 6).write.mode("append").parquet(src)
+    streaming_export(spark, src, state, kind="wet", n_files=1)
+    streaming_export(spark, src, state, kind="wat", n_files=1)
+    assert glob.glob(os.path.join(state, "wet", "batch=*", "*.gz"))
+    wat = read_wat(spark, os.path.join(state, "wat", "batch=*", "*.gz"))
+    assert wat.count() == 6
+
+
 def test_kind_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="wet|wat"):
         streaming_export(spark, str(tmp_path), str(tmp_path / "s"), kind="cdx")
