@@ -363,13 +363,19 @@ def _pq_encode_udf(codebooks):
 
 
 def pq_encode(
-    emb: DataFrame, codebooks, vec_col: str = "embedding"
+    emb: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(vec_id, code binary) — the m-byte compressed collection. Map-only;
-    at scale this is the table you persist and scan instead of the floats."""
-    base = _with_vec(emb, vec_col, with_label=False)
-    return base.select(
-        "vec_id", _pq_encode_udf(codebooks)(F.col("vec")).alias("code")
+    """(vec_id, code binary[, *keep_cols]) — the m-byte compressed
+    collection. Map-only; at scale this is the table you persist and
+    scan instead of the floats. ``keep_cols`` carries narrow metadata
+    (e.g. the IVF cell label) alongside the code."""
+    return emb.select(
+        "vec_id",
+        _pq_encode_udf(codebooks)(as_double_array(vec_col)).alias("code"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -384,6 +390,7 @@ def pq_topk(
     codes: Optional[DataFrame] = None,
     vec_col: str = "embedding",
     max_train: int = 65_536,
+    cell_col: Optional[str] = None,
 ) -> DataFrame:
     """PQ-compressed approximate cosine top-k with exact re-rank.
 
@@ -405,6 +412,14 @@ def pq_topk(
     (query_id, neighbor_id, rank, score) with score = EXACT cosine —
     approximation affects only which candidates reach the re-rank
     (recall), never the reported score.
+
+    ``cell_col`` (IVF×PQ): each query considers ONLY neighbors in its
+    own coarse cell — the constraint is enforced PER QUERY inside the
+    scan kernel (restricting the scan to the union of query cells is
+    NOT enough: a query would rank other queries''' cell members, which
+    exact IVF never returns — caught by the ivf_topk differential).
+    NULL cells match nothing, mirroring ``ivf_topk``'''s equi-join. A
+    pre-encoded ``codes`` frame must then carry ``cell_col``.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -427,9 +442,14 @@ def pq_topk(
     m, ksub, dsub = np.asarray(codebooks).shape
     dim = m * dsub
 
-    base = _with_vec(emb, vec_col, with_label=False)
+    base = emb.select(
+        F.col("vec_id"),
+        as_double_array(vec_col).alias("vec"),
+        *([F.col(cell_col).alias("_cell")] if cell_col else []),
+    )
     qrows = base.filter(F.col("vec_id").isin(list(query_ids))).collect()
     luts = {}  # qid -> (m, ksub) float64 inner-product table
+    qcells = {}
     for r in qrows:
         v = r["vec"]
         if v is None or len(v) != dim:
@@ -439,6 +459,8 @@ def pq_topk(
         if n == 0:
             continue
         q = q / n
+        if cell_col:
+            qcells[int(r["vec_id"])] = r["_cell"]
         luts[int(r["vec_id"])] = np.stack([
             q[s * dsub:(s + 1) * dsub] @ np.asarray(codebooks)[s].T
             for s in range(m)
@@ -457,6 +479,7 @@ def pq_topk(
     keep = k * refine
     qid_arr = np.asarray(sorted(luts), dtype=np.int64)
     lut_arr = np.stack([luts[q] for q in qid_arr.tolist()])  # (nq, m, ksub)
+    qcell_arr = [qcells.get(q) for q in qid_arr.tolist()] if cell_col else None
     out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
         T.StructField("neighbor_id", T.LongType()),
@@ -491,6 +514,11 @@ def pq_topk(
             if not live.any():
                 continue
             ids = ids_all[live]
+            cells = (
+                np.asarray(pdf["_cell"][live], dtype=object)
+                if qcell_arr is not None
+                else None
+            )
             codes = np.stack([
                 np.frombuffer(b, dtype=np.uint8)
                 for b in codes_raw[live]
@@ -499,6 +527,12 @@ def pq_topk(
             for qi in range(nq):
                 sc = lut_arr[qi][rows[:, None], codes.T].sum(axis=0)
                 mask = ids != qid_arr[qi]  # exclude self
+                if cells is not None:
+                    qc = qcell_arr[qi]
+                    if qc is None:  # NULL cell joins nothing (IVF pin)
+                        mask &= False
+                    else:
+                        mask &= cells == qc
                 buf_ids[qi] = np.concatenate([buf_ids[qi], ids[mask]])
                 buf_sc[qi] = np.concatenate([buf_sc[qi], sc[mask]])
                 if buf_ids[qi].shape[0] > 4 * keep:
@@ -515,10 +549,18 @@ def pq_topk(
         if frames:
             yield pd.concat(frames, ignore_index=True)
 
-    enc = codes if codes is not None else pq_encode(emb, codebooks, vec_col)
-    pre = enc.select("vec_id", "code").mapInPandas(
-        scan_partition, schema=out_schema
-    )
+    keep_cols = (cell_col,) if cell_col else ()
+    if codes is not None:
+        enc = codes.select(
+            "vec_id",
+            "code",
+            *([F.col(cell_col).alias("_cell")] if cell_col else []),
+        )
+    else:
+        enc = pq_encode(emb, codebooks, vec_col, keep_cols=keep_cols)
+        if cell_col:
+            enc = enc.withColumnRenamed(cell_col, "_cell")
+    pre = enc.mapInPandas(scan_partition, schema=out_schema)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
@@ -560,6 +602,69 @@ def pq_topk(
             F.col("rank").cast("int").alias("rank"),
             F.round("_score", 6).alias("score"),
         )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    refine: int = 8,
+    codebooks=None,
+    vec_col: str = "embedding",
+    max_train: int = 65_536,
+) -> DataFrame:
+    """IVF×PQ: coarse-cell pruning THEN the ADC scan — the production
+    ANN serving shape (IVFADC, Jégou et al. 2011 §V). The collection
+    is first restricted to the queries' own ``label`` cells (the IVF
+    partition-pruning argument: ~|Q|/nlist of the data), and
+    :func:`pq_topk` runs over that subset, so the 16-byte ADC scan
+    touches only the probed cells instead of the whole corpus.
+    Codebooks, when trained here, are trained on the CELL subset —
+    residual-free coarse+fine quantization kept deliberately simple;
+    pass ``codebooks`` to reuse corpus-wide ones.
+
+    Exactness contract mirrors ``pq_topk``: reported scores are exact
+    cosine; the cell restriction bounds recall by ``ivf_topk``'s (a
+    neighbor outside the query's cell is invisible to BOTH)."""
+    q = emb.filter(F.col("vec_id").isin(list(query_ids))).select(
+        "vec_id", "label"
+    )
+    labels = [
+        r["label"] for r in q.limit(PQ_MAX_QUERIES + 1).collect()
+    ]
+    if len(labels) > PQ_MAX_QUERIES:
+        raise ValueError(
+            f"ivf_pq_topk: query set exceeds {PQ_MAX_QUERIES}"
+        )
+    if not labels:
+        # no query rows: empty result with the pq_topk schema (training
+        # on the empty cell subset would fail fast for the wrong reason)
+        from pyspark.sql import types as T
+
+        return emb.sparkSession.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("score", T.DoubleType()),
+            ]),
+        )
+    cells = emb.filter(F.col("label").isin(labels))
+    return pq_topk(
+        cells,
+        query_ids,
+        k=k,
+        m=m,
+        ksub=ksub,
+        refine=refine,
+        codebooks=codebooks,
+        vec_col=vec_col,
+        max_train=max_train,
+        cell_col="label",
     )
 
 

@@ -135,3 +135,36 @@ def test_small_refine_multi_partition(emb, books):
     cnt = out.groupBy("query_id").count().collect()
     assert len(cnt) == len(QUERY_IDS)
     assert all(r["count"] == 3 for r in cnt)
+
+
+def test_ivf_pq_recall_vs_exact_ivf(emb, books):
+    """IVF x PQ differential: same coarse cells as the exact ivf_topk
+    engine, so its top-k is the recall ceiling; scores on overlapping
+    pairs must be identical (both exact cosine)."""
+    from table_ocr_spark.operators.similarity import ivf_pq_topk, ivf_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in ivf_topk(emb, QUERY_IDS, k=3).collect()
+    }
+    rows = ivf_pq_topk(emb, QUERY_IDS, k=3, codebooks=books).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(pairs & set(exact)) / len(exact)
+    assert recall >= 0.8, f"ivf_pq recall={recall:.2f}"
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["score"] == exact[key]
+    # every neighbor shares the query's coarse cell
+    lbl = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(lbl[q] == lbl[n] for q, n in pairs)
+
+
+def test_ivf_pq_unknown_queries_empty(emb, books):
+    from table_ocr_spark.operators.similarity import ivf_pq_topk
+
+    out = ivf_pq_topk(emb, [10_000_000], codebooks=books)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "score",
+    ]
