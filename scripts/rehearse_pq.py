@@ -172,6 +172,35 @@ def main() -> int:
           f"codes table, no re-encode): {t_serve:.1f} s "
           f"({total * len(QUERIES) / t_serve:,.0f} ADC lookups/s), "
           f"results identical to the inline-encode run")
+
+    # ---- IVF×PQ: 1000 coarse cells (vec_id % 1000; planted rows take
+    # their query's cell), so the scan touches ~|Q| cells ≈ 0.3% of the
+    # corpus — the cell constraint is per-query inside the kernel
+    from table_ocr_spark.operators.similarity import ivf_pq_topk
+
+    labeled = emb.withColumn(
+        "label",
+        F.when(
+            F.col("vec_id") >= n,
+            # planted id -> its query's label
+            F.element_at(
+                F.array(*[F.lit(q % 1000) for q in QUERIES]),
+                ((F.col("vec_id") - n) / PLANTS_PER_QUERY).cast("int") + 1,
+            ),
+        ).otherwise(F.col("vec_id") % 1000),
+    )
+    t0 = time.time()
+    ipq = ivf_pq_topk(labeled, QUERIES, k=K, codebooks=books).collect()
+    t_ivf = time.time() - t0
+    got_ipq = {}
+    for r in ipq:
+        got_ipq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got_ipq.get(q, set()) & planted_ids[q]) for q in QUERIES)
+    recall_ivf = hits / (len(QUERIES) * K)
+    print(f"[probe {probe_effective_cores():.1f}/32] ivf_pq (1000 cells, "
+          f"~{(len(QUERIES)/1000)*100:.1f}% of the corpus scanned): "
+          f"{t_ivf:.1f} s, recall@{K} vs planted truth = {recall_ivf:.3f}")
+    assert recall_ivf >= 0.8, f"ivf_pq recall collapsed: {recall_ivf}"
     spark.stop()
     return 0
 
