@@ -391,6 +391,7 @@ def pq_topk(
     vec_col: str = "embedding",
     max_train: int = 65_536,
     cell_col: Optional[str] = None,
+    query_vecs: Optional[dict] = None,
 ) -> DataFrame:
     """PQ-compressed approximate cosine top-k with exact re-rank.
 
@@ -420,6 +421,13 @@ def pq_topk(
     exact IVF never returns — caught by the ivf_topk differential).
     NULL cells match nothing, mirroring ``ivf_topk``'''s equi-join. A
     pre-encoded ``codes`` frame must then carry ``cell_col``.
+
+    ``query_vecs`` ({query_id: [float, ...]}) serves EXTERNAL query
+    vectors (eval queries, fresh embeddings) instead of looking
+    ``query_ids`` up in the collection; pass ids disjoint from the
+    corpus — a colliding id would self-exclude that one corpus row.
+    Incompatible with ``cell_col`` (an external vector has no cell;
+    assign one and search that cell's frame instead).
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -430,6 +438,13 @@ def pq_topk(
             "that produced it — codes are meaningless under a retrained "
             "codebook"
         )
+    if query_vecs is not None and cell_col is not None:
+        raise ValueError(
+            "pq_topk: query_vecs + cell_col unsupported — an external "
+            "vector has no cell; pre-filter the collection instead"
+        )
+    if query_vecs is not None:
+        query_ids = list(query_vecs)
     if len(query_ids) > PQ_MAX_QUERIES:
         raise ValueError(
             f"pq_topk: {len(query_ids)} queries exceed the enforced LUT "
@@ -447,7 +462,12 @@ def pq_topk(
         as_double_array(vec_col).alias("vec"),
         *([F.col(cell_col).alias("_cell")] if cell_col else []),
     )
-    qrows = base.filter(F.col("vec_id").isin(list(query_ids))).collect()
+    if query_vecs is not None:
+        qrows = [
+            {"vec_id": qid, "vec": v} for qid, v in query_vecs.items()
+        ]
+    else:
+        qrows = base.filter(F.col("vec_id").isin(list(query_ids))).collect()
     luts = {}  # qid -> (m, ksub) float64 inner-product table
     qcells = {}
     for r in qrows:
@@ -576,9 +596,19 @@ def pq_topk(
     # the neighbor join then broadcasts the (k·refine·|Q|)-row
     # candidate set so the big vector table streams map-only through
     # a broadcast hash join.
-    qv = base.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("_qv")
-    )
+    if query_vecs is not None:
+        qv = emb.sparkSession.createDataFrame(
+            [
+                (int(qid), [float(x) for x in v])
+                for qid, v in query_vecs.items()
+                if v is not None and len(v) == dim
+            ],
+            "query_id long, _qv array<double>",
+        )
+    else:
+        qv = base.filter(F.col("vec_id").isin(list(query_ids))).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("_qv")
+        )
     nv = base.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("_nv")
     )

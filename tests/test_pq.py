@@ -168,3 +168,19 @@ def test_ivf_pq_unknown_queries_empty(emb, books):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "rank", "score",
     ]
+
+
+def test_external_query_vectors(emb, books):
+    """Serve a query vector that is NOT in the collection: an external
+    copy of doc 42's embedding must find 42 at rank 1 with score 1.0."""
+    v42 = emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]
+    rows = pq_topk(
+        emb, [], k=3, codebooks=books,
+        query_vecs={9_999_999: list(v42)},
+    ).collect()
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert by_rank[0]["neighbor_id"] == 42
+    assert by_rank[0]["score"] == 1.0
+    with pytest.raises(ValueError, match="cell_col"):
+        pq_topk(emb, [], codebooks=books, cell_col="label",
+                query_vecs={1: list(v42)})
