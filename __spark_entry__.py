@@ -3938,7 +3938,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN st IS NULL OR st // 100 < 2
                              OR st // 100 > 5 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_other,
-               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
                CAST(count(DISTINCT (url || chr(31) || digest))
                     AS BIGINT) AS n_url_digests
         FROM caps GROUP BY host)

@@ -454,7 +454,49 @@ def main() -> int:
         "scaling": scaling,
     }
     _write_bench_md(result, query_probe)
-    print(json.dumps(result))
+    # Full record (all per-query times, every scaling sample) goes to a
+    # committed file; stdout's LAST line is a COMPACT summary that fits
+    # the driver's bounded tail capture (BENCH_r04.json was parsed:null
+    # because the 67-key map pushed the JSON line past the capture
+    # window and the tail began mid-JSON).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+    s = scaling or {}
+    compact = {
+        "metric": "headline query suite wall time + extraction scaling",
+        "value": total,
+        "unit": "sec",
+        # the round-1/2-comparable subset only; the full per-query map
+        # (len(qtimes) keys) lives in BENCH_FULL.json / BENCH.md
+        "queries": {k: qtimes[k] for k in R2_SUBSET if k in qtimes},
+        "n_queries_total": len(qtimes),
+        "queries_full_file": "BENCH_FULL.json",
+        "r2_subtotal": r2_subtotal,
+        "sf": sf,
+        "headline_host_probes": hprobes,
+        "scaling": {
+            "n_docs": s.get("n_docs"),
+            "runs": s.get("runs"),
+            "efficiency": s.get("efficiency"),
+            "efficiency_median": s.get("efficiency_median"),
+            "primary_pair": s.get("primary_pair"),
+            "primary_efficiency": s.get("primary_efficiency"),
+            "primary_efficiency_median": s.get(
+                "primary_efficiency_median"
+            ),
+            "host_effective_cores_at_32": s.get(
+                "host_effective_cores_at_32"
+            ),
+        } if s else {},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 3500:  # belt-and-braces: never outgrow the capture
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

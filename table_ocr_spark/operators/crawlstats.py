@@ -77,7 +77,11 @@ def crawl_health(
         (
             F.sum(
                 F.coalesce(
-                    F.length(F.col(payload_col)).cast("long"), F.lit(0)
+                    # octet_length = UTF-8 bytes for strings, raw bytes
+                    # for binary; F.length would count CHARACTERS on a
+                    # string payload and under-report non-ASCII text
+                    F.octet_length(F.col(payload_col)).cast("long"),
+                    F.lit(0),
                 )
             )
             if payload_col

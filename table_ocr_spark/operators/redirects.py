@@ -217,7 +217,18 @@ def annotate_final_urls(
     urls keep themselves as ``final_url`` with hops 0 and no loop flag
     — so downstream dedup can group on ``final_url`` unconditionally.
     One hash join on the url key; the resolved side is the small 3xx
-    subgraph, broadcast-eligible on most crawls."""
+    subgraph, broadcast-eligible on most crawls.
+
+    Raises if ``pages`` already carries any of the annotation columns
+    (e.g. re-annotating an annotated frame) — the join would otherwise
+    produce ambiguous references or silently coalesce the stale side;
+    drop the old columns first to re-annotate."""
+    taken = {"final_url", "hops", "redirect_loop"} & set(pages.columns)
+    if taken:
+        raise ValueError(
+            f"annotate_final_urls: pages already has column(s) "
+            f"{sorted(taken)} — drop them before re-annotating"
+        )
     r = resolved.select(
         F.col("url").alias("_u"),
         "final_url",

@@ -308,13 +308,18 @@ def train_pq_codebooks(
                 + (cents ** 2).sum(axis=1)
             )
             assign = dists.argmin(axis=1)
+            # point→assigned-centroid distances, masked as re-seeds consume
+            # points so two empty clusters in one round never pick the same
+            # farthest point (which would pin duplicate centroids)
+            own = dists[np.arange(Xs.shape[0]), assign].copy()
             for c in range(ksub):
                 mask = assign == c
                 if mask.any():
                     cents[c] = Xs[mask].mean(axis=0)
-                else:  # deterministic re-seed: farthest point, lowest index
-                    far = dists[np.arange(Xs.shape[0]), assign].argmax()
+                else:  # deterministic re-seed: farthest unconsumed point
+                    far = own.argmax()
                     cents[c] = Xs[far]
+                    own[far] = -np.inf
         books[s] = cents
     return books
 
@@ -424,8 +429,11 @@ def pq_topk(
 
     ``query_vecs`` ({query_id: [float, ...]}) serves EXTERNAL query
     vectors (eval queries, fresh embeddings) instead of looking
-    ``query_ids`` up in the collection; pass ids disjoint from the
-    corpus — a colliding id would self-exclude that one corpus row.
+    ``query_ids`` up in the collection; ids must be disjoint from the
+    corpus and this is ENFORCED (one pushdown-filtered existence probe)
+    because a silent collision would shadow the corpus row and
+    self-exclude it from results; with disjointness enforced, the
+    kernel's self-exclusion mask is provably a no-op for external ids.
     Incompatible with ``cell_col`` (an external vector has no cell;
     assign one and search that cell's frame instead).
     """
@@ -445,6 +453,21 @@ def pq_topk(
         )
     if query_vecs is not None:
         query_ids = list(query_vecs)
+        # enforce the documented id-disjointness: a corpus row sharing an
+        # external query id would be silently shadowed/self-excluded
+        clash = [
+            r["vec_id"]
+            for r in emb.select("vec_id")
+            .filter(F.col("vec_id").isin(query_ids))
+            .limit(5)
+            .collect()
+        ]
+        if clash:
+            raise ValueError(
+                f"pq_topk: external query ids collide with corpus vec_ids "
+                f"{clash} — query_vecs ids must be disjoint from the "
+                f"collection"
+            )
     if len(query_ids) > PQ_MAX_QUERIES:
         raise ValueError(
             f"pq_topk: {len(query_ids)} queries exceed the enforced LUT "

@@ -96,13 +96,13 @@ def build_warc_record(
             f"HTTP/1.1 {http_status} OK\r\n"
             f"{loc_hdr}"
             "Content-Type: text/html; charset=utf-8\r\n\r\n"
-        ).encode("ascii") + body
+        ).encode("utf-8") + body
     else:
         block = body
     head = (
         b"WARC/1.0\r\n"
         + f"WARC-Type: {warc_type}\r\n".encode("ascii")
-        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
         + f"WARC-Date: {ts_iso}\r\n".encode("ascii")
         + f"Content-Length: {len(block)}\r\n".encode("ascii")
         + _CRLF
@@ -230,7 +230,10 @@ def _iter_plain_records(blob: bytes) -> Iterator[dict]:
                 "ascii", "replace"
             ),
             "url": headers.get(b"warc-target-uri", b"").decode(
-                "ascii", "replace"
+                # WARC 1.0 headers are UTF-8; the writer twins encode
+                # the URI as UTF-8, so the round trip is lossless for
+                # non-ASCII urls (replace keeps malformed input tolerant)
+                "utf-8", "replace"
             ),
             "warc_ts": headers.get(b"warc-date", b"").decode(
                 "ascii", "replace"

@@ -102,7 +102,7 @@ def wat_record_bytes(url: str, ts_iso: str, payload_json: str) -> bytes:
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: metadata\r\n"
-        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
         + f"WARC-Date: {ts_iso}\r\n".encode("ascii")
         + b"Content-Type: application/json\r\n"
         + f"Content-Length: {len(body)}\r\n".encode("ascii")

@@ -70,7 +70,7 @@ def wet_record_bytes(url: str, ts_iso: str, text: str) -> bytes:
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: conversion\r\n"
-        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
         + f"WARC-Date: {ts_iso}\r\n".encode("ascii")
         + b"Content-Type: text/plain\r\n"
         + f"Content-Length: {len(body)}\r\n".encode("ascii")

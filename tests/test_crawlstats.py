@@ -72,3 +72,12 @@ class TestCrawlHealth:
             # gcd(3,1000)=1 so each host sees all 1000 paths over
             # 5000 ids; HLL++ at rsd 0.02 lands within a few %
             assert abs(n - 1000) < 60, (host, n)
+
+
+class TestByteSemantics:
+    def test_total_bytes_counts_utf8_octets(self, spark):
+        caps = spark.createDataFrame(
+            [Row(url="http://h1.test/a", http_status=200, html="café")]
+        )
+        row = crawl_health(caps).collect()[0]
+        assert row["total_bytes"] == 5  # 4 chars, é is 2 bytes

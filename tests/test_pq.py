@@ -184,3 +184,38 @@ def test_external_query_vectors(emb, books):
     with pytest.raises(ValueError, match="cell_col"):
         pq_topk(emb, [], codebooks=books, cell_col="label",
                 query_vecs={1: list(v42)})
+
+
+def test_external_query_id_collision_raises(emb, books):
+    """An external query id equal to a corpus vec_id would silently
+    shadow (and self-exclude) that corpus row — enforced, not documented."""
+    with pytest.raises(ValueError, match="collide"):
+        pq_topk(emb, [], k=3, codebooks=books,
+                query_vecs={42: [1.0] + [0.0] * 63})
+
+
+def test_multi_empty_reseed_gets_distinct_points(spark):
+    """Two+ clusters going empty in ONE Lloyd round must re-seed to
+    DIFFERENT points. Input: 5 distinct unit vectors over 8 rows with
+    ksub=8, so k-means++ exhausts the distinct values and three
+    clusters sit empty every round. The un-masked re-seed gave all
+    three the same farthest point (one centroid x4); masking caps any
+    centroid's multiplicity at 2 (its own cluster + one re-seed)."""
+    dim4 = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [0.5, 0.5, 0.5, 0.5],
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(dim4)],
+        "vec_id long, embedding array<float>",
+    )
+    books = train_pq_codebooks(df, m=1, ksub=8)
+    cents = np.round(books[0], 12)
+    _, counts = np.unique(cents, axis=0, return_counts=True)
+    assert counts.max() <= 2, f"duplicate re-seeded centroids: {counts}"

@@ -178,3 +178,16 @@ class TestAnnotate:
         }
         assert got["http://a.test/1"] == ("http://a.test/t", 2, False)
         assert got["http://ok.test/"] == ("http://ok.test/", 0, False)
+
+    def test_reannotating_annotated_frame_raises(self, spark):
+        pages = spark.createDataFrame(
+            [Row(url="http://a.test/1", text="x")]
+        )
+        resolved = spark.createDataFrame(
+            [Row(url="http://a.test/1", final_url="http://a.test/t",
+                 hops=2, redirect_loop=False)]
+        )
+        once = annotate_final_urls(pages, resolved)
+        import pytest
+        with pytest.raises(ValueError, match="final_url"):
+            annotate_final_urls(once, resolved)

@@ -216,3 +216,27 @@ class TestSpark:
         (src / "f3.warc").write_bytes(b"".join(_mk_records(3)))
         run_once()
         assert spark.read.parquet(out_dir).count() == 27
+
+
+class TestNonAsciiUrl:
+    def test_utf8_url_roundtrip(self):
+        """WARC 1.0 headers are UTF-8: a non-ASCII target URI must
+        round-trip losslessly instead of raising in the write kernel."""
+        url = "http://exämple.test/søk?q=号"
+        rec = build_warc_record(
+            url, "2026-01-01T00:00:00Z", b"<html>x</html>"
+        )
+        rows = list(iter_warc_records(rec))
+        assert len(rows) == 1 and rows[0]["url"] == url
+
+    def test_wet_wat_utf8_url(self):
+        from table_ocr_spark.sources.wet import wet_record_bytes
+        from table_ocr_spark.sources.wat import wat_record_bytes
+
+        url = "http://exämple.test/号"
+        for rec in (
+            wet_record_bytes(url, "2026-01-01T00:00:00Z", "t"),
+            wat_record_bytes(url, "2026-01-01T00:00:00Z", "{}"),
+        ):
+            rows = list(iter_warc_records(rec))
+            assert len(rows) == 1 and rows[0]["url"] == url
