@@ -578,3 +578,51 @@ class TestIngestRedirects:
             "http://a.test/final": 3,  # old1 (2 hops), mid, c.test/moved
             "http://b.test/other": 0,
         }
+
+
+class TestCrawlPagesTransform:
+    def test_crawl_pages_equals_ingest_crawl(self, spark, tmp_path):
+        """crawl_pages is the factored records→pages transform of
+        ingest_crawl; applying it to read_warc's frame must reproduce
+        ingest_crawl byte-for-byte on the same files."""
+        from table_ocr_spark.pipelines import crawl_pages, ingest_crawl
+        from table_ocr_spark.sources.warc import build_warc_record, read_warc
+
+        recs = [
+            build_warc_record(
+                f"http://s{i % 3}.test/p{i}",
+                f"2026-04-{(i % 27) + 1:02d}T09:00:00Z",
+                f"<article><p>crawl pages body {i}</p></article>".encode(),
+            )
+            for i in range(9)
+        ]
+        (tmp_path / "c.warc").write_bytes(b"".join(recs))
+        glob = str(tmp_path) + "/*"
+        a = sorted(map(tuple, ingest_crawl(spark, glob).collect()))
+        b = sorted(map(tuple, crawl_pages(read_warc(spark, glob)).collect()))
+        assert a == b and len(a) == 9
+
+
+def test_extract_text_udf_matches_extract_documents(spark, tmp_path):
+    """The exported single-column convenience UDF must agree with the
+    full extract_documents operator on the same html bytes."""
+    from table_ocr_spark.datagen import write_pages_parquet
+    from table_ocr_spark.operators.extract import (
+        extract_documents,
+        extract_text_udf,
+    )
+
+    pq = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pq, n_docs=30, seed=5)
+    pages = spark.read.parquet(pq)
+    via_udf = {
+        r["url"]: r["t"]
+        for r in pages.select(
+            "url", extract_text_udf(F.col("html")).alias("t")
+        ).collect()
+    }
+    via_op = {
+        r["url"]: r["extracted_text"]
+        for r in extract_documents(pages).collect()
+    }
+    assert via_udf == via_op
