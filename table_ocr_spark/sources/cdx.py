@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from table_ocr_spark.operators.urlnorm import _SCHEME_RE, host_canonical
+from table_ocr_spark.sources.sinkio import SinkOpener, resolve_opener
 
 # one leading www / www<digits> label (the Wayback strip rule)
 _WWW_RE = r"^www\d*\."
@@ -199,6 +200,7 @@ def write_cdx(
     ts_col: str = "warc_ts",
     extra_cols: Sequence[str] = (),
     max_sample: int = 100_000,
+    opener: "SinkOpener | None" = None,
 ) -> DataFrame:
     """Write a CDXJ index of ``df`` under ``path``: ``n_files``
     globally-sorted ``cdx-NNNNN.gz`` files + ``cluster.idx``; returns
@@ -214,7 +216,8 @@ def write_cdx(
     """
     if n_files <= 0:
         raise ValueError(f"n_files must be positive, got {n_files}")
-    os.makedirs(path, exist_ok=True)
+    io = resolve_opener(opener)
+    io.makedirs(path)
 
     rows = _prepare_rows(df, url_col, ts_col, extra_cols)
     # three passes consume this narrow frame (count, boundary sample,
@@ -226,7 +229,7 @@ def write_cdx(
     bounds = _boundaries(cached, n_files, max_sample)
     keyed = cached.withColumn("_fid", _fid_expr(bounds))
 
-    _write = _writer_kernel(path)
+    _write = _writer_kernel(path, opener)
     manifest = (
         keyed.repartition(n_files, "_fid")
         .sortWithinPartitions("_key", "_ts", "_json")
@@ -234,14 +237,16 @@ def write_cdx(
     ).collect()
     cached.unpersist()
     manifest.sort(key=lambda r: r["file"])
-    _write_cluster_idx(path, manifest)
+    _write_cluster_idx(path, manifest, io)
     spark = df.sparkSession
     return spark.createDataFrame(manifest, _MANIFEST_SCHEMA)
 
 
-def _writer_kernel(path: str):
+def _writer_kernel(path: str, opener: "SinkOpener | None" = None):
     """mapInPandas kernel writing key-sorted ``cdx-<fid>.gz`` files
-    with per-fid streaming gzip appenders; yields manifest rows."""
+    with per-fid streaming gzip appenders; yields manifest rows.
+    Bytes route through the pluggable opener (POSIX default)."""
+    io = resolve_opener(opener)
 
     def _write(batches) -> Iterator:
         import pandas as pd
@@ -261,11 +266,17 @@ def _writer_kernel(path: str):
                 f_id = int(f_id)
                 if f_id not in handles:
                     fname = os.path.join(path, f"cdx-{f_id:05d}.gz")
-                    raw[f_id] = open(fname, "wb")
+                    raw[f_id] = io.open_write(fname)
                     # level 6 pinned: ~same ratio as the default 9 on
                     # short text lines at a fraction of the CPU, and a
                     # PINNED level keeps output byte-deterministic
+                    # filename="" suppresses the FNAME gzip-header
+                    # field: a POSIX handle carries .name and GzipFile
+                    # would embed it, while object-store streams have
+                    # none — pinning it empty keeps output bytes
+                    # identical across filesystems
                     handles[f_id] = gzip.GzipFile(
+                        filename="",
                         fileobj=raw[f_id],
                         mode="wb",
                         compresslevel=6,
@@ -300,15 +311,20 @@ def _writer_kernel(path: str):
     return _write
 
 
-def _write_cluster_idx(path: str, manifest) -> None:
+def _write_cluster_idx(
+    path: str, manifest, io: "SinkOpener | None" = None
+) -> None:
     """cluster.idx: one line per file, sorted — the driver-side
     summary a lookup binary-searches instead of opening every cdx
     file."""
-    with open(os.path.join(path, CLUSTER_IDX), "w") as fh:
+    io = resolve_opener(io)
+    with io.open_write(os.path.join(path, CLUSTER_IDX)) as fh:
         for r in manifest:
             fh.write(
-                f"{r['first_key']} {r['first_ts']}\t{r['file']}\t"
-                f"{r['last_key']}\t{r['n_records']}\n"
+                (
+                    f"{r['first_key']} {r['first_ts']}\t{r['file']}\t"
+                    f"{r['last_key']}\t{r['n_records']}\n"
+                ).encode("utf-8")
             )
 
 
@@ -334,14 +350,27 @@ def read_cdx(
     ).withColumn("url", F.get_json_object("fields", "$.url"))
 
 
-def candidate_files(idx_path: str, prefix: str) -> List[str]:
+def _text_lines(fh):
+    """Iterate utf-8 text lines from a binary stream (pyarrow input
+    streams have no text mode; read fully — cluster.idx is n_files
+    lines, driver-side)."""
+    data = fh.read()
+    if isinstance(data, str):  # a text-mode handle slipped through
+        return data.splitlines()
+    return data.decode("utf-8").splitlines()
+
+
+def candidate_files(
+    idx_path: str, prefix: str, opener: "SinkOpener | None" = None
+) -> List[str]:
     """Files whose [first, last] key range can contain keys starting
     with ``prefix`` — the cluster.idx binary-search step, exposed for
     tests/audit. Driver-side over n_files lines."""
     out = []
     hi = prefix + "\U0010ffff"
-    with open(os.path.join(idx_path, CLUSTER_IDX)) as fh:
-        for line in fh:
+    io = resolve_opener(opener)
+    with io.open_read(os.path.join(idx_path, CLUSTER_IDX)) as fh:
+        for line in _text_lines(fh):
             head, fname, last_key, _ = line.rstrip("\n").split("\t")
             first_key = head.split(" ", 1)[0]
             if last_key >= prefix and first_key <= hi:
@@ -365,19 +394,22 @@ def cdx_lookup(
     )
 
 
-def _read_cluster_idx(path: str) -> List[dict]:
+def _read_cluster_idx(
+    path: str, io: "SinkOpener | None" = None
+) -> List[dict]:
     """Parse cluster.idx into manifest-shaped dicts (driver-side,
     n_files lines). Missing index → ValueError (an unindexed
     directory cannot be merged into; build it with write_cdx)."""
+    io = resolve_opener(io)
     idx = os.path.join(path, CLUSTER_IDX)
-    if not os.path.exists(idx):
+    if not io.exists(idx):
         raise ValueError(
             f"merge_cdx: no {CLUSTER_IDX} under {path!r} — build the "
             "base index with write_cdx first"
         )
     out = []
-    with open(idx) as fh:
-        for line in fh:
+    with io.open_read(idx) as fh:
+        for line in _text_lines(fh):
             head, fname, last_key, n_records = (
                 line.rstrip("\n").split("\t")
             )
@@ -403,6 +435,7 @@ def merge_cdx(
     ts_col: str = "warc_ts",
     extra_cols: Sequence[str] = (),
     dedup: bool = True,
+    opener: "SinkOpener | None" = None,
 ) -> DataFrame:
     """Merge new captures into an existing CDX index WITHOUT
     rewriting files their keys never touch — the incremental-index
@@ -438,9 +471,10 @@ def merge_cdx(
             "merge_cdx: out_path must differ from existing_path (the "
             "re-merged files are read and written in the same job)"
         )
-    existing = _read_cluster_idx(existing_path)
+    io = resolve_opener(opener)
+    existing = _read_cluster_idx(existing_path, io)
     bounds = [r["first_key"] for r in existing[1:]]
-    os.makedirs(out_path, exist_ok=True)
+    io.makedirs(out_path)
 
     spark = new_df.sparkSession
     rows = _prepare_rows(new_df, url_col, ts_col, extra_cols)
@@ -458,15 +492,24 @@ def merge_cdx(
     touched_set = set(touched)
 
     manifest: List[dict] = []
-    import shutil
 
     for pos, r in enumerate(existing):
         if pos in touched_set:
             continue
         src = os.path.join(existing_path, r["file"])
         dst = os.path.join(out_path, r["file"])
-        shutil.copyfile(src, dst)
-        manifest.append({**r, "n_bytes": os.path.getsize(dst)})
+        # stream copy through the opener (object-store note: prefer a
+        # server-side copy where the backing FS offers one; the
+        # opener contract keeps this correct everywhere)
+        n = 0
+        with io.open_read(src) as rf, io.open_write(dst) as wf:
+            while True:
+                chunk = rf.read(1 << 20)
+                if not chunk:
+                    break
+                wf.write(chunk)
+                n += len(chunk)
+        manifest.append({**r, "n_bytes": n})
 
     if touched:
         old_files = [
@@ -508,7 +551,7 @@ def merge_cdx(
         new_manifest = (
             merged.repartition(max(len(touched), 1), "_fid")
             .sortWithinPartitions("_key", "_ts", "_json")
-            .mapInPandas(_writer_kernel(out_path), _MANIFEST_SCHEMA)
+            .mapInPandas(_writer_kernel(out_path, opener), _MANIFEST_SCHEMA)
         ).collect()
         manifest.extend(
             {f.name: r[f.name] for f in _MANIFEST_SCHEMA.fields}
@@ -517,7 +560,7 @@ def merge_cdx(
     cached.unpersist()
 
     manifest.sort(key=lambda r: r["file"])
-    _write_cluster_idx(out_path, manifest)
+    _write_cluster_idx(out_path, manifest, io)
     return spark.createDataFrame(
         [tuple(m[f.name] for f in _MANIFEST_SCHEMA.fields)
          for m in manifest],

@@ -181,10 +181,12 @@ def write_wat(
     ts_col: str = "warc_ts",
     status_col: str | None = None,
     ctype_col: str | None = None,
+    opener=None,
 ) -> DataFrame:
     """Write the WAT sidecar for ``df`` as ``n_files`` deterministic
     ``.warc.wat.gz`` files under ``path``; returns the per-file
-    manifest (file, n_records, n_bytes), eagerly materialized."""
+    manifest (file, n_records, n_bytes), eagerly materialized.
+    ``opener``: see :mod:`table_ocr_spark.sources.sinkio`."""
     payload = build_wat_payload(
         df, html_col, url_col, ts_col, status_col, ctype_col
     )
@@ -195,7 +197,8 @@ def write_wat(
         F.col("wat_json").alias("_payload"),
     )
     return write_member_files(
-        rows, path, n_files, ".warc.wat.gz", wat_record_bytes
+        rows, path, n_files, ".warc.wat.gz", wat_record_bytes,
+        opener=opener,
     )
 
 

@@ -42,11 +42,12 @@ Scale shape (100-TB argument):
 - ``n_files`` is the write-parallelism knob — size it like CC does
   (~1 GB per file) so the file stays the partition grain for every
   downstream reader.
-- Writes go through ``open()`` on a task-local path here (this
-  sandbox's filesystem); on a real cluster point ``path`` at a
-  cluster-visible mount or swap ``_open_sink`` for an
-  fsspec/Hadoop-FS opener — the record/bucketing logic is the
-  portable part.
+- Writes route through a pluggable :class:`sinkio.SinkOpener`
+  (default POSIX ``open()``); on a real cluster pass
+  ``ArrowFSOpener`` wrapping a ``pyarrow.fs`` HadoopFileSystem /
+  S3FileSystem — the record/bucketing logic is the portable part and
+  output is byte-identical across filesystems (tested against an
+  in-memory FS in ``tests/test_sink_opener.py``).
 """
 
 from __future__ import annotations
@@ -58,6 +59,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from table_ocr_spark.sources.sinkio import SinkOpener, resolve_opener
 
 _WET_HDR_END = b"\r\n\r\n"
 
@@ -97,24 +100,10 @@ def warc_ts_str(df: DataFrame, ts_col: str):
     return ts.cast("string")
 
 
-def write_member_files(
-    rows: DataFrame,
-    path: str,
-    n_files: int,
-    suffix: str,
-    rec_bytes,
-) -> DataFrame:
-    """Shared deterministic gzip-member sink (WET + WAT): ``rows``
-    must carry (_fid, _url, _ts, _payload); each output file's rows
-    land in exactly one task (hash-repartition on _fid), sorted by
-    (url, ts), one gzip member per record with mtime pinned to 0 —
-    byte-reproducible under re-run. ``rec_bytes(url, ts, payload)``
-    builds the uncompressed record. Returns the per-file manifest
-    (file, n_records, n_bytes) as an eagerly-materialized ACTION.
-    """
-    if n_files <= 0:
-        raise ValueError(f"n_files must be positive, got {n_files}")
-    os.makedirs(path, exist_ok=True)
+def member_writer_kernel(path: str, suffix: str, rec_bytes, io):
+    """The mapInPandas write kernel of :func:`write_member_files`,
+    module-level so tests can drive it directly against a pure
+    in-memory filesystem (the opener contract's byte-identity pin)."""
 
     def _write(batches) -> Iterator:
         import pandas as pd
@@ -135,7 +124,7 @@ def write_member_files(
                 fid = int(fid)
                 if fid not in handles:
                     fname = os.path.join(path, f"part-{fid:05d}{suffix}")
-                    handles[fid] = open(fname, "wb")
+                    handles[fid] = io.open_write(fname)
                     counts[fid] = 0
                     sizes[fid] = 0
                 rec = gzip.compress(
@@ -151,6 +140,35 @@ def write_member_files(
             out.append((f"part-{fid:05d}{suffix}", counts[fid], sizes[fid]))
         yield pd.DataFrame(out, columns=["file", "n_records", "n_bytes"])
 
+    return _write
+
+
+def write_member_files(
+    rows: DataFrame,
+    path: str,
+    n_files: int,
+    suffix: str,
+    rec_bytes,
+    opener: "SinkOpener | None" = None,
+) -> DataFrame:
+    """Shared deterministic gzip-member sink (WET + WAT): ``rows``
+    must carry (_fid, _url, _ts, _payload); each output file's rows
+    land in exactly one task (hash-repartition on _fid), sorted by
+    (url, ts), one gzip member per record with mtime pinned to 0 —
+    byte-reproducible under re-run. ``rec_bytes(url, ts, payload)``
+    builds the uncompressed record. Returns the per-file manifest
+    (file, n_records, n_bytes) as an eagerly-materialized ACTION.
+
+    ``opener`` routes every byte through a :class:`sinkio.SinkOpener`
+    (default POSIX); pass ``ArrowFSOpener`` for HDFS/S3/GCS — the
+    bucketing/sort/gzip framing is opener-independent, so output is
+    byte-identical across filesystems.
+    """
+    if n_files <= 0:
+        raise ValueError(f"n_files must be positive, got {n_files}")
+    io = resolve_opener(opener)
+    io.makedirs(path)
+    _write = member_writer_kernel(path, suffix, rec_bytes, io)
     manifest = (
         rows.repartition(n_files, "_fid")
         .sortWithinPartitions("_url", "_ts")
@@ -170,6 +188,7 @@ def write_wet(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     text_col: str = "text",
+    opener: "SinkOpener | None" = None,
 ) -> DataFrame:
     """Write ``df`` as ``n_files`` deterministic ``.warc.wet.gz``
     files under ``path``; returns the per-file manifest
@@ -187,5 +206,6 @@ def write_wet(
         F.col(text_col).alias("_payload"),
     )
     return write_member_files(
-        rows, path, n_files, ".warc.wet.gz", wet_record_bytes
+        rows, path, n_files, ".warc.wet.gz", wet_record_bytes,
+        opener=opener,
     )
