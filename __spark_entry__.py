@@ -887,15 +887,58 @@ def _temperature_sample_oracle() -> str:
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (operators/importance.py): corpus scored
-    against a target slice (doc_id % 10 == 0) via hashed-bigram
-    log-likelihood ratios — the Xie-et-al. data-selection stage with
-    the engine-portable pinned feature hash."""
+    """Importance/quality scoring composite (operators/importance.py):
+    leg "dsir" — DSIR importance weights, corpus scored against a
+    target slice (doc_id % 10 == 0) via hashed-bigram log-likelihood
+    ratios (Xie et al.); leg "nbsvm" — the hashed-ngram LINEAR QUALITY
+    CLASSIFIER (fastText-architecture scorer, NB log-count-ratio
+    trainer: train_quality_classifier on the same pos/neg split, then
+    apply_linear_model broadcasts the ≤B-row weight table and scores
+    every doc sigmoid(mean bigram weight)). Same pinned feature hash,
+    both legs exactly DuckDB-reproducible."""
+    from table_ocr_spark.operators.importance import (
+        apply_linear_model,
+        dsir_weights,
+        train_quality_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    dsir = dsir_weights(docs, target).select(
+        "doc_id", "n_features", F.col("dsir_logweight").alias("score")
+    )
+    weights = train_quality_classifier(
+        target, docs.filter(F.col("doc_id") % 10 != 0)
+    )
+    nbsvm = apply_linear_model(docs, weights).select(
+        "doc_id", "n_features", F.col("quality_score").alias("score")
+    )
+    return _tagged_union("variant", [("dsir", dsir), ("nbsvm", nbsvm)])
+
+
+def q_dsir_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench component: the DSIR leg alone (r3/r4-comparable timing;
+    the contract row is the composite q_dsir_weights)."""
     from table_ocr_spark.operators.importance import dsir_weights
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 0)
     return dsir_weights(docs, target)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench component: the hashed-ngram linear quality classifier
+    (train NB log-count-ratio weights on the pos/neg split, broadcast,
+    score all docs) — the nbsvm leg of the dsir_weights contract row."""
+    from table_ocr_spark.operators.importance import (
+        apply_linear_model,
+        train_quality_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.filter(F.col("doc_id") % 10 == 0)
+    neg = docs.filter(F.col("doc_id") % 10 != 0)
+    return apply_linear_model(docs, train_quality_classifier(pos, neg))
 
 
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3377,12 +3420,34 @@ def oracle_sql() -> dict[str, str]:
                        - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / (tr + 10000)) AS lr
                 FROM rc FULL OUTER JOIN tc USING (bucket), rt, tt),
       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
-                    round(sum(lr), 6) AS dsir_logweight
-             FROM feat JOIN ratio USING (bucket) GROUP BY doc_id)
-      SELECT d.doc_id,
+                    round(sum(lr), 6) AS score
+             FROM feat JOIN ratio USING (bucket) GROUP BY doc_id),
+      -- nbsvm leg: NB log-count-ratio weights (pos = target slice,
+      -- neg = the rest), mean-pooled, sigmoid, 6 dp
+      pc AS (SELECT bucket, count(*) AS cp FROM feat
+             WHERE doc_id % 10 = 0 GROUP BY bucket),
+      nc AS (SELECT bucket, count(*) AS cn FROM feat
+             WHERE doc_id % 10 <> 0 GROUP BY bucket),
+      pt AS (SELECT coalesce(sum(cp), 0) AS tp FROM pc),
+      nt AS (SELECT coalesce(sum(cn), 0) AS tn FROM nc),
+      w AS (SELECT bucket,
+                   ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) / (tp + 10000))
+                   - ln(CAST(coalesce(cn, 0) + 1 AS DOUBLE) / (tn + 10000))
+                     AS wt
+            FROM pc FULL OUTER JOIN nc USING (bucket), pt, nt),
+      lc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                    round(1.0 / (1.0 + exp(-(sum(coalesce(wt, 0.0))
+                                             / count(*)))), 6) AS score
+             FROM feat LEFT JOIN w USING (bucket) GROUP BY doc_id)
+      SELECT 'dsir' AS variant, d.doc_id,
              coalesce(s.n_features, 0) AS n_features,
-             coalesce(s.dsir_logweight, 0.0) AS dsir_logweight
+             coalesce(s.score, 0.0) AS score
       FROM documents d LEFT JOIN sc s USING (doc_id)
+      UNION ALL
+      SELECT 'nbsvm' AS variant, d.doc_id,
+             coalesce(l.n_features, 0) AS n_features,
+             coalesce(l.score, 0.5) AS score
+      FROM documents d LEFT JOIN lc l USING (doc_id)
     """
 
     sql["blocked_hosts"] = """

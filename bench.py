@@ -119,7 +119,11 @@ R4_NEW = [
     "wat_sidecar",
 ]
 
-HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW
+R5_NEW = [
+    "quality_classifier",
+]
+
+HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW + R5_NEW
 
 
 def _bench_queries(em) -> dict:
@@ -148,6 +152,8 @@ def _bench_queries(em) -> dict:
         "asof_click_before_purchase": em.q_asof_click_before_purchase,
         "range_join_events": em.q_range_join_events,
         "line_repetition": em.q_line_repetition,
+        "dsir_weights": em.q_dsir_only,
+        "quality_classifier": em.q_quality_classifier,
         "score_tiers": em.q_score_tiers,
         "duplicate_clusters": em.q_duplicate_clusters,
         "dedup_survivors": em.q_dedup_survivors,

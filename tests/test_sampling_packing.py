@@ -410,3 +410,73 @@ class TestChunkDocuments:
         docs = spark.createDataFrame([Row(doc_id=0, text="a b c")])
         plan = chunk_documents(docs, 8, 2)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestLinearQualityClassifier:
+    def _fit_apply(self, spark):
+        from table_ocr_spark.operators.importance import (
+            apply_linear_model,
+            train_quality_classifier,
+        )
+
+        pos = spark.createDataFrame(
+            [(i, "well written prose with varied informative words "
+                 f"sample {i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        neg = spark.createDataFrame(
+            [(i, "buy buy buy cheap cheap click click here here now")
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "well written prose with varied informative words"),
+                (2, "buy cheap click here now buy cheap click"),
+                (3, "x"),  # zero bigrams -> prior
+            ],
+            "doc_id long, text string",
+        )
+        w = train_quality_classifier(pos, neg)
+        return w, apply_linear_model(corpus, w)
+
+    def test_separates_and_priors(self, spark):
+        w, scored = self._fit_apply(spark)
+        got = {r["doc_id"]: r for r in scored.collect()}
+        assert len(got) == 3
+        # positive-looking doc above 0.5, negative below, both in (0,1)
+        assert 0.5 < got[1]["quality_score"] < 1.0
+        assert 0.0 < got[2]["quality_score"] < 0.5
+        # zero-feature doc gets exactly sigmoid(bias=0) = 0.5
+        assert got[3]["n_features"] == 0
+        assert got[3]["quality_score"] == 0.5
+
+    def test_weight_table_bounded_and_broadcast(self, spark):
+        from table_ocr_spark.operators.importance import apply_linear_model
+
+        w, scored = self._fit_apply(spark)
+        assert w.count() <= 10_000
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_external_weight_table_and_bias(self, spark):
+        """Any (bucket, weight) frame drops in — the fastText swap-in
+        contract — and bias shifts the zero-feature prior."""
+        import math
+
+        from table_ocr_spark.operators.importance import apply_linear_model
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "")],
+            "doc_id long, text string",
+        )
+        w = spark.createDataFrame(
+            [(b, 0.0) for b in range(10)], "bucket int, weight double"
+        )
+        got = {
+            r["doc_id"]: r["quality_score"]
+            for r in apply_linear_model(corpus, w, bias=1.5).collect()
+        }
+        expect = round(1.0 / (1.0 + math.exp(-1.5)), 6)
+        # all-zero weights -> every doc scores sigmoid(bias)
+        assert got[1] == expect and got[2] == expect
