@@ -216,10 +216,22 @@ def write_cdx(
     """
     if n_files <= 0:
         raise ValueError(f"n_files must be positive, got {n_files}")
+    rows = _prepare_rows(df, url_col, ts_col, extra_cols)
+    return _write_sorted_index(rows, path, n_files, max_sample, opener)
+
+
+def _write_sorted_index(
+    rows: DataFrame,
+    path: str,
+    n_files: int,
+    max_sample: int,
+    opener: "SinkOpener | None" = None,
+) -> DataFrame:
+    """Boundary-sample + globally-sorted write of a prepared
+    (_key, _ts, _json) frame — the shared tail of write_cdx and
+    rebalance_cdx."""
     io = resolve_opener(opener)
     io.makedirs(path)
-
-    rows = _prepare_rows(df, url_col, ts_col, extra_cols)
     # three passes consume this narrow frame (count, boundary sample,
     # the write itself) — persist so the upstream plan runs once;
     # keep the handle (rebinding `rows` later would make unpersist a
@@ -238,7 +250,7 @@ def write_cdx(
     cached.unpersist()
     manifest.sort(key=lambda r: r["file"])
     _write_cluster_idx(path, manifest, io)
-    spark = df.sparkSession
+    spark = rows.sparkSession
     return spark.createDataFrame(manifest, _MANIFEST_SCHEMA)
 
 
@@ -462,8 +474,8 @@ def merge_cdx(
 
     Boundaries are reused, never re-balanced: a long series of skewed
     increments can grow some files past others. Rebalancing IS the
-    full rewrite (write_cdx over read_cdx) by design — a deliberate,
-    scheduled operation, not something a routine merge does
+    full rewrite by design — a deliberate, scheduled operation
+    (:func:`rebalance_cdx`), not something a routine merge does
     implicitly. Returns the merged manifest (one row per output
     file)."""
     if os.path.abspath(out_path) == os.path.abspath(existing_path):
@@ -566,3 +578,47 @@ def merge_cdx(
          for m in manifest],
         _MANIFEST_SCHEMA,
     )
+
+
+def rebalance_cdx(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    n_files: int = 8,
+    max_sample: int = 100_000,
+    opener: "SinkOpener | None" = None,
+) -> DataFrame:
+    """The scheduled full rewrite merge_cdx deliberately never does:
+    re-sample file boundaries from the CURRENT key distribution and
+    rewrite the whole index once, restoring balance to a cumulative
+    index whose files drifted hot under skewed increments.
+
+    Same determinism contract as write_cdx — the boundary sample is
+    hash-selected from the keys (no RNG), sorts are total, gzip level
+    and mtime pinned — so rebalancing the same index twice (or
+    crash-rerunning) yields byte-identical files, and a rebalanced
+    index built from the same captures as a fresh write_cdx IS that
+    fresh index byte-for-byte (pinned in tests). Global sort order is
+    preserved: boundaries partition the key space, rows re-sort
+    within each file.
+
+    Cost model (when to schedule it): one full read + one full
+    one-exchange write — O(index), vs merge_cdx's O(increment). Run
+    it when cluster.idx shows file-size skew past the reader's
+    tolerance (the manifest's n_records/n_bytes columns are the
+    signal), not per increment. Keys and payload json are carried
+    VERBATIM from the existing lines (no url re-parse — the index is
+    the source of truth for its own keys)."""
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "rebalance_cdx: out_path must differ from path (the whole "
+            "index is read and rewritten in the same job)"
+        )
+    # existence check doubles as the unindexed-directory guard
+    _read_cluster_idx(path, resolve_opener(opener))
+    rows = read_cdx(spark, path).select(
+        F.col("surt").alias("_key"),
+        F.col("ts").alias("_ts"),
+        F.col("fields").alias("_json"),
+    )
+    return _write_sorted_index(rows, out_path, n_files, max_sample, opener)

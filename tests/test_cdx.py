@@ -258,3 +258,97 @@ class TestMergeCdx:
             merge_cdx(inc, base, base)
         with pytest.raises(ValueError, match="cluster.idx"):
             merge_cdx(inc, str(tmp_path / "nope"), out)
+
+
+class TestRebalance:
+    def _skewed_index(self, spark, tmp_path):
+        """Base index + a heavily skewed single-site merge, so one
+        file holds most of the rows."""
+        from table_ocr_spark.sources.cdx import merge_cdx, write_cdx
+
+        base = spark.range(200).select(
+            F.concat(F.lit("http://h"), (F.col("id") % 20).cast("string"),
+                     F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_ts"),
+        )
+        inc = spark.range(800).select(
+            F.concat(F.lit("http://h0.test/extra"),
+                     F.col("id").cast("string")).alias("url"),
+            F.lit("2026-02-01T00:00:00Z").alias("warc_ts"),
+        )
+        b = str(tmp_path / "base")
+        m = str(tmp_path / "merged")
+        write_cdx(base, b, n_files=4)
+        merge_cdx(inc, b, m)
+        return m
+
+    def test_rebalance_restores_balance_and_order(self, spark, tmp_path):
+        from table_ocr_spark.sources.cdx import (
+            _read_cluster_idx,
+            read_cdx,
+            rebalance_cdx,
+        )
+
+        merged = self._skewed_index(spark, tmp_path)
+        skew = {
+            r["file"]: r["n_records"]
+            for r in _read_cluster_idx(merged)
+        }
+        assert max(skew.values()) > 3 * min(skew.values())  # genuinely hot
+
+        out = str(tmp_path / "rebalanced")
+        man = rebalance_cdx(spark, merged, out, n_files=4).collect()
+        counts = [r["n_records"] for r in man]
+        assert sum(counts) == 1000
+        # the hot file's rows spread out: no file holds > 60% anymore
+        assert max(counts) < 600
+        # content identical as a multiset
+        a = sorted(map(tuple, read_cdx(spark, merged).collect()))
+        b = sorted(map(tuple, read_cdx(spark, out).collect()))
+        assert a == b
+        # GLOBAL sort order across the name-ordered files
+        man.sort(key=lambda r: r["file"])
+        for prev, nxt in zip(man, man[1:]):
+            assert prev["last_key"] <= nxt["first_key"]
+
+    def test_rebalance_byte_deterministic(self, spark, tmp_path):
+        from table_ocr_spark.sources.cdx import rebalance_cdx
+
+        merged = self._skewed_index(spark, tmp_path)
+        o1 = str(tmp_path / "r1")
+        o2 = str(tmp_path / "r2")
+        rebalance_cdx(spark, merged, o1, n_files=4)
+        rebalance_cdx(spark, merged, o2, n_files=4)
+        f1 = {p.name: p.read_bytes() for p in (tmp_path / "r1").iterdir()}
+        f2 = {p.name: p.read_bytes() for p in (tmp_path / "r2").iterdir()}
+        assert f1 and f1 == f2
+
+    def test_rebalance_equals_fresh_write(self, spark, tmp_path):
+        """Rebalancing an index whose lines came from write_cdx must
+        byte-equal write_cdx over the same captures at the same
+        n_files — the strongest statement of the shared contract."""
+        from table_ocr_spark.sources.cdx import rebalance_cdx, write_cdx
+
+        caps = spark.range(300).select(
+            F.concat(F.lit("http://s"), (F.col("id") % 9).cast("string"),
+                     F.lit(".test/x"), F.col("id").cast("string")).alias("url"),
+            F.lit("2026-03-01T00:00:00Z").alias("warc_ts"),
+        )
+        fresh = str(tmp_path / "fresh")
+        src = str(tmp_path / "src")
+        reb = str(tmp_path / "reb")
+        write_cdx(caps, fresh, n_files=3)
+        write_cdx(caps, src, n_files=5)  # different layout, same lines
+        rebalance_cdx(spark, src, reb, n_files=3)
+        f1 = {p.name: p.read_bytes() for p in (tmp_path / "fresh").iterdir()}
+        f2 = {p.name: p.read_bytes() for p in (tmp_path / "reb").iterdir()}
+        assert f1 and f1 == f2
+
+    def test_guards(self, spark, tmp_path):
+        from table_ocr_spark.sources.cdx import rebalance_cdx
+
+        with pytest.raises(ValueError, match="differ"):
+            rebalance_cdx(spark, str(tmp_path), str(tmp_path))
+        with pytest.raises(ValueError, match="cluster.idx"):
+            rebalance_cdx(spark, str(tmp_path / "nope"),
+                          str(tmp_path / "out"))
