@@ -793,3 +793,82 @@ def sitemap_frontier(
         .distinct()
     )
     return plan, nested
+
+
+def crawl_to_shards(
+    spark,
+    warc_glob: str,
+    path: str,
+    n_tiers: int = 3,
+    token_budget: int | None = None,
+    tier_mix: dict | None = None,
+    capacity: int = 2048,
+    seqs_per_shard: int = 1024,
+    keep_statuses: tuple = (200,),
+    html_only: bool = True,
+    minhash_threshold: float = 0.8,
+    shingle_k: int = 3,
+    benchmark: DataFrame | None = None,
+    near_dedup: str = "cluster",
+    allow_upsampling: bool = False,
+) -> dict:
+    """THE north-star composition in one call: raw WARC container
+    bytes → loader-ready packed training shards.
+
+        ingest_crawl (parse → charset → decode → canonical pages)
+        → build_training_corpus (extract → quality → exact dedup →
+          MinHash CC closure → survivors → PII → [decontaminate] →
+          tiers → [token budget])
+        → materialize_tiered_corpus (tier=K/ Hive layout →
+          per-tier pack_sequences → shard=S/ packed sets)
+
+    Returns the full audit trail:
+    ``{"n_records_kept": pages the status/type gate kept,
+       "corpus": CorpusReport (per-stage counts),
+       "tiers": {tier: {n_docs, n_seqs, n_shards}},
+       "corpus_path": ..., "shards_path": ...}``.
+
+    Every stage is the already-rehearsed operator — this function
+    adds NO new plan shape, only the composition, so its scale
+    argument is the conjunction of its stages' arguments (each
+    documented at its definition). The one new obligation is
+    honored here: ``ingest_crawl``'s output is fed UNMATERIALIZED
+    into the corpus builder (no intermediate write), so Catalyst
+    fuses the decode projection into the extraction scan.
+
+    Reference parity: this is the Spark-native analogue of the
+    reference's project run loop — PDFs in, per-document results +
+    exports out (`table_ocr/core.py` + `ui/utils.py` export path) —
+    at crawl scale with the curation stages a trillion-document
+    corpus needs in between.
+    """
+    pages = ingest_crawl(
+        spark,
+        warc_glob,
+        keep_statuses=keep_statuses,
+        html_only=html_only,
+    )
+    corpus, report = build_training_corpus(
+        pages,
+        minhash_threshold=minhash_threshold,
+        shingle_k=shingle_k,
+        benchmark=benchmark,
+        n_tiers=n_tiers,
+        token_budget=token_budget,
+        tier_mix=tier_mix,
+        near_dedup=near_dedup,
+        allow_upsampling=allow_upsampling,
+    )
+    tier_report = materialize_tiered_corpus(
+        corpus,
+        path,
+        capacity=capacity,
+        seqs_per_shard=seqs_per_shard,
+    )
+    return {
+        "n_records_kept": report.n_input,
+        "corpus": report,
+        "tiers": tier_report,
+        "corpus_path": f"{path}/corpus",
+        "shards_path": f"{path}/shards",
+    }

@@ -626,3 +626,78 @@ def test_extract_text_udf_matches_extract_documents(spark, tmp_path):
         for r in extract_documents(pages).collect()
     }
     assert via_udf == via_op
+
+
+class TestCrawlToShards:
+    def test_warc_bytes_to_packed_shards_one_call(self, spark, tmp_path):
+        """The north-star composition: .warc.gz container bytes in,
+        tier=K/shard=S packed sets out, with the per-stage audit
+        counts closed-form on a planted corpus."""
+        import gzip
+
+        from table_ocr_spark.pipelines import crawl_to_shards
+        from table_ocr_spark.sources.warc import build_warc_record
+
+        def rec(i, text):
+            body = (
+                f"<article><p>{text}</p></article>"
+            ).encode()
+            return build_warc_record(
+                f"http://s{i % 7}.test/p{i}",
+                "2026-05-01T09:00:00Z",
+                body,
+            )
+
+        # 40 unique long docs + 4 exact dups of doc 0 + 1 non-html
+        def words(i):
+            # vary doc length so quality scores spread across tiers
+            return " ".join(
+                f"w{(i * 31 + j * 7) % 9973}x{j}"
+                for j in range(40 + (i * 13) % 40)
+            )
+
+        recs = [rec(i, words(i)) for i in range(40)]
+        dup_text = words(0)
+        recs += [rec(100 + k, dup_text) for k in range(4)]
+        png = build_warc_record(
+            "http://s0.test/img", "2026-05-01T09:00:00Z",
+            (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNG"),
+            http=False,
+        )
+        recs.append(png)
+        (tmp_path / "in.warc.gz").write_bytes(
+            b"".join(gzip.compress(r, mtime=0) for r in recs)
+        )
+
+        out = str(tmp_path / "out")
+        rep = crawl_to_shards(
+            spark, str(tmp_path) + "/*.warc.gz", out,
+            n_tiers=2, capacity=128, seqs_per_shard=4,
+        )
+        c = rep["corpus"]
+        assert rep["n_records_kept"] == 44        # png gated out
+        assert c.n_extracted == 44
+        # 4 of the 5 identical docs drop at exact dedup
+        assert c.n_after_exact_dedup == c.n_quality_pass - 4
+        # every surviving doc lands in exactly one tier's shards
+        total_docs = sum(t["n_docs"] for t in rep["tiers"].values())
+        assert total_docs == c.n_after_near_dedup
+        assert set(rep["tiers"]) == {0, 1}
+        # shard files exist on disk under shards/tier=K/
+        import glob as _g
+
+        files = _g.glob(f"{out}/shards/tier=*/*/*.parquet") + _g.glob(
+            f"{out}/shards/tier=*/*.parquet"
+        )
+        assert files, "no shard parquet written"
+        # the packed index reconstructs the corpus: token sums match
+        packed = spark.read.parquet(f"{out}/shards/tier=0").unionByName(
+            spark.read.parquet(f"{out}/shards/tier=1")
+        )
+        corpus = spark.read.parquet(f"{out}/corpus")
+        assert packed.count() == corpus.count()
+        from pyspark.sql import functions as F2
+
+        t_packed = packed.agg(F2.sum("n_tokens")).collect()[0][0]
+        t_corpus = corpus.agg(F2.sum("n_tokens")).collect()[0][0]
+        assert t_packed == t_corpus
