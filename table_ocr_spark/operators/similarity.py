@@ -453,8 +453,15 @@ def pq_topk(
         )
     if query_vecs is not None:
         query_ids = list(query_vecs)
-        # enforce the documented id-disjointness: a corpus row sharing an
-        # external query id would be silently shadowed/self-excluded
+    if len(query_ids) > PQ_MAX_QUERIES:
+        raise ValueError(
+            f"pq_topk: {len(query_ids)} queries exceed the enforced LUT "
+            f"broadcast bound {PQ_MAX_QUERIES}; batch the query set"
+        )
+    if query_vecs is not None and query_ids:
+        # enforce the documented id-disjointness (the bound above caps
+        # the isin literal list first): a corpus row sharing an external
+        # query id would be silently shadowed/self-excluded
         clash = [
             r["vec_id"]
             for r in emb.select("vec_id")
@@ -468,11 +475,6 @@ def pq_topk(
                 f"{clash} — query_vecs ids must be disjoint from the "
                 f"collection"
             )
-    if len(query_ids) > PQ_MAX_QUERIES:
-        raise ValueError(
-            f"pq_topk: {len(query_ids)} queries exceed the enforced LUT "
-            f"broadcast bound {PQ_MAX_QUERIES}; batch the query set"
-        )
     if codebooks is None:
         codebooks = train_pq_codebooks(
             emb, m=m, ksub=ksub, vec_col=vec_col, max_train=max_train

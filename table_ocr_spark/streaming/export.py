@@ -38,12 +38,15 @@ def streaming_export(
     kind: str = "wet",
     n_files: int = 8,
     max_files_per_trigger: int | None = None,
+    opener=None,
 ) -> None:
     """Drain new parquet files under ``source_dir`` (PAGES_SCHEMA) and
     write one ``<kind>/batch=N/`` wave of ``.warc.<kind>.gz`` files per
     micro-batch; blocks until drained. ``kind``: ``"wet"`` (extracted
     ``text`` as conversion records) or ``"wat"`` (metadata envelopes
-    from ``html``)."""
+    from ``html``). ``opener``: a :class:`sources.sinkio.SinkOpener`
+    routing the member-file bytes (POSIX default) — same contract as
+    the batch sinks."""
     from table_ocr_spark.sources.wat import write_wat
     from table_ocr_spark.sources.wet import write_wet
 
@@ -58,9 +61,9 @@ def streaming_export(
     def _emit(batch_df, batch_id: int) -> None:
         out = os.path.join(root, f"batch={batch_id}")
         if kind == "wet":
-            write_wet(batch_df, out, n_files=n_files)
+            write_wet(batch_df, out, n_files=n_files, opener=opener)
         else:
-            write_wat(batch_df, out, n_files=n_files)
+            write_wat(batch_df, out, n_files=n_files, opener=opener)
 
     q = (
         stream.writeStream.foreachBatch(_emit)
