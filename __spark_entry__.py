@@ -894,11 +894,18 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLASSIFIER (fastText-architecture scorer, NB log-count-ratio
     trainer: train_quality_classifier on the same pos/neg split, then
     apply_linear_model broadcasts the ≤B-row weight table and scores
-    every doc sigmoid(mean bigram weight)). Same pinned feature hash,
-    both legs exactly DuckDB-reproducible."""
+    every doc sigmoid(mean bigram weight)); leg "langid:<pred>" — the
+    MULTICLASS lang-id classifier (train_langid_classifier: multinomial
+    NB over the same buckets on the doc_id%10<8 labeled slice;
+    apply_langid_model argmaxes class log-posteriors over ALL docs —
+    the predicted label rides the variant tag so the hash gate checks
+    the prediction itself, score = winning log-posterior). Same pinned
+    feature hash, all legs exactly DuckDB-reproducible."""
     from table_ocr_spark.operators.importance import (
+        apply_langid_model,
         apply_linear_model,
         dsir_weights,
+        train_langid_classifier,
         train_quality_classifier,
     )
 
@@ -913,7 +920,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbsvm = apply_linear_model(docs, weights).select(
         "doc_id", "n_features", F.col("quality_score").alias("score")
     )
-    return _tagged_union("variant", [("dsir", dsir), ("nbsvm", nbsvm)])
+    labeled = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    model = train_langid_classifier(
+        labeled.filter(F.col("doc_id") % 10 < 8)
+    )
+    langid = apply_langid_model(docs, model).select(
+        F.concat(F.lit("langid:"), F.col("lang_pred")).alias("variant"),
+        "doc_id",
+        "n_features",
+        F.col("lang_logprob").alias("score"),
+    )
+    base = _tagged_union("variant", [("dsir", dsir), ("nbsvm", nbsvm)])
+    return base.unionByName(langid.select("variant", "doc_id", "n_features", "score"))
 
 
 def q_dsir_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,6 +959,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.filter(F.col("doc_id") % 10 == 0)
     neg = docs.filter(F.col("doc_id") % 10 != 0)
     return apply_linear_model(docs, train_quality_classifier(pos, neg))
+
+
+def q_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench component: the multiclass hashed-ngram lang-id classifier
+    (train multinomial NB on the doc_id%10<8 labeled slice, broadcast
+    the B×C model, argmax-score all docs) — the langid leg of the
+    dsir_weights contract row."""
+    from table_ocr_spark.operators.importance import (
+        apply_langid_model,
+        train_langid_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    model = train_langid_classifier(docs.filter(F.col("doc_id") % 10 < 8))
+    return apply_langid_model(docs.select("doc_id", "text"), model)
 
 
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3438,7 +3473,48 @@ def oracle_sql() -> dict[str, str]:
       lc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
                     round(1.0 / (1.0 + exp(-(sum(coalesce(wt, 0.0))
                                              / count(*)))), 6) AS score
-             FROM feat LEFT JOIN w USING (bucket) GROUP BY doc_id)
+             FROM feat LEFT JOIN w USING (bucket) GROUP BY doc_id),
+      -- langid leg: multinomial NB over the same buckets, trained on
+      -- the doc_id%10<8 labeled slice; weights densified over
+      -- (observed buckets) x (labels), class prior + per-class
+      -- unseen-bucket default; argmax per doc (round 6dp BEFORE the
+      -- argmax, tie -> smallest label), prediction rides the variant
+      ltrain AS (SELECT f.bucket, d.lang AS label
+                 FROM feat f JOIN documents d USING (doc_id)
+                 WHERE d.doc_id % 10 < 8 AND d.lang IS NOT NULL),
+      lcnt AS (SELECT bucket, label, count(*) AS c
+               FROM ltrain GROUP BY bucket, label),
+      luniv AS (SELECT lang AS label, count(*) AS nd FROM documents
+                WHERE doc_id % 10 < 8 AND lang IS NOT NULL GROUP BY lang),
+      lft AS (SELECT label, sum(c) AS t FROM lcnt GROUP BY label),
+      llab AS (SELECT u.label, u.nd, coalesce(f.t, 0) AS t
+               FROM luniv u LEFT JOIN lft f USING (label)),
+      ltd AS (SELECT sum(nd) AS td FROM luniv),
+      ldense AS (SELECT b.bucket, l.label,
+                        ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                           / (l.t + 10000)) AS w
+                 FROM (SELECT DISTINCT bucket FROM ltrain) b
+                 CROSS JOIN llab l
+                 LEFT JOIN lcnt c ON c.bucket = b.bucket
+                                 AND c.label = l.label),
+      lpd AS (SELECT l.label,
+                     ln(CAST(l.nd AS DOUBLE) / ltd.td) AS pr,
+                     ln(1.0 / (l.t + 10000)) AS dflt
+              FROM llab l, ltd),
+      lps AS (SELECT f.doc_id, p.label, CAST(count(*) AS BIGINT) AS nf,
+                     round(p.pr + sum(coalesce(d.w, p.dflt)), 6) AS sc
+              FROM feat f CROSS JOIN lpd p
+              LEFT JOIN ldense d ON d.bucket = f.bucket
+                                AND d.label = p.label
+              GROUP BY f.doc_id, p.label, p.pr),
+      lemp AS (SELECT t.doc_id, p.label, CAST(0 AS BIGINT) AS nf,
+                      round(p.pr, 6) AS sc
+               FROM t CROSS JOIN lpd p
+               WHERE coalesce(len(t.toks), 0) < 2),
+      lbest AS (SELECT doc_id, nf, label, sc,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY sc DESC, label) AS rn
+                FROM (SELECT * FROM lps UNION ALL SELECT * FROM lemp))
       SELECT 'dsir' AS variant, d.doc_id,
              coalesce(s.n_features, 0) AS n_features,
              coalesce(s.score, 0.0) AS score
@@ -3448,6 +3524,10 @@ def oracle_sql() -> dict[str, str]:
              coalesce(l.n_features, 0) AS n_features,
              coalesce(l.score, 0.5) AS score
       FROM documents d LEFT JOIN lc l USING (doc_id)
+      UNION ALL
+      SELECT 'langid:' || label AS variant, doc_id, nf AS n_features,
+             sc AS score
+      FROM lbest WHERE rn = 1
     """
 
     sql["blocked_hosts"] = """

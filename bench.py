@@ -121,6 +121,7 @@ R4_NEW = [
 
 R5_NEW = [
     "quality_classifier",
+    "langid_classifier",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW + R5_NEW
@@ -154,6 +155,7 @@ def _bench_queries(em) -> dict:
         "line_repetition": em.q_line_repetition,
         "dsir_weights": em.q_dsir_only,
         "quality_classifier": em.q_quality_classifier,
+        "langid_classifier": em.q_langid_classifier,
         "score_tiers": em.q_score_tiers,
         "duplicate_clusters": em.q_duplicate_clusters,
         "dedup_survivors": em.q_dedup_survivors,

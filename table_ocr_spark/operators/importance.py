@@ -289,3 +289,173 @@ def apply_linear_model(
         F.lit(prior).alias("quality_score"),
     )
     return scored.unionByName(empties)
+
+
+# ------------------------------------------------------------------
+# Multiclass hashed-ngram lang-id classifier: the lang_id heuristic's
+# documented swap-in made EXECUTABLE. Same fastText linear-classifier
+# architecture as the quality scorer, multiclass head: multinomial
+# Naive Bayes over the pinned hashed-bigram buckets (add-one
+# smoothing), argmax over class log-posteriors. Closed-form one-pass
+# fit, exactly DuckDB-reproducible; a real fastText softmax head's
+# (bucket, label, weight) table drops into apply_langid_model
+# unchanged (its rows replace the NB log-probs; priors ride the same
+# bucket=-1 convention).
+# ------------------------------------------------------------------
+
+PRIOR_BUCKET = -1  # model rows carrying ln class prior
+UNSEEN_BUCKET = -2  # model rows carrying the unseen-bucket default
+
+
+def train_langid_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Fit multinomial NB over hashed bigrams from a labeled frame.
+    NULL labels are dropped (unlabeled rows train nothing).
+
+    Returns ONE (bucket, label, weight) table with three row kinds:
+      bucket >= 0 — ln p(bucket | label), add-one smoothed, DENSIFIED
+        over (every bucket observed in training) x (every label), so
+        scoring never needs per-class null handling;
+      bucket == -1 (PRIOR_BUCKET) — ln p(label), the class prior from
+        training doc counts;
+      bucket == -2 (UNSEEN_BUCKET) — ln(1/(tot_label + B)), the
+        smoothed log-prob every training-unseen bucket contributes to
+        that class (per-class constant, NOT cross-class constant: it
+        depends on the class feature total, so it cannot be dropped
+        from the argmax).
+
+    Size: <= B x C + 2C rows — broadcast-sized by construction (DSIR
+    uses B ~ 10^4; C is the label set). Scale shape: one explode ->
+    groupBy(bucket, label) pass with map-side combine; every exchange
+    is bounded by B x C regardless of corpus size."""
+    lab = labeled.filter(F.col(label_col).isNotNull())
+    feats = lab.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            _bigram_bucket_udf(n_buckets)(tokens(F.col(text_col)))
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket", "label").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # label universe + priors come from DOC counts (a label whose every
+    # doc is <2 tokens still gets prior/default rows and stays a class)
+    docs_per = lab.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    total_docs = docs_per.agg(F.sum("_nd").alias("_td"))
+    feat_tot = counts.groupBy("label").agg(F.sum("_c").alias("_t"))
+    label_tbl = docs_per.join(feat_tot, "label", "left").select(
+        "label", "_nd", F.coalesce("_t", F.lit(0)).alias("_t")
+    )
+    dense = (
+        counts.select("bucket").distinct()
+        .crossJoin(F.broadcast(label_tbl))
+        .join(counts, ["bucket", "label"], "left")
+        .select(
+            "bucket",
+            "label",
+            F.log(
+                (F.coalesce("_c", F.lit(0)) + 1)
+                / (F.col("_t") + n_buckets)
+            ).alias("weight"),
+        )
+    )
+    priors = label_tbl.crossJoin(F.broadcast(total_docs)).select(
+        F.lit(PRIOR_BUCKET).alias("bucket"),
+        "label",
+        F.log(F.col("_nd") / F.col("_td")).alias("weight"),
+    )
+    defaults = label_tbl.select(
+        F.lit(UNSEEN_BUCKET).alias("bucket"),
+        "label",
+        F.log(F.lit(1.0) / (F.col("_t") + n_buckets)).alias("weight"),
+    )
+    return dense.unionByName(priors).unionByName(defaults)
+
+
+def apply_langid_model(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Predict a language per document with a trained multiclass model:
+    ``score(c) = prior_c + sum over bigrams of w(bucket, c)`` (unseen
+    buckets contribute the class's UNSEEN_BUCKET default), prediction =
+    argmax over classes, deterministic tie-break to the smallest label.
+
+    Output: (id_col, n_features, lang_pred, lang_logprob) — the winning
+    class and its log-posterior rounded 6 dp (rounded BEFORE the
+    argmax, so the winner is reproducible across partial-sum orders and
+    engines). Zero-bigram docs predict the prior argmax (n_features 0).
+
+    Plan at 10^12 docs: the model is <= B x C + 2C rows and BROADCAST;
+    scoring is one corpus-feature-stream pass — explode -> crossJoin
+    the C-row label table (map-side fan-out, feats x C rows) ->
+    broadcast hash join on (bucket, label) -> groupBy(id, label) with
+    map-side combine. The single exchange carries id x C partial
+    (count, sum) rows, never text; the argmax is a second C-fold
+    id-keyed combine on the already-tiny per-label frame."""
+    main = model.filter(F.col("bucket") >= 0)
+    lbl = (
+        model.filter(F.col("bucket") == PRIOR_BUCKET)
+        .select("label", F.col("weight").alias("_prior"))
+        .join(
+            model.filter(F.col("bucket") == UNSEEN_BUCKET)
+            .select("label", F.col("weight").alias("_dflt")),
+            "label",
+        )
+    )
+    feats = _features(df, text_col, id_col, n_buckets)
+    per_label = (
+        feats.crossJoin(F.broadcast(lbl))
+        .join(F.broadcast(main), ["bucket", "label"], "left")
+        .groupBy("id", "label", "_prior")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nf"),
+            F.sum(F.coalesce("weight", F.col("_dflt"))).alias("_s"),
+        )
+        .select(
+            "id",
+            "label",
+            "_nf",
+            F.round(F.col("_prior") + F.col("_s"), 6).alias("_score"),
+        )
+    )
+    empties = (
+        df.filter(F.size(tokens(F.col(text_col))) < 2)
+        .select(F.col(id_col).alias("id"))
+        .crossJoin(F.broadcast(lbl))
+        .select(
+            "id",
+            "label",
+            F.lit(0).cast("long").alias("_nf"),
+            F.round("_prior", 6).alias("_score"),
+        )
+    )
+    return (
+        per_label.unionByName(empties)
+        .groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_score")).alias("_neg"),
+                    F.col("label").alias("_l"),
+                    F.col("_nf").alias("_n"),
+                    F.col("_score").alias("_sc"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_b._n").alias("n_features"),
+            F.col("_b._l").alias("lang_pred"),
+            F.col("_b._sc").alias("lang_logprob"),
+        )
+    )

@@ -480,3 +480,98 @@ class TestLinearQualityClassifier:
         expect = round(1.0 / (1.0 + math.exp(-1.5)), 6)
         # all-zero weights -> every doc scores sigmoid(bias)
         assert got[1] == expect and got[2] == expect
+
+
+class TestLangidClassifier:
+    """Multiclass NB lang-id (importance.train_langid_classifier /
+    apply_langid_model) — the lang_id heuristic's executable swap-in."""
+
+    def _fit(self, spark):
+        from table_ocr_spark.operators.importance import (
+            apply_langid_model,
+            train_langid_classifier,
+        )
+
+        labeled = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog "
+                 f"run {i}", "en") for i in range(6)]
+            + [(10 + i, "le renard brun saute par dessus le chien "
+                        f"tour {i}", "fr") for i in range(6)],
+            "doc_id long, text string, lang string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the dog"),
+                (2, "le renard brun saute par dessus le chien"),
+                (3, "x"),          # zero bigrams -> prior argmax
+                (4, "zz qq ww"),   # all buckets unseen -> defaults rule
+            ],
+            "doc_id long, text string",
+        )
+        model = train_langid_classifier(labeled)
+        return model, apply_langid_model(corpus, model)
+
+    def test_predicts_and_prior_backfill(self, spark):
+        model, scored = self._fit(spark)
+        got = {r["doc_id"]: r for r in scored.collect()}
+        assert len(got) == 4
+        assert got[1]["lang_pred"] == "en"
+        assert got[2]["lang_pred"] == "fr"
+        # zero-feature doc: equal priors (6 docs each) -> tie breaks to
+        # the SMALLEST label, deterministically
+        assert got[3]["n_features"] == 0
+        assert got[3]["lang_pred"] == "en"
+        import math
+
+        assert got[3]["lang_logprob"] == round(math.log(0.5), 6)
+        # every-bucket-unseen doc still gets a prediction (the
+        # per-class unseen default decides, tie -> smallest label)
+        assert got[4]["n_features"] == 2
+        assert got[4]["lang_pred"] in ("en", "fr")
+
+    def test_model_rows_bounded_and_kinds(self, spark):
+        from table_ocr_spark.operators.importance import (
+            PRIOR_BUCKET,
+            UNSEEN_BUCKET,
+        )
+
+        model, scored = self._fit(spark)
+        rows = model.collect()
+        labels = {r["label"] for r in rows}
+        assert labels == {"en", "fr"}
+        priors = [r for r in rows if r["bucket"] == PRIOR_BUCKET]
+        defaults = [r for r in rows if r["bucket"] == UNSEEN_BUCKET]
+        assert len(priors) == 2 and len(defaults) == 2
+        main = [r for r in rows if r["bucket"] >= 0]
+        # densified: every observed bucket carries BOTH labels
+        from collections import Counter
+
+        per_bucket = Counter(r["bucket"] for r in main)
+        assert set(per_bucket.values()) == {2}
+        assert len(main) <= 10_000 * 2
+        # scoring plan: model joins are broadcast, never shuffled
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_label_with_no_bigrams_survives_as_class(self, spark):
+        """A class whose every training doc has <2 tokens still gets
+        prior + default rows (the label universe comes from DOC counts,
+        not feature counts)."""
+        from table_ocr_spark.operators.importance import (
+            PRIOR_BUCKET,
+            UNSEEN_BUCKET,
+            train_langid_classifier,
+        )
+
+        labeled = spark.createDataFrame(
+            [(1, "der hund lauft schnell weg", "de"), (2, "zh", "zh")],
+            "doc_id long, text string, lang string",
+        )
+        rows = train_langid_classifier(labeled).collect()
+        zh = [r for r in rows if r["label"] == "zh"]
+        assert {r["bucket"] for r in zh if r["bucket"] < 0} == {
+            PRIOR_BUCKET,
+            UNSEEN_BUCKET,
+        }
+        # densified: zh also gets smoothed rows for de's buckets
+        assert any(r["bucket"] >= 0 for r in zh)
