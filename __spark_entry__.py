@@ -909,7 +909,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_classifier,
     )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    docs = labeled.drop("lang")  # one source scan serves all legs
     target = docs.filter(F.col("doc_id") % 10 == 0)
     dsir = dsir_weights(docs, target).select(
         "doc_id", "n_features", F.col("dsir_logweight").alias("score")
@@ -919,9 +922,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nbsvm = apply_linear_model(docs, weights).select(
         "doc_id", "n_features", F.col("quality_score").alias("score")
-    )
-    labeled = _read(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang"
     )
     model = train_langid_classifier(
         labeled.filter(F.col("doc_id") % 10 < 8)

@@ -101,6 +101,41 @@ def _features(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> Data
     )
 
 
+def _smoothed_log_ratio(
+    num_counts: DataFrame,
+    den_counts: DataFrame,
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """``ln((num_b+1)/(num_tot+B)) - ln((den_b+1)/(den_tot+B))`` over
+    the union of observed buckets — the ONE smoothed log-count-ratio
+    recipe shared by ``dsir_weights`` (target vs raw) and
+    ``train_quality_classifier`` (pos vs neg). Inputs are
+    ``(bucket, _c)`` count frames; absent-side buckets smooth to
+    count 0. Totals are single-row broadcasts, coalesced because
+    ``sum()`` over an EMPTY count table is NULL and a NULL total
+    would NULL every log-ratio (an empty side is well-defined under
+    add-one smoothing: p(b) = 1/B uniformly)."""
+    num = num_counts.select("bucket", F.col("_c").alias("_cn_"))
+    den = den_counts.select("bucket", F.col("_c").alias("_cd_"))
+    num_tot = num.agg(F.coalesce(F.sum("_cn_"), F.lit(0)).alias("_tn_"))
+    den_tot = den.agg(F.coalesce(F.sum("_cd_"), F.lit(0)).alias("_td_"))
+    return (
+        num.join(den, "bucket", "full_outer")
+        .crossJoin(F.broadcast(num_tot))
+        .crossJoin(F.broadcast(den_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("_cn_", F.lit(0)) + 1)
+                      / (F.col("_tn_") + n_buckets))
+                - F.log((F.coalesce("_cd_", F.lit(0)) + 1)
+                        / (F.col("_td_") + n_buckets))
+            ).alias(out_col),
+        )
+    )
+
+
 def dsir_weights(
     corpus: DataFrame,
     target: DataFrame,
@@ -130,33 +165,9 @@ def dsir_weights(
         target.select(F.col(target_text_col).alias("_t")), "_t", "_t", n_buckets
     ).select("bucket")
 
-    raw_counts = corpus_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
-    tgt_counts = target_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
-    # totals are single-row broadcasts; the ratio table is built over
-    # the union of observed buckets (absent side smooths to count 0)
-    # coalesce: sum() over an EMPTY count table is NULL, and a NULL
-    # total would NULL every log-ratio (an empty target is well-defined
-    # under add-one smoothing: p(b) = 1/B uniformly)
-    raw_tot = raw_counts.agg(
-        F.coalesce(F.sum("_cr"), F.lit(0)).alias("_tr")
-    )
-    tgt_tot = tgt_counts.agg(
-        F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt")
-    )
-    ratio = (
-        raw_counts.join(tgt_counts, "bucket", "full_outer")
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("_ct", F.lit(0)) + 1)
-                      / (F.col("_tt") + n_buckets))
-                - F.log((F.coalesce("_cr", F.lit(0)) + 1)
-                        / (F.col("_tr") + n_buckets))
-            ).alias("_lr"),
-        )
-    )
+    raw_counts = corpus_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c"))
+    tgt_counts = target_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c"))
+    ratio = _smoothed_log_ratio(tgt_counts, raw_counts, n_buckets, "_lr")
     scored = (
         corpus_f.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
@@ -216,24 +227,9 @@ def train_quality_classifier(
     neg_f = _features(
         neg.select(F.col(text_col).alias("_t")), "_t", "_t", n_buckets
     ).select("bucket")
-    pos_c = pos_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cp"))
-    neg_c = neg_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cn"))
-    pos_t = pos_c.agg(F.coalesce(F.sum("_cp"), F.lit(0)).alias("_tp"))
-    neg_t = neg_c.agg(F.coalesce(F.sum("_cn"), F.lit(0)).alias("_tn"))
-    return (
-        pos_c.join(neg_c, "bucket", "full_outer")
-        .crossJoin(F.broadcast(pos_t))
-        .crossJoin(F.broadcast(neg_t))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("_cp", F.lit(0)) + 1)
-                      / (F.col("_tp") + n_buckets))
-                - F.log((F.coalesce("_cn", F.lit(0)) + 1)
-                        / (F.col("_tn") + n_buckets))
-            ).alias("weight"),
-        )
-    )
+    pos_c = pos_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c"))
+    neg_c = neg_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c"))
+    return _smoothed_log_ratio(pos_c, neg_c, n_buckets, "weight")
 
 
 def apply_linear_model(
@@ -282,11 +278,16 @@ def apply_linear_model(
             ).alias("quality_score"),
         )
     )
-    prior = round(1.0 / (1.0 + __import__("math").exp(-float(bias))), 6)
+    # the prior literal rounds via F.round (constant-folded by
+    # Catalyst) so BOTH legs share Spark's HALF_UP convention — a
+    # driver-side Python round() is banker's rounding, a second
+    # convention in the same output column
     empties = df.filter(F.size(tokens(F.col(text_col))) < 2).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_features"),
-        F.lit(prior).alias("quality_score"),
+        F.round(
+            F.lit(1.0) / (1.0 + F.exp(F.lit(-float(bias)))), 6
+        ).alias("quality_score"),
     )
     return scored.unionByName(empties)
 

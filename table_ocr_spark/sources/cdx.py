@@ -214,8 +214,6 @@ def write_cdx(
     url yields a NULL surt key are DROPPED (not indexable — the
     caller's url hygiene operators run upstream).
     """
-    if n_files <= 0:
-        raise ValueError(f"n_files must be positive, got {n_files}")
     rows = _prepare_rows(df, url_col, ts_col, extra_cols)
     return _write_sorted_index(rows, path, n_files, max_sample, opener)
 
@@ -229,7 +227,10 @@ def _write_sorted_index(
 ) -> DataFrame:
     """Boundary-sample + globally-sorted write of a prepared
     (_key, _ts, _json) frame — the shared tail of write_cdx and
-    rebalance_cdx."""
+    rebalance_cdx (validation lives here so BOTH entry points fail
+    fast with a ValueError instead of deep inside a repartition)."""
+    if n_files <= 0:
+        raise ValueError(f"n_files must be positive, got {n_files}")
     io = resolve_opener(opener)
     io.makedirs(path)
     # three passes consume this narrow frame (count, boundary sample,
@@ -391,12 +392,17 @@ def candidate_files(
 
 
 def cdx_lookup(
-    spark: SparkSession, path: str, prefix: str
+    spark: SparkSession, path: str, prefix: str,
+    opener: "SinkOpener | None" = None,
 ) -> DataFrame:
     """All captures whose surt key starts with ``prefix`` (e.g.
     ``com,example)`` for a whole site), reading ONLY the files the
-    cluster.idx says can match."""
-    cands = candidate_files(path, prefix)
+    cluster.idx says can match. ``opener`` routes the driver-side
+    cluster.idx read (an index written through a non-POSIX opener is
+    looked up through the same one); the matched ``cdx-*.gz`` data
+    files are read by SPARK (``spark.read.text``) — on an object
+    store the session needs the matching FS connector."""
+    cands = candidate_files(path, prefix, opener)
     if not cands:
         return spark.createDataFrame(
             [], "surt string, ts string, fields string, url string"
@@ -608,7 +614,13 @@ def rebalance_cdx(
     tolerance (the manifest's n_records/n_bytes columns are the
     signal), not per increment. Keys and payload json are carried
     VERBATIM from the existing lines (no url re-parse — the index is
-    the source of truth for its own keys)."""
+    the source of truth for its own keys).
+
+    Opener scope (same split as merge_cdx): ``opener`` routes the
+    driver-side cluster.idx read and ALL writes (data members +
+    index); the existing ``cdx-*.gz`` data files are read by SPARK
+    (``spark.read.text``), so on an object store the session needs
+    the matching FS connector in addition to the opener."""
     if os.path.abspath(out_path) == os.path.abspath(path):
         raise ValueError(
             "rebalance_cdx: out_path must differ from path (the whole "

@@ -184,7 +184,11 @@ def split_http_payload(
         if key == b"content-type" and ctype is None:
             ctype = v.strip().lower().decode("ascii", "replace")
         elif key == b"location" and location is None:
-            location = v.strip().decode("ascii", "replace")
+            # the writer encodes the HTTP block (incl. Location) as
+            # UTF-8 — decode the same way so non-ASCII redirect
+            # targets round-trip instead of silently mojibake-ing
+            # into edges that match nothing in the redirect resolver
+            location = v.strip().decode("utf-8", "replace")
         if ctype is not None and location is not None:
             break
     return status, ctype, block[end + len(_HDR_END):], location

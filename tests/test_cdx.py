@@ -352,3 +352,13 @@ class TestRebalance:
         with pytest.raises(ValueError, match="cluster.idx"):
             rebalance_cdx(spark, str(tmp_path / "nope"),
                           str(tmp_path / "out"))
+
+    def test_rebalance_rejects_bad_n_files(self, spark, tmp_path):
+        """The n_files guard lives in the shared write tail, so
+        rebalance fails fast with a ValueError instead of deep inside
+        repartition after the full index read."""
+        from table_ocr_spark.sources.cdx import rebalance_cdx
+
+        merged = self._skewed_index(spark, tmp_path)
+        with pytest.raises(ValueError, match="n_files must be positive"):
+            rebalance_cdx(spark, merged, str(tmp_path / "bad"), n_files=0)

@@ -94,6 +94,15 @@ class TestArrowLocalExecutorRouting:
         assert candidate_files(
             p_arrow, "test,h1", opener=ArrowFSOpener(pafs.LocalFileSystem)
         ) == candidate_files(p_posix, "test,h1")
+        # ...including the public lookup entry point (its cluster.idx
+        # read must not fall back to builtin open)
+        from table_ocr_spark.sources.cdx import cdx_lookup
+
+        hits = cdx_lookup(
+            spark, p_arrow, "test,h1)",
+            opener=ArrowFSOpener(pafs.LocalFileSystem),
+        )
+        assert hits.count() == cdx_lookup(spark, p_posix, "test,h1)").count() > 0
 
 
 class TestInMemoryFilesystem:

@@ -229,6 +229,23 @@ class TestNonAsciiUrl:
         rows = list(iter_warc_records(rec))
         assert len(rows) == 1 and rows[0]["url"] == url
 
+    def test_utf8_location_roundtrip(self):
+        """The HTTP block (incl. Location) is written UTF-8 — the
+        parser must decode it the same way, or a non-ASCII redirect
+        target mojibakes into an edge that matches nothing in the
+        redirect resolver."""
+        loc = "http://exämple.test/søk?q=号"
+        rec = build_warc_record(
+            "http://a.test/old", "2026-01-01T00:00:00Z", b"",
+            http_status=301, location=loc,
+        )
+        rows = list(iter_warc_records(rec))
+        assert len(rows) == 1
+        status, ctype, body, location = split_http_payload(
+            rows[0]["block"]
+        )
+        assert status == 301 and location == loc
+
     def test_wet_wat_utf8_url(self):
         from table_ocr_spark.sources.wet import wet_record_bytes
         from table_ocr_spark.sources.wat import wat_record_bytes
