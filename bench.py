@@ -586,9 +586,9 @@ def _write_bench_md(result: dict, query_probe: dict | None = None) -> None:
             "",
             "Executor-level evidence (real standalone cluster, separate "
             "master/worker/executor JVMs): see BASELINE.md — 2→8 "
-            "single-core executors, efficiency 0.846 (round 1) / 0.824 "
-            "(round 2); reproduce with "
-            "`bash scripts/run_cluster_scaling.sh`.",
+            "single-core executors, efficiency by round: 0.846 (r1), "
+            "0.824 (r2), 0.839/0.868 (r3), 0.945/0.917 (r4), 0.888 (r5); "
+            "reproduce with `bash scripts/run_cluster_scaling.sh`.",
         ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

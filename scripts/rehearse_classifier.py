@@ -112,6 +112,89 @@ def main() -> int:
         f"REHEARSAL_RESULT train={t_train:.1f}s score={t_score:.1f}s "
         f"rate={rate:,.0f}_docs/s weights={n_w}"
     )
+
+    # ---- multiclass lang-id leg -----------------------------------
+    # Same corpus with PLANTED language classes: class = base_id % 3,
+    # marked by a class-specific token run appended to the text (one
+    # distinct marker bigram per class, bucket-verified disjoint
+    # below). NB must recover the planted label: the marker bigram is
+    # frequent inside its class and UNSEEN in the others, so its
+    # log-prob vs the unseen default dominates any shared-vocab noise
+    # — a closed-form expectation that holds at any corpus size.
+    from table_ocr_spark.operators.importance import (
+        apply_langid_model,
+        train_langid_classifier,
+    )
+
+    markers = {0: "zqa", 1: "xqb", 2: "wqc"}
+    langs = {0: "aa", 1: "bb", 2: "cc"}
+    # marker bigram buckets must be pairwise distinct or the classes
+    # alias (pinned hash: ((31*len + 7*first + last) * K) % 2^32 % B)
+    bks = {
+        ((7 * 31 + 7 * ord(t[0]) + ord(t[-1])) * 2654435761 % (1 << 32))
+        % 10_000
+        for t in markers.values()
+    }
+    assert len(bks) == 3, f"marker buckets collided: {bks}"
+
+    lang_expr = (
+        F.when(F.col("base_id") % 3 == 0, F.lit(langs[0]))
+        .when(F.col("base_id") % 3 == 1, F.lit(langs[1]))
+        .otherwise(F.lit(langs[2]))
+    )
+    mark_expr = (
+        F.when(F.col("base_id") % 3 == 0, F.lit(f" {markers[0]} {markers[0]} {markers[0]} {markers[0]}"))
+        .when(F.col("base_id") % 3 == 1, F.lit(f" {markers[1]} {markers[1]} {markers[1]} {markers[1]}"))
+        .otherwise(F.lit(f" {markers[2]} {markers[2]} {markers[2]} {markers[2]}"))
+    )
+    lcorpus = corpus.select(
+        "doc_id",
+        "base_id",
+        F.concat(F.col("text"), mark_expr).alias("text"),
+        lang_expr.alias("lang"),
+    ).persist()
+    lcorpus.count()
+
+    t0 = time.time()
+    lmodel = train_langid_classifier(
+        lcorpus.filter(F.col("base_id") % 10 < 8)
+    ).persist()
+    n_lm = lmodel.count()
+    t_ltrain = time.time() - t0
+    assert n_lm <= 10_000 * 3 + 2 * 3, n_lm  # <= B*C + 2C by construction
+    print(f"langid train: {t_ltrain:.1f}s, model rows: {n_lm} (<= BxC+2C: OK)")
+
+    t0 = time.time()
+    lpred = apply_langid_model(lcorpus, lmodel).persist()
+    n_lp = lpred.count()
+    t_lscore = time.time() - t0
+    assert n_lp == n_corpus, (n_lp, n_corpus)
+    lrate = n_corpus / t_lscore
+    print(f"langid score: {t_lscore:.1f}s = {lrate:,.0f} docs/s")
+
+    lj = lpred.join(lcorpus.select("doc_id", "base_id", "lang"), "doc_id")
+    # replicas of one base text must predict identically (pure text fn)
+    ldistinct = (
+        lj.groupBy("base_id")
+        .agg(
+            F.count_distinct("lang_pred").alias("kp"),
+            F.count_distinct("lang_logprob").alias("ks"),
+        )
+        .agg(F.max("kp").alias("mp"), F.max("ks").alias("ms"))
+        .collect()[0]
+    )
+    assert ldistinct["mp"] == 1 and ldistinct["ms"] == 1, dict(ldistinct.asDict())
+    acc_row = lj.agg(
+        F.avg((F.col("lang_pred") == F.col("lang")).cast("double")).alias("a")
+    ).collect()[0]
+    acc = acc_row["a"]
+    assert acc >= 0.99, f"planted-label recovery accuracy {acc}"
+    print(f"langid asserts OK: replica-exactness, planted accuracy {acc:.4f}")
+    print(
+        f"REHEARSAL_RESULT_LANGID train={t_ltrain:.1f}s "
+        f"score={t_lscore:.1f}s rate={lrate:,.0f}_docs/s "
+        f"model_rows={n_lm} accuracy={acc:.4f}"
+    )
     spark.stop()
     return 0
 
