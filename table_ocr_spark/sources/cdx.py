@@ -394,6 +394,8 @@ def candidate_files(
 def cdx_lookup(
     spark: SparkSession, path: str, prefix: str,
     opener: "SinkOpener | None" = None,
+    ts_from: str | None = None,
+    ts_to: str | None = None,
 ) -> DataFrame:
     """All captures whose surt key starts with ``prefix`` (e.g.
     ``com,example)`` for a whole site), reading ONLY the files the
@@ -401,15 +403,34 @@ def cdx_lookup(
     cluster.idx read (an index written through a non-POSIX opener is
     looked up through the same one); the matched ``cdx-*.gz`` data
     files are read by SPARK (``spark.read.text``) — on an object
-    store the session needs the matching FS connector."""
+    store the session needs the matching FS connector.
+
+    ``ts_from``/``ts_to`` take the CDX-server API's partial-timestamp
+    semantics: 1-14 digits, both bounds INCLUSIVE at the given
+    precision (``ts_from="2026"`` ≙ ``>= 20260101000000``-ish floor,
+    ``ts_to="2026"`` ≙ everything in 2026) — implemented as pure
+    lexicographic comparison on the ts14 column after padding the
+    floor with '0' and the ceiling with '9'. The filter cannot prune
+    files (they are keyed by surt, not time) but Catalyst fuses it
+    into the same scan as the prefix filter."""
+    for nm, v in (("ts_from", ts_from), ("ts_to", ts_to)):
+        if v is not None and not (v.isdigit() and 1 <= len(v) <= 14):
+            raise ValueError(
+                f"{nm} must be 1-14 digits (CDX partial ts), got {v!r}"
+            )
     cands = candidate_files(path, prefix, opener)
     if not cands:
         return spark.createDataFrame(
             [], "surt string, ts string, fields string, url string"
         )
-    return read_cdx(spark, path, files=cands).where(
+    out = read_cdx(spark, path, files=cands).where(
         F.col("surt").startswith(prefix)
     )
+    if ts_from is not None:
+        out = out.where(F.col("ts") >= ts_from.ljust(14, "0"))
+    if ts_to is not None:
+        out = out.where(F.col("ts") <= ts_to.ljust(14, "9"))
+    return out
 
 
 def _read_cluster_idx(

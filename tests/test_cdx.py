@@ -137,6 +137,29 @@ class TestLookup:
         # absent site: no candidates, empty result
         assert cdx_lookup(spark, d, "zz,absent)").count() == 0
 
+    def test_partial_ts_range(self, spark, tmp_path):
+        """CDX-server API from/to semantics: partial timestamps,
+        both bounds inclusive at the given precision."""
+        d = str(tmp_path / "idx")
+        write_cdx(_pages(spark), d, n_files=4)
+        # h7.test captures span 2026-01-01..27; day precision
+        got = cdx_lookup(
+            spark, d, "test,h7)", ts_from="20260110", ts_to="20260112"
+        )
+        days = {r["ts"][:8] for r in got.collect()}
+        assert days and days <= {"20260110", "20260111", "20260112"}
+        # inclusive at full precision: the exact capture second matches
+        one = cdx_lookup(
+            spark, d, "test,h7)",
+            ts_from="20260110030405", ts_to="20260110030405",
+        )
+        assert one.count() > 0
+        # year precision covers everything; a disjoint year nothing
+        assert cdx_lookup(spark, d, "test,h7)", ts_from="2026").count() == 20
+        assert cdx_lookup(spark, d, "test,h7)", ts_to="2025").count() == 0
+        with pytest.raises(ValueError, match="1-14 digits"):
+            cdx_lookup(spark, d, "test,h7)", ts_from="2026-01")
+
 
 class TestLineGrammarSafety:
     def test_space_url_and_bad_ts_rows(self, spark, tmp_path):
