@@ -11,6 +11,7 @@ import gzip
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from table_ocr_spark.sources.warc import (
     build_warc_record,
@@ -216,6 +217,113 @@ class TestSpark:
         (src / "f3.warc").write_bytes(b"".join(_mk_records(3)))
         run_once()
         assert spark.read.parquet(out_dir).count() == 27
+
+
+class TestRevisit:
+    def test_digest_header_roundtrip(self):
+        dg = "sha256:" + "ab" * 32
+        rec = build_warc_record(
+            "http://a.test/p", "2026-01-01T00:00:00Z", b"<html>x</html>",
+            payload_digest=dg,
+        )
+        [row] = list(iter_warc_records(rec))
+        assert row["payload_digest"] == dg
+        # absent header -> empty string, never a crash
+        plain = build_warc_record(
+            "http://a.test/q", "2026-01-01T00:00:00Z", b"y"
+        )
+        assert list(iter_warc_records(plain))[0]["payload_digest"] == ""
+
+    def test_digest_expr_matches_hashlib(self, spark):
+        import hashlib
+
+        from table_ocr_spark.sources.warc import payload_digest_expr
+
+        body = b"the payload bytes \xc3\xa9"
+        df = spark.createDataFrame([(body,)], "b binary").select(
+            payload_digest_expr("b").alias("dg")
+        )
+        want = "sha256:" + hashlib.sha256(body).hexdigest()
+        assert df.collect()[0]["dg"] == want
+
+    def test_resolve_revisits(self, spark):
+        from table_ocr_spark.sources.warc import resolve_revisits
+
+        dg = "sha256:d1"
+        rows = [
+            # two responses share the digest: the (ts, url)-smallest
+            # is the canonical donor
+            ("response", "http://b.test/p", "2026-02-01T00:00:00Z",
+             bytearray(b"PAYLOAD"), dg),
+            ("response", "http://a.test/p", "2026-01-01T00:00:00Z",
+             bytearray(b"PAYLOAD"), dg),
+            ("revisit", "http://c.test/p", "2026-03-01T00:00:00Z",
+             bytearray(b""), dg),
+            ("revisit", "http://d.test/p", "2026-03-02T00:00:00Z",
+             bytearray(b""), "sha256:unknown"),
+            ("request", "http://a.test/p", "2026-01-01T00:00:00Z",
+             bytearray(b""), None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "warc_type string, url string, warc_ts string, "
+            "html binary, payload_digest string",
+        )
+        got = {
+            (r["warc_type"], r["url"]): r
+            for r in resolve_revisits(df).collect()
+        }
+        assert len(got) == 5  # row count conserved
+        c = got[("revisit", "http://c.test/p")]
+        assert bytes(c["html"]) == b"PAYLOAD"
+        assert c["revisit_resolved"] is True
+        assert c["revisit_of_url"] == "http://a.test/p"  # earliest wins
+        assert c["revisit_of_ts"] == "2026-01-01T00:00:00Z"
+        d = got[("revisit", "http://d.test/p")]
+        assert d["revisit_resolved"] is False
+        assert bytes(d["html"]) == b"" and d["revisit_of_url"] is None
+        # non-revisit rows pass through unchanged, flag NULL
+        b = got[("response", "http://b.test/p")]
+        assert b["revisit_resolved"] is None
+        assert bytes(b["html"]) == b"PAYLOAD"
+        assert got[("request", "http://a.test/p")]["revisit_resolved"] is None
+        # re-annotating an annotated frame refuses loudly
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="revisit_resolved"):
+            resolve_revisits(resolve_revisits(df))
+
+    def test_resolve_revisits_via_files(self, spark, tmp_path):
+        """End to end through the real container: a response + revisit
+        pair written as gzip members, read with read_warc, resolved."""
+        import hashlib
+
+        from table_ocr_spark.sources.warc import (
+            gzip_members,
+            read_warc,
+            resolve_revisits,
+        )
+
+        body = b"<html><body>stable content</body></html>"
+        dg = "sha256:" + hashlib.sha256(body).hexdigest()
+        recs = [
+            build_warc_record(
+                "http://s.test/p", "2026-01-01T00:00:00Z", body,
+                payload_digest=dg,
+            ),
+            build_warc_record(
+                "http://s.test/p", "2026-02-01T00:00:00Z", b"",
+                warc_type="revisit", payload_digest=dg,
+            ),
+        ]
+        p = tmp_path / "f.warc.gz"
+        p.write_bytes(gzip_members(recs))
+        parsed = read_warc(spark, str(p), warc_types=None)
+        out = resolve_revisits(parsed)
+        rev = out.where(F.col("warc_type") == "revisit").collect()[0]
+        assert rev["revisit_resolved"] is True
+        assert bytes(rev["html"]) == body
+        assert rev["revisit_of_ts"] == "2026-01-01T00:00:00Z"
 
 
 class TestNonAsciiUrl:
