@@ -68,6 +68,7 @@ def ingest_crawl(
     html_only: bool = True,
     with_digest: bool = False,
     with_redirects: bool = False,
+    with_revisits: bool = False,
 ) -> DataFrame:
     """WARC files → the canonical pages frame (BASELINE.json input
     hint): (url, warc_ts timestamp, html binary, text, lang) — the
@@ -107,15 +108,26 @@ def ingest_crawl(
     :mod:`operators.redirects` over the snapshot's redirect captures,
     latest capture per src) — the alias count dedup and authority
     consolidation key on. Makes the call partially EAGER (the
-    pointer-doubling walk runs its bounded rounds at build time)."""
+    pointer-doubling walk runs its bounded rounds at build time).
+
+    ``with_revisits`` materializes WARC ``revisit`` records
+    (digest-deduped captures — what CC emits for unchanged re-fetches)
+    via :func:`sources.warc.resolve_revisits` BEFORE the gates, so a
+    resolved revisit becomes a page carrying its donor's payload under
+    its own (url, warc_ts, status); revisits whose digest matches no
+    stored response are DROPPED (an empty page row would poison the
+    corpus). To read revisit records at all, pass them through the
+    reader: this path uses ``warc_types=("response", "revisit")``."""
     from table_ocr_spark.sources.warc import read_warc
 
+    types = ("response", "revisit") if with_revisits else ("response",)
     return crawl_pages(
-        read_warc(spark, warc_glob),
+        read_warc(spark, warc_glob, warc_types=types),
         keep_statuses=keep_statuses,
         html_only=html_only,
         with_digest=with_digest,
         with_redirects=with_redirects,
+        with_revisits=with_revisits,
     )
 
 
@@ -126,6 +138,7 @@ def crawl_pages(
     with_digest: bool = False,
     with_redirects: bool = False,
     redirect_max_hops: int = 16,
+    with_revisits: bool = False,
 ) -> DataFrame:
     """The WARC-records → canonical-pages transform of
     :func:`ingest_crawl`, factored out so it applies to ANY records
@@ -138,6 +151,18 @@ def crawl_pages(
         sniff_charset,
     )
 
+    if with_revisits:
+        from table_ocr_spark.sources.warc import resolve_revisits
+
+        # resolved revisits become pages carrying the donor payload
+        # under their own capture identity; unresolved ones (digest
+        # matched no stored response) are dropped — an empty page row
+        # would poison the corpus. Non-revisit rows carry NULL flags
+        # and pass untouched.
+        parsed = resolve_revisits(parsed).where(
+            F.col("revisit_resolved").isNull()
+            | F.col("revisit_resolved")
+        )
     gate = F.col("http_status").isin(*[int(x) for x in keep_statuses])
     if html_only:
         gate = gate & (

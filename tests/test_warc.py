@@ -325,6 +325,43 @@ class TestRevisit:
         assert bytes(rev["html"]) == body
         assert rev["revisit_of_ts"] == "2026-01-01T00:00:00Z"
 
+    def test_ingest_crawl_with_revisits(self, spark, tmp_path):
+        """Pipeline wiring: with_revisits=True turns resolved revisits
+        into pages under their own capture identity and DROPS
+        unresolved ones."""
+        import hashlib
+
+        from table_ocr_spark.pipelines import ingest_crawl
+        from table_ocr_spark.sources.warc import gzip_members
+
+        body = b"<html><body>stable content here</body></html>"
+        dg = "sha256:" + hashlib.sha256(body).hexdigest()
+        recs = [
+            build_warc_record(
+                "http://s.test/p", "2026-01-01T00:00:00Z", body,
+                payload_digest=dg,
+            ),
+            build_warc_record(
+                "http://s.test/p", "2026-02-01T00:00:00Z", b"",
+                warc_type="revisit", payload_digest=dg,
+            ),
+            build_warc_record(
+                "http://s.test/q", "2026-02-01T00:00:00Z", b"",
+                warc_type="revisit", payload_digest="sha256:gone",
+            ),
+        ]
+        p = tmp_path / "f.warc.gz"
+        p.write_bytes(gzip_members(recs))
+
+        # default: revisit records never enter the pages frame
+        assert ingest_crawl(spark, str(p)).count() == 1
+        pages = ingest_crawl(spark, str(p), with_revisits=True).collect()
+        assert len(pages) == 2  # donor + resolved revisit; 'gone' dropped
+        texts = {bytes(r["html"]) for r in pages}
+        assert texts == {body}  # both captures carry the same payload
+        ts = sorted(str(r["warc_ts"]) for r in pages)
+        assert ts[0].startswith("2026-01-01") and ts[1].startswith("2026-02-01")
+
 
 class TestNonAsciiUrl:
     def test_utf8_url_roundtrip(self):
