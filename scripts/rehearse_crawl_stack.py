@@ -49,8 +49,13 @@
      hosts (closed-form outcome mix / distinct-url / digest-pair
      counts per host size), and chunk_documents over 1M docs with a
      closed-form chunk-count/token-sum grid.
+  S. revisit resolution (round 5): resolve_revisits over ~1M records —
+     80% responses (unique digests), 10% revisits each pointing at a
+     specific response, 10% revisits with dangling digests; resolved/
+     unresolved/passthrough counts and every sampled donor payload
+     closed-form exact.
 
-Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|q ...]
+Usage: python scripts/rehearse_crawl_stack.py [n_docs] [a|b|...|s ...]
 """
 
 from __future__ import annotations
@@ -68,7 +73,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    only = set(sys.argv[2:]) or set("abcdefghijklmnopqr")
+    only = set(sys.argv[2:]) or set("abcdefghijklmnopqrs")
 
     # every timing below self-qualifies with an in-band host-capacity
     # probe (the bench.py protocol): this host runs co-tenant load and
@@ -1240,6 +1245,69 @@ def main() -> int:
         finally:
             shutil.rmtree(out, ignore_errors=True)
         pages.unpersist()
+
+    # ---------------------------------------------- S: revisit resolve
+    if "s" in only:
+        from table_ocr_spark.sources.warc import resolve_revisits
+
+        # grid: id%10==0 -> revisit of response id+1; id%10==5 ->
+        # revisit with a dangling digest; everything else a response
+        # with a unique digest and a payload derived from its id
+        is_rev_ok = did % 10 == 0
+        is_rev_gone = did % 10 == 5
+        records = base.select(
+            F.when(is_rev_ok | is_rev_gone, F.lit("revisit"))
+            .otherwise(F.lit("response")).alias("warc_type"),
+            F.concat(F.lit("http://h"), (did % 997).cast("string"),
+                     F.lit(".test/p"), did.cast("string")).alias("url"),
+            F.when(is_rev_ok | is_rev_gone,
+                   F.lit("2026-02-01T00:00:00Z"))
+            .otherwise(F.lit("2026-01-01T00:00:00Z")).alias("warc_ts"),
+            F.when(is_rev_ok | is_rev_gone, F.encode(F.lit(""), "UTF-8"))
+            .otherwise(F.encode(
+                F.concat(F.lit("<html>"), did.cast("string"),
+                         F.lit("</html>")), "UTF-8")).alias("html"),
+            F.when(is_rev_ok,
+                   F.concat(F.lit("sha256:r"), (did + 1).cast("string")))
+            .when(is_rev_gone,
+                  F.concat(F.lit("sha256:gone"), did.cast("string")))
+            .otherwise(
+                F.concat(F.lit("sha256:r"), did.cast("string"))
+            ).alias("payload_digest"),
+        ).persist()
+        records.count()
+
+        t0 = time.time()
+        out = resolve_revisits(records).persist()
+        got = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("revisit_resolved").cast("int")).alias("res"),
+            F.sum((~F.col("revisit_resolved")).cast("int")).alias("un"),
+            F.sum(F.col("revisit_resolved").isNull().cast("int")
+                  ).alias("thru"),
+        ).collect()[0]
+        t_r = time.time() - t0
+        exp_rev = len(range(0, n, 10))
+        exp_gone = len(range(5, n, 10))
+        assert got.n == n, got
+        assert got.res == exp_rev and got.un == exp_gone, got
+        assert got.thru == n - exp_rev - exp_gone, got
+        sample = out.where(
+            F.coalesce(F.col("revisit_resolved"), F.lit(False))
+            & (F.xxhash64("url") % 1_000 == 0)
+        ).collect()
+        assert sample
+        for r in sample:
+            i = int(r["url"].rsplit("p", 1)[1])
+            assert bytes(r["html"]).decode() == f"<html>{i + 1}</html>", r
+            assert r["revisit_of_url"].endswith(f"p{i + 1}"), r
+        out.unpersist()
+        records.unpersist()
+        print(f"[probe {probe_effective_cores():.1f}/32] "
+              f"S: resolve_revisits {t_r:.1f} s over {n:,} records "
+              f"({n/t_r:,.0f} recs/s); resolved {got.res:,} / dangling "
+              f"{got.un:,} / passthrough {got.thru:,} closed-form "
+              f"exact, {len(sample)} sampled donor payloads byte-exact")
 
     return 0
 
