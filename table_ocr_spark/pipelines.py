@@ -152,6 +152,12 @@ def crawl_pages(
     )
 
     if with_revisits:
+        # BATCH-ONLY flag: the donor pick is a global groupBy(digest) +
+        # join — on a streaming frame that needs state the micro-batch
+        # path deliberately doesn't carry (streaming/crawl.py runs the
+        # default). A revisit's donor may live in an EARLIER file than
+        # any one micro-batch sees; resolve revisits over the full
+        # snapshot in batch, as CC consumers do.
         from table_ocr_spark.sources.warc import resolve_revisits
 
         # resolved revisits become pages carrying the donor payload
