@@ -96,7 +96,10 @@ def get_run_state(
     if persisted is not None:
         num_buckets = persisted
     elif num_buckets is None:
-        num_buckets = 64
+        # MUST agree with run_pipeline's default (plans/lineage.py) —
+        # a higher guess would report a defaulted meta-less run as
+        # RUNNING k/64 forever, wedging any polling loop on this state
+        num_buckets = 16
     done = completed_buckets(spark, out_dir)
     if not done:
         return RunState("PENDING", 0, num_buckets)

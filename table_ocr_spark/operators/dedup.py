@@ -811,12 +811,13 @@ def _cc_round_path(state_dir: str, rnd: int) -> str:
 
 
 def _fs_exists(spark, path: str) -> bool:
-    """Hadoop-FS existence probe (FS-agnostic — local/HDFS/S3A), the
-    same recipe as sources/catalog.py (never error-text matching)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    """Hadoop-FS existence probe — the shared copy lives in
+    ``sources/catalog.fs_exists`` (kept as a module-local name so the
+    many in-module call sites and streaming/crawl.py's import stay
+    stable)."""
+    from table_ocr_spark.sources.catalog import fs_exists
+
+    return fs_exists(spark, path)
 
 
 def _cc_marker_path(state_dir: str, rnd: int, done: bool) -> str:

@@ -477,6 +477,16 @@ def next_frontier(
         n_allowed=counts.get("n_allowed", -1),
         n_planned=plan.count() if audit else -1,
     )
+    if audit:
+        # the caches existed to serve the stage counts just taken;
+        # release them HERE or every audited call (e.g. a streaming
+        # micro-batch loop forwarding audit=True) leaks three
+        # persisted frames for the session's lifetime. The caller's
+        # eventual plan action recomputes the chain once — the same
+        # work the audit=False path does on its only action.
+        allowed.unpersist()
+        novel.unpersist()
+        candidates.unpersist()
     return plan, report
 
 

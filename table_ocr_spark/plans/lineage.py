@@ -106,9 +106,14 @@ def _data_path(out_dir: str) -> str:
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> List[int]:
     path = _lineage_path(out_dir)
+    from pyspark.errors import AnalysisException
+
     try:
         lin = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # path missing / no readable parts = nothing done yet. ONLY
+        # this — a corrupt lineage table must raise, not silently
+        # read as 'nothing done' and trigger full reprocessing
         return []
     rows = (
         lin.filter(F.col("status") == SUCCEEDED)
@@ -162,9 +167,16 @@ def _run_pipeline_inner(
     # bucketing would mis-route urls across the done/pending split
     existing = read_run_meta(spark, out_dir)
     if existing is None:
+        # mode MUST be overwrite, not ignore: a crashed earlier meta
+        # write can leave a part-less/empty _meta dir that reads as
+        # None — an 'ignore' write would silently no-op against it and
+        # the num_buckets pin would never materialize, letting a later
+        # resume with a different bucketing slip past the guard below
+        # (silent bucket mis-routing). Overwriting is safe precisely
+        # because we just read the dir as meaningless.
         spark.createDataFrame(
             [(num_buckets,)], "num_buckets int"
-        ).write.mode("ignore").parquet(_meta_path(out_dir))
+        ).write.mode("overwrite").parquet(_meta_path(out_dir))
     elif existing != num_buckets:
         raise ValueError(
             f"out_dir was created with num_buckets={existing}; resuming "
@@ -259,9 +271,13 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 def next_run_id(spark: SparkSession, out_dir: str) -> str:
     """Monotonic run counter (reference ``ui/utils.py:94-123``):
     ``max(existing) + 1`` over the lineage table."""
+    from pyspark.errors import AnalysisException
+
     try:
         lin = spark.read.parquet(_lineage_path(out_dir))
-    except Exception:
+    except AnalysisException:
+        # path missing only — a corrupt table must raise, not restart
+        # the counter at run1 and reuse an existing run_id
         return "run1"
     mx = lin.select(
         F.max(F.regexp_extract("run_id", r"(\d+)$", 1).cast("int")).alias("m")

@@ -54,6 +54,17 @@ _SCHEMAS = {
 }
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (FS-agnostic — local/HDFS/S3A, never
+    error-text matching). THE shared copy: ``operators/dedup.py`` and
+    ``streaming/crawl.py`` import this; ``CatalogStore._path_missing``
+    wraps it with the Connect-gateway fallback."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 class CatalogStore:
     """≙ ``DataStore`` (``ui/storage.py:11-123``)."""
 
@@ -90,12 +101,7 @@ class CatalogStore:
 
     def _path_missing(self, path: str, err) -> bool:
         try:
-            jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(
-                self.spark._jsc.hadoopConfiguration()
-            )
-            return not fs.exists(jpath)
+            return not fs_exists(self.spark, path)
         except Exception:
             pass  # no JVM gateway (Connect) — fall back to the error
         cond = None

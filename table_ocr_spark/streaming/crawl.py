@@ -102,9 +102,16 @@ def streaming_frontier(
                 # batch=N dirs partition-discover a `batch` column;
                 # a RETRYING batch must not read its own crashed
                 # attempt's claims (it would anti-join away its
-                # whole frontier and commit an empty plan)
+                # whole frontier and commit an empty plan).
+                # Schema is PINNED, never inferred: a crashed first
+                # batch can leave seen/ holding only an uncommitted
+                # _temporary dir, and schema inference over a
+                # part-less root raises on EVERY retry — the pinned
+                # schema reads it as empty and the retry converges
+                # (same fix as plans/lineage.py's meta read)
                 seen = seen.union(
-                    sess.read.parquet(seen_root)
+                    sess.read.schema("url string, batch int")
+                    .parquet(seen_root)
                     .where(F.col("batch") < F.lit(int(batch_id)))
                     .select("url")
                 )

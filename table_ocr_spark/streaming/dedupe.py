@@ -39,7 +39,17 @@ def dedup_stream_exact(
 ) -> DataFrame:
     """Drop re-deliveries of the same ``key`` within the watermark
     horizon. State: one entry per distinct key per horizon, evicted as
-    the watermark advances."""
+    the watermark advances.
+
+    Pinned semantics: FIRST arrival wins (that is what
+    ``dropDuplicatesWithinWatermark`` can do). This is exact for
+    re-DELIVERIES (identical rows) but deliberately diverges from the
+    batch ``latest_capture`` (latest wins) for a genuine RE-CRAWL with
+    changed content inside the horizon — the stale first capture flows
+    through and the fresh one is dropped. Consumers that care about
+    capture recency must run ``latest_capture`` batch-side over the
+    accumulated output (the composed pipeline does exactly that); this
+    operator's job is bounding upstream volume, not capture identity."""
     return pages.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         [key]
     )

@@ -11,7 +11,17 @@ append-mode: only closed sessions are output.
 
 Batch equivalence: the ``sessionize`` query in ``__spark_entry__``
 (lag + cumulative-sum windows) computes the same sessions over a
-static table; this operator is its incremental twin.
+static table; this operator is its incremental twin. Two documented
+deviations, both inherent to append-mode without a watermark:
+
+- an event so late that its session was ALREADY EMITTED in an earlier
+  micro-batch cannot retract it — the event starts (or joins) a new
+  session instead; everything still in hand (carried state + the
+  batch) gets exact batch semantics via an interval-merge fold;
+- the FINAL open session per user is never emitted (NoTimeout: state
+  only advances on new data for that key). For a bounded drain where
+  the trailing session matters, run the batch twin over the full
+  table — this operator's contract is the infinite-stream shape.
 """
 
 from __future__ import annotations
@@ -55,29 +65,40 @@ def _make_fn(gap_us: int):
             cnt = 0
         parts = [pdf["ts"] for pdf in pdfs]
         ts = pd.concat(parts).sort_values() if parts else pd.Series([], dtype="datetime64[ns]")
-        closed = []
+        # interval-merge fold — the batch twin's gap algorithm applied
+        # to (carried open interval + this batch's events) in TIME
+        # order, so late events (the stream carries no watermark) get
+        # exactly batch semantics over everything still in hand: an
+        # event within gap of the open session folds in (possibly
+        # extending start backwards by at most gap), a chain of very
+        # late events forms its OWN gap-delimited sessions, and a
+        # chain that reaches within gap of the open session merges
+        # into it. What append mode cannot do is retract sessions
+        # already emitted in earlier micro-batches — an event later
+        # than that is the documented deviation from the batch twin.
+        items = []
         for t in ts:
             if pd.isna(t):
                 continue  # null ts carries no order information: dropped
             us = t.value // 1000  # pandas ns -> us
-            if start is None:
-                start, last, cnt = us, us, 1
-            elif us - last > gap_us:
-                closed.append((user_id, start, last, cnt))
-                start, last, cnt = us, us, 1
-            else:
-                # a LATE event (us <= last, possible across micro-batches
-                # — the stream carries no watermark) folds into the open
-                # session WITHOUT regressing `last` (which would corrupt
-                # the span and prematurely close on the next on-time
-                # event) and may extend the session start backwards
-                if us > last:
-                    last = us
-                if us < start:
-                    start = us
-                cnt += 1
+            items.append((us, us, 1))
         if start is not None:
-            state.update((int(start), int(last), int(cnt)))
+            import bisect
+
+            bisect.insort(items, (start, last, cnt))
+        closed = []
+        cur = None
+        for s, e, c in items:
+            if cur is None:
+                cur = [s, e, c]
+            elif s - cur[1] > gap_us:
+                closed.append((user_id, cur[0], cur[1], cur[2]))
+                cur = [s, e, c]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += c
+        if cur is not None:
+            state.update((int(cur[0]), int(cur[1]), int(cur[2])))
         if closed:
             yield pd.DataFrame(
                 {

@@ -134,3 +134,43 @@ def test_run_meta_pins_num_buckets(spark, tmp_path):
 
     with pytest.raises(ValueError, match="num_buckets"):
         run_pipeline(spark, df, out, num_buckets=16, wave_size=8)
+
+
+def test_meta_write_recovers_from_crashed_empty_dir(spark, tmp_path):
+    """A crashed first meta write can leave a part-less/empty _meta
+    dir that reads as None. The meta write must OVERWRITE it (an
+    'ignore'-mode write silently no-ops against the existing dir and
+    the num_buckets pin never materializes — a later resume with a
+    different bucketing would then mis-route urls past the guard)."""
+    from table_ocr_spark.datagen.pages import generate_pages
+    from table_ocr_spark.plans.lineage import read_run_meta
+
+    pages, _ = generate_pages(n_docs=10, seed=21)
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    out = str(tmp_path / "crashed_meta_run")
+    os.makedirs(os.path.join(out, "_meta"))  # the crashed attempt
+    assert read_run_meta(spark, out) is None
+    run_pipeline(spark, df, out, num_buckets=8, wave_size=8)
+    assert read_run_meta(spark, out) == 8  # the pin materialized
+    with pytest.raises(ValueError, match="num_buckets"):
+        run_pipeline(spark, df, out, num_buckets=16, wave_size=8)
+
+
+def test_corrupt_lineage_raises_not_silent_empty(spark, tmp_path):
+    """A corrupted lineage table must RAISE, not read as 'nothing
+    done' — a silent [] would re-extract every bucket and restart the
+    run counter over existing run ids."""
+    out = str(tmp_path / "corrupt_run")
+    lin = os.path.join(out, "_lineage")
+    os.makedirs(lin)
+    with open(os.path.join(lin, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file at all")
+    with pytest.raises(Exception):
+        completed_buckets(spark, out)
+    with pytest.raises(Exception):
+        next_run_id(spark, out)
+    # a MISSING table still reads as a fresh start
+    assert completed_buckets(spark, str(tmp_path / "absent")) == []
+    assert next_run_id(spark, str(tmp_path / "absent")) == "run1"

@@ -220,3 +220,17 @@ def test_encode_results_payload_span_guard(spark):
     # a wide-but-legit document passes with the bound raised deliberately
     out = encode_results_payload(decoded, fields, max_span=50_000).count()
     assert out == 2
+
+
+def test_fs_exists_probe(spark, tmp_path):
+    """The shared Hadoop-FS existence probe (sources/catalog.fs_exists
+    — also reached as operators/dedup._fs_exists and from
+    streaming/crawl.py): plain bool, no error-text matching."""
+    from table_ocr_spark.operators.dedup import _fs_exists
+    from table_ocr_spark.sources.catalog import fs_exists
+
+    there = tmp_path / "yes"
+    there.mkdir()
+    assert fs_exists(spark, str(there)) is True
+    assert fs_exists(spark, str(tmp_path / "no")) is False
+    assert _fs_exists(spark, str(there)) is True  # alias stays wired

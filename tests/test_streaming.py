@@ -244,6 +244,69 @@ def test_streaming_sessionize_late_and_null_events(spark, tmp_path):
     assert r["n_events"] == 2
 
 
+def test_streaming_sessionize_very_late_event_is_own_session(spark, tmp_path):
+    """An event older than start - gap must NOT fold into the open
+    session (that would emit a session whose internal gap exceeds
+    gap_seconds, overlapping earlier emissions): the interval-merge
+    fold gives it its own gap-delimited session — a chain of very-late
+    events merges among ITSELF, exactly the batch twin's behavior over
+    everything still in hand."""
+    import datetime as dt
+
+    from table_ocr_spark.streaming.sessionize import streaming_sessionize
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    src = tmp_path / "vl_src"
+    src.mkdir()
+    out = str(tmp_path / "vl_out")
+    ckpt = str(tmp_path / "vl_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+        q = (
+            streaming_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1 opens a session at 10:00; batch 2 delivers a 2h-late
+    # chain (08:00, 08:10 — within gap of each other, far beyond gap
+    # of the open session); batch 3 closes the 10:00 session
+    _write_events(str(src / "a.parquet"), [(1, t0)])
+    run_once()
+    _write_events(
+        str(src / "b.parquet"),
+        [(1, t0 - dt.timedelta(hours=2)),
+         (1, t0 - dt.timedelta(hours=2) + dt.timedelta(minutes=10))],
+    )
+    run_once()
+    _write_events(
+        str(src / "c.parquet"), [(1, t0 + dt.timedelta(minutes=45))]
+    )
+    run_once()
+
+    rows = sorted(
+        spark.read.schema(
+            "user_id long, session_start timestamp, "
+            "session_end timestamp, n_events long"
+        ).parquet(out).collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(rows) == 2
+    late, main = rows
+    assert late["session_start"] == t0 - dt.timedelta(hours=2)
+    assert late["session_end"] == t0 - dt.timedelta(hours=2) + dt.timedelta(minutes=10)
+    assert late["n_events"] == 2  # the late chain merged among itself
+    # the open session stayed a clean singleton span, NOT a 2h blob
+    assert main["session_start"] == t0 and main["session_end"] == t0
+    assert main["n_events"] == 1
+
+
 def test_streaming_dedup_then_extract_matches_batch_pipeline(spark, tmp_path):
     # VERDICT r2 #7: availableNow e2e — a stream carrying re-delivered
     # urls AND byte-duplicate content under different urls, piped
@@ -498,3 +561,36 @@ def test_streaming_frontier_bootstrap_and_retry(spark, tmp_path):
     streaming_frontier(spark, str(warc2) + "/*", state2)
     urls2 = {r["url"] for r in read_plans(spark, state2).collect()}
     assert urls2 == {"http://b.test/page"}
+
+
+def test_streaming_frontier_partless_seen_dir_converges(spark, tmp_path):
+    """A crashed FIRST batch can leave seen/ holding only an
+    uncommitted _temporary dir (no readable part files). The seen read
+    pins its schema, so the retry reads it as EMPTY and converges —
+    schema inference over a part-less root would raise on every retry
+    and wedge the stream permanently."""
+    import os
+
+    from table_ocr_spark.sources.warc import build_warc_record
+    from table_ocr_spark.streaming.crawl import (
+        read_plans,
+        streaming_frontier,
+    )
+
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b'<a href="http://b.test/page">b</a>'
+    )
+    warc = tmp_path / "warc"
+    warc.mkdir()
+    (warc / "a.warc").write_bytes(
+        build_warc_record(
+            "http://a.test/start", "2026-04-01T00:00:00Z", block, http=False
+        )
+    )
+    state = str(tmp_path / "state")
+    # the crashed attempt: batch dir with ONLY an uncommitted temp dir
+    os.makedirs(os.path.join(state, "seen", "batch=0", "_temporary"))
+    streaming_frontier(spark, str(warc) + "/*", state)
+    urls = {r["url"] for r in read_plans(spark, state).collect()}
+    assert urls == {"http://b.test/page"}
