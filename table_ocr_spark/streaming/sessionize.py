@@ -18,10 +18,15 @@ deviations, both inherent to append-mode without a watermark:
   micro-batch cannot retract it — the event starts (or joins) a new
   session instead; everything still in hand (carried state + the
   batch) gets exact batch semantics via an interval-merge fold;
-- the FINAL open session per user is never emitted (NoTimeout: state
-  only advances on new data for that key). For a bounded drain where
-  the trailing session matters, run the batch twin over the full
-  table — this operator's contract is the infinite-stream shape.
+- by default the FINAL open session per user is never emitted
+  (NoTimeout: state only advances on new data for that key). Pass
+  ``idle_flush_seconds`` to close it by idleness instead: a
+  ProcessingTimeTimeout flushes any session whose user has been quiet
+  for that long (wall clock, so a later very-late event for the user
+  starts a NEW session — the already-emitted deviation above). For a
+  bounded drain where exact trailing sessions matter, run the batch
+  twin over the full table — the streaming contract is the
+  infinite-stream shape.
 """
 
 from __future__ import annotations
@@ -51,13 +56,29 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_fn(gap_us: int):
+def _make_fn(gap_us: int, idle_flush_ms: int | None = None):
     def fn(
         key: Tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if idle_flush_ms is not None and state.hasTimedOut:
+            # invoked with NO new data for this key: the user has been
+            # idle past the flush horizon — emit the open session and
+            # drop the state (a later event starts a new session)
+            if state.exists:
+                start, last, cnt = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": pd.to_datetime([start], unit="us"),
+                        "session_end": pd.to_datetime([last], unit="us"),
+                        "n_events": [cnt],
+                    }
+                )
+            return
         if state.exists:
             start, last, cnt = state.get
         else:
@@ -99,6 +120,10 @@ def _make_fn(gap_us: int):
                 cur[2] += c
         if cur is not None:
             state.update((int(cur[0]), int(cur[1]), int(cur[2])))
+            if idle_flush_ms is not None:
+                # timeouts are cleared on every invocation for the key;
+                # re-arm so the open session flushes after idleness
+                state.setTimeoutDuration(idle_flush_ms)
         if closed:
             yield pd.DataFrame(
                 {
@@ -112,18 +137,41 @@ def _make_fn(gap_us: int):
     return fn
 
 
-def streaming_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def streaming_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    idle_flush_seconds: int | None = None,
+) -> DataFrame:
     """``events`` must be a STREAMING DataFrame with (user_id, ts).
-    Returns the append-mode stream of closed sessions."""
+    Returns the append-mode stream of closed sessions.
+
+    ``idle_flush_seconds``: if set, a user's open session is flushed
+    after that much PROCESSING time with no new events for the user
+    (state is removed, so memory is bounded by active users rather
+    than all users ever seen). The engine keeps running no-data
+    micro-batches while timers are armed, so the flush fires even if
+    no further events ever arrive — which is also why this mode is
+    for CONTINUOUSLY-RUNNING streams only: under
+    ``trigger(availableNow=True)`` those timer batches prevent the
+    drain from ever terminating (observed on Spark 4.1; the bounded
+    drain's answer is the batch twin, per the module docstring)."""
+    if idle_flush_seconds is not None and idle_flush_seconds <= 0:
+        raise ValueError("idle_flush_seconds must be positive")
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_flush_seconds is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    idle_ms = None if idle_flush_seconds is None else idle_flush_seconds * 1000
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_fn(gap_seconds * 1_000_000),
+            _make_fn(gap_seconds * 1_000_000, idle_ms),
             OUT_SCHEMA,
             STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout,
         )
     )
 

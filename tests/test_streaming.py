@@ -594,3 +594,69 @@ def test_streaming_frontier_partless_seen_dir_converges(spark, tmp_path):
     streaming_frontier(spark, str(warc) + "/*", state)
     urls = {r["url"] for r in read_plans(spark, state).collect()}
     assert urls == {"http://b.test/page"}
+
+
+def test_streaming_sessionize_idle_flush(spark, tmp_path):
+    """idle_flush_seconds closes a quiet user's open session via
+    ProcessingTimeTimeout on a CONTINUOUSLY-RUNNING stream: the engine
+    keeps running no-data micro-batches while timers are armed, the
+    idle session is emitted with its true span, and the state entry is
+    removed (memory bounded by ACTIVE users). availableNow cannot be
+    used here -- armed timers keep the drain alive forever (documented
+    on streaming_sessionize)."""
+    import datetime as dt
+    import time
+
+    from table_ocr_spark.streaming.sessionize import streaming_sessionize
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    src = tmp_path / "if_src"
+    src.mkdir()
+    out = str(tmp_path / "if_out")
+    ckpt = str(tmp_path / "if_ckpt")
+    _write_events(
+        str(src / "a.parquet"), [(1, t0), (1, t0 + dt.timedelta(minutes=5))]
+    )
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, idle_flush_seconds=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    read_schema = (
+        "user_id long, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    try:
+        rows = []
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            try:
+                rows = spark.read.schema(read_schema).parquet(out).collect()
+            except Exception:
+                rows = []  # sink dir not created yet
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) == 1  # flushed by idleness, not by a next event
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + dt.timedelta(minutes=5)
+    assert r["n_events"] == 2
+
+    # invalid horizon fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="idle_flush_seconds"):
+        streaming_sessionize(
+            spark.readStream.schema(EV_SCHEMA).parquet(str(src)),
+            idle_flush_seconds=0,
+        )
