@@ -4003,10 +4003,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, href FROM (
           SELECT url,
                  regexp_extract(unnest(regexp_extract_all(
-                   html, '(?i)<a ([^>]*)>', 1)),
-                   'href="([^"]*)"', 1) AS href
+                   html, '(?i)<a[ \\t\\r\\n]([^>]*)>', 1)),
+                   '(?i)href="([^"]*)"', 1) AS href
           FROM pages) x
-        WHERE regexp_matches(href, '^(?i)https?://')),
+        WHERE regexp_matches(href, '(?i)^https?://')),
       edges AS (
         SELECT src_host, dst_host, count(*) AS n_links FROM (
           SELECT {_hostc.format(u='url')} AS src_host,
@@ -4033,9 +4033,9 @@ def oracle_sql() -> dict[str, str]:
       atexts AS (
         SELECT url,
                unnest(regexp_extract_all(
-                 html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+                 html, '(?i)<a[ \\t\\r\\n]+href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
                unnest(regexp_extract_all(
-                 html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS txt
+                 html, '(?i)<a[ \\t\\r\\n]+href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS txt
         FROM pages),
       anch AS (
         SELECT src_host, host, t FROM (
@@ -4044,7 +4044,7 @@ def oracle_sql() -> dict[str, str]:
                  lower(regexp_replace(
                    txt, '^[ \\t\\r\\n]+|[ \\t\\r\\n]+$', '', 'g')) AS t
           FROM atexts
-          WHERE regexp_matches(href, '^(?i)https?://')) x
+          WHERE regexp_matches(href, '(?i)^https?://')) x
         WHERE src_host <> '' AND host <> ''
           AND src_host <> host AND t <> ''),
       apairs AS (

@@ -100,6 +100,16 @@ def revisit_schedule(
             "need 0 < min_interval_s <= max_interval_s, got "
             f"{min_interval_s}, {max_interval_s}"
         )
+    if not min_interval_s <= default_interval_s <= max_interval_s:
+        # the single-capture default must obey the same clamp policy;
+        # an out-of-band default (0, negative, > max) would make every
+        # once-seen url permanently due — exactly the uniform-refetch
+        # flood this operator exists to prevent
+        raise ValueError(
+            "need min_interval_s <= default_interval_s <= "
+            f"max_interval_s, got {default_interval_s} outside "
+            f"[{min_interval_s}, {max_interval_s}]"
+        )
     per = captures.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("_ts"),

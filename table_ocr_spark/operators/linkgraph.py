@@ -50,22 +50,29 @@ from .urlnorm import host_canonical, registrable_domain
 
 # attribute blob of every <a> tag (scoped: <link rel="canonical"
 # href=…> and friends must NOT count as anchors); the [^>]* body
-# cannot backtrack across the tag close in any of the three dialects
-ANCHOR_TAG_RE = "(?i)<a ([^>]*)>"
+# cannot backtrack across the tag close in any of the three dialects.
+# The tag name may be followed by any ASCII whitespace (pretty-printed
+# '<a\n  href=…>' is common crawl HTML), and attribute matching is
+# case-insensitive throughout ('<A HREF=…>' legacy pages)
+ANCHOR_TAG_RE = "(?i)<a[ \\t\\r\\n]([^>]*)>"
 # double-quoted href value inside an attribute blob
-ANCHOR_HREF_RE = 'href="([^"]*)"'
-# rel attribute containing the nofollow token (value-scoped)
-NOFOLLOW_RE = '(?i)rel="[^"]*nofollow'
-_ABS_RE = "^(?i)(https?)://"
+ANCHOR_HREF_RE = '(?i)href="([^"]*)"'
+# rel attribute containing the nofollow token (value-scoped; the
+# attribute NAME must start the blob or follow whitespace so that
+# data-rel/xml:rel attributes don't false-positive)
+NOFOLLOW_RE = '(?i)(^|[ \\t\\r\\n])rel="[^"]*nofollow'
+_ABS_RE = "(?i)^https?://"
 
 # first <base href="..."> in the document (HTML spec: only the FIRST
 # base element is honored); value-scoped like ANCHOR_HREF_RE
-BASE_HREF_RE = '(?i)<base [^>]*href="([^"]*)"'
+BASE_HREF_RE = '(?i)<base[ \\t\\r\\n][^>]*href="([^"]*)"'
 
 # CLOSED anchors with their visible text: href value (group 1), any
 # further attributes up to the tag close, then text with no nested
-# markup (group 2). Identical match set in Java regex, RE2, Python re.
-ANCHOR_TEXT_RE = '<a href="([^"]*)"[^>]*>([^<]*)</a>'
+# markup (group 2). Identical match set in Java regex, RE2, Python re;
+# case-insensitive and whitespace-tolerant like ANCHOR_TAG_RE so the
+# anchor-text operators agree with extract_links on the same page.
+ANCHOR_TEXT_RE = '(?i)<a[ \\t\\r\\n]+href="([^"]*)"[^>]*>([^<]*)</a>'
 # anchor-text normalization, pinned to the ASCII whitespace set (a
 # unicode-aware \s would fork the engines on NBSP crawl text)
 _TRIM_RE = "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$"
@@ -101,7 +108,8 @@ def resolve_href(base, href, max_depth: int = 8):
     """Resolve an anchor ``href`` against its page's ``base`` url —
     RFC 3986 §5.2 reference resolution as map-only codegen
     expressions (no Python), differential-tested against
-    ``urllib.parse.urljoin`` in tests/test_linkgraph.py.
+    ``urllib.parse.urljoin`` in tests/test_urlnorm.py
+    (TestResolveHref).
 
     Pinned FRONTIER semantics where they diverge from urljoin (each
     deliberate — this resolves links to FETCH, not to display):

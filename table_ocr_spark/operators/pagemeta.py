@@ -26,8 +26,10 @@ from :mod:`kernel.html_extract` in behind the same columns):
 - ``charset``          := BOM sniff first (UTF-8 / UTF-16 LE / BE —
                           byte-prefix compare on the BINARY column,
                           before any lossy string cast), then
-                          ``<meta charset=…>``, then the http-equiv
-                          ``charset=`` parameter, else 'utf-8';
+                          ``<meta charset=…>``, then the ``charset=``
+                          parameter inside a meta tag's ``content``
+                          attribute (the http-equiv Content-Type
+                          form, either attribute order), else 'utf-8';
                           lowercased. WHATWG-encoding-style priority
                           without the full label table.
 
@@ -53,7 +55,12 @@ META_DESC_RE = '(?i)<meta name="description" content="([^"]*)"'
 CANONICAL_RE = '(?i)<link rel="canonical" href="([^"]*)"'
 HTML_LANG_RE = '(?i)<html[^>]*\\slang="([^"]*)"'
 META_CHARSET_RE = "(?i)<meta charset=\"?'?([a-z0-9_-]+)"
-HTTP_EQUIV_CHARSET_RE = "(?i)charset=([a-z0-9_-]+)"
+# charset= inside a META tag's content attribute (either attribute
+# order: http-equiv first or content first). SCOPED deliberately — a
+# bare 'charset=' match would sniff from unrelated page content such
+# as <a href="/conv?charset=latin1">, silently mojibake-decoding a
+# UTF-8 page (decode never fails into latin-1)
+HTTP_EQUIV_CHARSET_RE = '(?i)<meta[^>]*content="[^"]*charset=([a-z0-9_-]+)'
 _TRIM_RE = "^[ \\t\\r\\n]+|[ \\t\\r\\n]+$"
 
 _BOM_UTF8 = bytes([0xEF, 0xBB, 0xBF])

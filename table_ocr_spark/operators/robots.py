@@ -282,13 +282,24 @@ def robots_tables(
     body_col: str = "robots_txt",
     max_rules: int = 1000,
     persist: bool = True,
-) -> Tuple[DataFrame, DataFrame]:
+    return_combined: bool = False,
+):
     """(rules, delays) from ONE parse pass over the bodies — the
     crawl-loop shape, where both tables are consumed every turn and
     running :func:`robots_rules` + :func:`robots_crawl_delays`
     separately would parse every body twice. The combined frame is
     hosts×(rules+1) rows, persisted by default so the two derived
-    tables share the single parse at action time."""
+    tables share the single parse at action time.
+
+    CACHE LIFECYCLE: a ``persist=True`` call hands the cache's
+    lifetime to the CALLER — pass ``return_combined=True`` to get
+    ``(rules, delays, combined)`` and ``combined.unpersist()`` once
+    your actions have run. Without the handle nothing can release the
+    cache, so a loop calling this every turn (a streaming crawl)
+    accumulates one cached frame per call for the session's lifetime;
+    such callers must either take the handle or pass
+    ``persist=False`` (one extra parse per action, bounded by the
+    robots frame — one row per host)."""
     combined = robots.select(
         F.col(host_col).alias("_host"), F.col(body_col).alias("_body")
     ).mapInPandas(_parse_kernel(agent, max_rules, "all"), _ALL_SCHEMA)
@@ -300,6 +311,8 @@ def robots_tables(
     delays = combined.filter(F.col("crawl_delay").isNotNull()).select(
         "host", "crawl_delay"
     )
+    if return_combined:
+        return rules, delays, combined
     return rules, delays
 
 
@@ -358,8 +371,16 @@ def robots_decisions(
         .withColumn("_host", host_canonical(F.col("url")))
         .withColumn("_path", url_path_query(F.col("url")))
     )
+    # BOTH sides of the host equality go through the canonicalizer
+    # (urlnorm.host_canonical's pinned rule): a rules frame keyed
+    # 'Example.COM' / 'example.com.' / 'example.com:443' must still
+    # join the urls' canonical host — taking rules.host verbatim
+    # would silently disable every rule on that host (a politeness
+    # violation with no error)
+    from .urlnorm import _canon_domain_col
+
     r = rules.select(
-        F.col("host").alias("_host"),
+        _canon_domain_col(F.col("host")).alias("_host"),
         "pattern",
         "allow",
         "pattern_len",

@@ -449,11 +449,20 @@ def next_frontier(
 
     allowed = unblocked
     host_delays = None
+    robots_combined = None
     if robots is not None:
         # one parse pass over the bodies serves both the allow/deny
-        # rules and the per-host Crawl-delay (robots_tables persists
-        # the combined frame — separate calls would parse twice)
-        rules, delays = robots_tables(robots, agent=agent)
+        # rules and the per-host Crawl-delay. Persist ONLY under
+        # audit (the stage-count actions below materialize and reuse
+        # the parse, and the audit block releases the handle);
+        # without audit no action runs inside this function, so a
+        # persist could never be released without leaking one cached
+        # frame per call (the streaming crawl loop calls this every
+        # micro-batch) — the caller's plan action instead re-parses
+        # the robots frame at most twice, bounded by one row per host
+        rules, delays, robots_combined = robots_tables(
+            robots, agent=agent, persist=audit, return_combined=True
+        )
         allowed = filter_robots_allowed(unblocked, rules)
         if respect_crawl_delay:
             host_delays = delays
@@ -487,6 +496,8 @@ def next_frontier(
         allowed.unpersist()
         novel.unpersist()
         candidates.unpersist()
+        if robots_combined is not None:
+            robots_combined.unpersist()
     return plan, report
 
 

@@ -77,6 +77,27 @@ class TestMetadata:
             assert sniff_charset_py(payload) == expect[k], k
 
 
+    def test_charset_sniff_is_meta_scoped(self, spark):
+        """Round-5 review regression: a bare 'charset=' in page
+        CONTENT (a link href, visible text) must not set the sniffed
+        charset -- only a meta tag's content attribute counts, in
+        either attribute order."""
+        rows = [
+            # charset= in an href: stays utf-8 (was 'latin1' mojibake)
+            ("u1", b'<a href="/conv?charset=latin1&id=3">x</a>'),
+            # charset= in visible text: stays utf-8
+            ("u2", b"<p>use charset=ascii here</p>"),
+            # reversed attribute order still sniffs
+            ("u3", b'<meta content="text/html; charset=Windows-1252" '
+                   b'http-equiv="Content-Type">'),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        got = {r.url: r.charset for r in page_metadata(pages).collect()}
+        assert got == {"u1": "utf-8", "u2": "utf-8", "u3": "windows-1252"}
+        for url, payload in rows:
+            assert sniff_charset_py(payload) == got[url], url
+
+
 class TestDecode:
     def test_whitelist_roundtrip(self, spark):
         cases = [

@@ -163,6 +163,36 @@ class TestDecisions:
             "http://h3.test/any": True,
         }
 
+
+    def test_noncanonical_rule_hosts_still_apply(self, spark):
+        """Round-5 review regression: BOTH sides of the host join go
+        through the canonicalizer. A rules frame keyed 'Example.COM' /
+        'h2.test.' (trailing dot) / 'h1.test:443' must still block the
+        canonical-host urls -- taking rules.host verbatim silently
+        disabled every rule on that host (politeness violation)."""
+        robots = spark.createDataFrame(
+            [
+                ("H1.TEST:443", "User-agent: *\nDisallow: /private"),
+                ("h2.test.", "User-agent: *\nDisallow: /"),
+            ],
+            "host string, robots_txt string",
+        )
+        rules = robots_rules(robots)
+        pages = spark.createDataFrame(
+            [("http://h1.test/private/x",), ("http://h2.test/any",),
+             ("http://h1.test/pub",)],
+            "url string",
+        )
+        dec = {
+            r["url"]: r["allowed"]
+            for r in robots_decisions(pages, rules).collect()
+        }
+        assert dec == {
+            "http://h1.test/private/x": False,
+            "http://h2.test/any": False,
+            "http://h1.test/pub": True,
+        }
+
     def test_allow_wins_length_tie(self, spark):
         robots = spark.createDataFrame(
             [("h.test", "User-agent: *\nDisallow: /dir/\nAllow: /dirX/")],
@@ -247,3 +277,31 @@ class TestDecisions:
         }
         assert {tuple(r) for r in delays.collect()} == want_delays
         assert ("h2.test", 7.0) in want_delays  # delay-only host kept
+
+def test_robots_tables_cache_lifecycle(spark):
+    """Round-5 review regression: a persist=True call must hand the
+    cache's lifetime to the caller via return_combined=True -- and
+    next_frontier (the per-micro-batch loop caller) must not leave a
+    cached robots parse behind per call."""
+    from table_ocr_spark.pipelines import next_frontier
+
+    robots = spark.createDataFrame(
+        [("h.test", "User-agent: *\nDisallow: /private")],
+        "host string, robots_txt string",
+    )
+    rules, delays, combined = robots_tables(robots, return_combined=True)
+    assert combined.is_cached
+    assert rules.count() == 1
+    combined.unpersist()
+    assert not combined.is_cached
+
+    pages = spark.createDataFrame(
+        [("http://h.test/p", '<a href="http://h.test/next">n</a>')],
+        "url string, html string",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for audit in (False, True):
+        plan, rep = next_frontier(pages, robots=robots, audit=audit)
+        plan.count()
+    assert jsc.getPersistentRDDs().size() <= before

@@ -315,6 +315,27 @@ class TestRevisitSchedule:
         seqs = {r["url"]: r["seq"] for r in plan.collect()}
         assert seqs == {"http://h.test/often": 0, "http://h.test/rare": 1}
 
+
+    def test_interval_guards(self, spark):
+        """All three interval knobs are validated up front -- an
+        out-of-band default_interval_s would make every once-seen url
+        permanently due (round-5 review regression)."""
+        from table_ocr_spark.operators.frontier import revisit_schedule
+
+        caps = spark.createDataFrame(
+            [("http://a.test/x", 0, "d")], "url string, t long, digest string"
+        ).select("url", F.timestamp_seconds("t").alias("warc_ts"), "digest")
+        with pytest.raises(ValueError, match="min_interval_s"):
+            revisit_schedule(caps, min_interval_s=0.0)
+        with pytest.raises(ValueError, match="default_interval_s"):
+            revisit_schedule(caps, default_interval_s=0.0)
+        with pytest.raises(ValueError, match="default_interval_s"):
+            revisit_schedule(
+                caps,
+                max_interval_s=86400.0,
+                default_interval_s=7 * 86400.0,
+            )
+
     def test_null_ts_captures_carry_no_evidence(self, spark):
         """Review regression: undated captures (NULL warc_ts, the
         ingest_crawl malformed-date row) must not collapse the span

@@ -720,6 +720,75 @@ class TestNofollowAndScoping:
         assert g2 == {"f.test", "n.test"}
 
 
+class TestAnchorRegexRobustness:
+    """Round-5 review regressions: the pinned anchor regexes must see
+    legacy-case and pretty-printed anchors that real crawl HTML is
+    full of, agree with each other on the same page, and not
+    false-positive on data-rel/xml:rel attributes."""
+
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        rows = [
+            (
+                "http://s.test/p",
+                # uppercase tag+attr; newline/tab after the tag name;
+                # data-rel must NOT read as nofollow; plain lowercase
+                '<A HREF="http://legacy.test/a">OLD</A>'
+                '<a\n  href="http://pretty.test/b">pretty</a>'
+                '<a\thref="http://tab.test/c">tab</a>'
+                '<a href="http://x.test/d" data-rel="nofollow-popup">d</a>'
+                '<a href="http://y.test/e" rel="NOFOLLOW">e</a>',
+            ),
+        ]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    def test_case_and_whitespace_anchors_extracted(self, pages):
+        from table_ocr_spark.operators.linkgraph import extract_links
+
+        rows = extract_links(pages).collect()
+        got = {r.href: r.nofollow for r in rows}
+        assert got == {
+            "http://legacy.test/a": False,
+            "http://pretty.test/b": False,
+            "http://tab.test/c": False,
+            "http://x.test/d": False,  # data-rel is not rel
+            "http://y.test/e": True,  # case-insensitive nofollow
+        }
+        assert rows[0].n_links_total == 5
+
+    def test_anchor_text_agrees_with_extract_links(self, pages):
+        from table_ocr_spark.operators.linkgraph import (
+            extract_anchor_texts,
+        )
+
+        # ANCHOR_TEXT_RE requires href FIRST in the blob (its pinned
+        # shape) but must match the case/whitespace variants of that
+        # shape that extract_links counts
+        texts = {
+            r.href: r.anchor_text
+            for r in extract_anchor_texts(pages).collect()
+        }
+        assert texts["http://pretty.test/b"] == "pretty"
+        assert texts["http://tab.test/c"] == "tab"
+        assert texts["http://legacy.test/a"] == "old"  # lowercased
+
+    def test_pinned_constants_compile_in_python_re(self):
+        import re
+
+        from table_ocr_spark.operators import linkgraph as lg
+
+        # the three-dialect pin: every pinned constant must compile in
+        # Python re too (a mid-pattern global flag raises on 3.11+)
+        for pat in (
+            lg.ANCHOR_TAG_RE,
+            lg.ANCHOR_HREF_RE,
+            lg.NOFOLLOW_RE,
+            lg._ABS_RE,
+            lg.ANCHOR_TEXT_RE,
+            lg.BASE_HREF_RE,
+        ):
+            re.compile(pat)
+
 class TestResolveHref:
     """RFC 3986 §5.2 reference resolution — differential against
     urllib.parse.urljoin, plus the pinned frontier deviations."""
