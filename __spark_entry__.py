@@ -2946,8 +2946,9 @@ def oracle_sql() -> dict[str, str]:
              round(CAST(coalesce(h.h, 0) AS DOUBLE)
                    / greatest(len(s.shingles), 1), 6) AS contaminated_frac,
              (len(s.shingles) > 0 AND
-              CAST(coalesce(h.h, 0) AS DOUBLE)
-              / greatest(len(s.shingles), 1) >= {DECON_T}) AS is_contaminated
+              round(CAST(coalesce(h.h, 0) AS DOUBLE)
+                    / greatest(len(s.shingles), 1), 6)
+              >= {DECON_T}) AS is_contaminated
       FROM sets s LEFT JOIN hits h ON s.doc_id = h.doc_id
     """
 

@@ -78,10 +78,17 @@ def contamination_stats(
         .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"))
     )
     frac = F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1))
+    # the flag is derived from the ROUNDED fraction so it can never
+    # contradict the published contaminated_frac column (a consumer or
+    # oracle recomputing `frac >= threshold` from the output must get
+    # the same answer at the rounding boundary)
+    frac6 = F.round(frac, 6)
     return per_doc.select(
         F.col("id").alias(id_col),
         "n_shingles",
         "n_contaminated",
-        F.round(frac, 6).alias("contaminated_frac"),
-        ((F.col("n_shingles") > 0) & (frac >= threshold)).alias("is_contaminated"),
+        frac6.alias("contaminated_frac"),
+        ((F.col("n_shingles") > 0) & (frac6 >= threshold)).alias(
+            "is_contaminated"
+        ),
     )

@@ -57,6 +57,15 @@ def _bucket(gram: Column, n_buckets: int) -> Column:
 
 
 def _bigram_bucket_udf(n_buckets: int):
+    # guard at THE shared factory so every consumer (dsir_weights and
+    # all four classifier train/apply paths) fails fast at plan-build
+    # time: the kernel returns int32 buckets, and a wider bucket space
+    # would overflow the Arrow conversion at runtime in an executor
+    if not 0 < n_buckets <= (1 << 31):
+        raise ValueError(
+            f"n_buckets must be in (0, 2^31], got {n_buckets} "
+            "(hashed-ngram models use ~10^4-10^6 buckets by design)"
+        )
     """token array -> array of bigram BUCKET ids, one Arrow pass.
 
     The bucket is a pure function of the bigram string, so the string
@@ -152,13 +161,7 @@ def dsir_weights(
     Downstream: resample/filter by weight (e.g. keep the top-k or
     Gumbel-top-k sample) to shape the corpus toward the target.
     """
-    if not 0 < n_buckets <= (1 << 31):
-        # the kernel returns int32 buckets; a wider bucket space would
-        # overflow the Arrow conversion at runtime inside an executor
-        raise ValueError(
-            f"n_buckets must be in (0, 2^31], got {n_buckets} "
-            "(DSIR uses ~10^4 buckets by design)"
-        )
+    # n_buckets validated in _bigram_bucket_udf (the shared factory)
     target_text_col = target_text_col or text_col
     corpus_f = _features(corpus, text_col, id_col, n_buckets)
     target_f = _features(

@@ -60,13 +60,24 @@ def pack_sequences(
         if weight_col
         else F.size(tokens(F.col(text_col))).cast("long")
     )
+    # try_cast, then VALIDATE: a non-numeric or NULL id would land in
+    # bucket NULL, silently vanish in the inner bucket join below, and
+    # (mixed with numeric ids) crash the driver sort on None<int. The
+    # totals action below doubles as the validator, so the check costs
+    # no extra job.
     base = df.select(
         F.col(id_col).alias("_id"),
         weight.alias("n_tokens"),
-        F.floor(F.col(id_col) / bucket_width).alias("_bucket"),
+        F.floor(F.col(id_col).try_cast("long") / bucket_width).alias(
+            "_bucket"
+        ),
     )
 
-    totals_df = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    totals_df = base.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_total"),
+        (F.count(F.lit(1)) - F.count("n_tokens")).alias("_n_null_w"),
+        F.min("n_tokens").alias("_min_w"),
+    )
     # ONE action: limit bounds driver memory even when the guard fires
     totals = totals_df.limit(max_buckets + 1).collect()
     if len(totals) > max_buckets:
@@ -74,6 +85,21 @@ def pack_sequences(
             f"pack_sequences: more than max_buckets={max_buckets} buckets; "
             f"raise bucket_width (currently {bucket_width}) so the "
             f"per-bucket totals stay a bounded driver collect"
+        )
+    if any(row["_bucket"] is None for row in totals):
+        raise ValueError(
+            f"pack_sequences: {id_col!r} has NULL or non-numeric values "
+            "— the prefix sum is keyed on a numeric document id; map "
+            "string ids to a dense numeric id upstream"
+        )
+    if any(
+        row["_n_null_w"] > 0 or (row["_min_w"] is not None and row["_min_w"] < 0)
+        for row in totals
+    ):
+        raise ValueError(
+            "pack_sequences: NULL or negative token weights — fix "
+            "upstream (NULL weights silently shift every later "
+            "document's start_offset)"
         )
     running = 0
     bases = []

@@ -216,6 +216,14 @@ def bm25_topk(
         raise ValueError(f"idf must be 'ln' or 'rational', got {idf!r}")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    # k1=0 would make the saturation term 0/0 for any partially-
+    # matching doc — ZeroDivisionError in the kernel engine, silent
+    # NaN-drop in the expr engine (forking the pinned two-engine
+    # identity); b outside [0,1] inverts the length normalization
+    if not k1 > 0:
+        raise ValueError(f"k1 must be > 0, got {k1}")
+    if not 0.0 <= b <= 1.0:
+        raise ValueError(f"b must be in [0, 1], got {b}")
     if method not in ("auto", "expr", "kernel"):
         raise ValueError(
             f"method must be 'auto', 'expr' or 'kernel', got {method!r}"

@@ -58,7 +58,14 @@ def stratified_sample(
     training recipe): stratum ``s`` keeps ``fractions[s]`` of its rows;
     strata absent from the map keep ``default_fraction``. The
     stratum→threshold map rides as a literal MapType expression —
-    no join, still map-only."""
+    no join, still map-only.
+
+    A ``None`` key in ``fractions`` (the NULL stratum, as
+    :func:`temperature_fractions` returns for lang-id failures) is
+    applied through an explicit ``isNull`` branch — a NULL map key is
+    illegal in Spark, and a NULL lookup could never match anyway."""
+    fractions = dict(fractions)
+    null_frac = fractions.pop(None, None)
     pairs = []
     for s, frac in fractions.items():
         pairs.append(F.lit(s))
@@ -68,6 +75,10 @@ def stratified_sample(
         thresholds[F.col(strata_col)] if pairs else F.lit(None),
         F.lit(_threshold_hex(default_fraction)),
     )
+    if null_frac is not None:
+        thr = F.when(
+            F.col(strata_col).isNull(), F.lit(_threshold_hex(null_frac))
+        ).otherwise(thr)
     return df.filter(_hash_prefix(F.col(key)) < thr)
 
 
@@ -76,6 +87,7 @@ def temperature_fractions(
     strata_col: str = "lang",
     temperature: float = 0.7,
     total_fraction: float = 1.0,
+    max_strata: int = 10_000,
 ) -> Dict[str, float]:
     """Temperature-rebalanced per-stratum sampling fractions (the
     multilingual-mix recipe of mBERT/XLM-R/mT5: sample stratum ``s``
@@ -99,12 +111,23 @@ def temperature_fractions(
     """
     if temperature <= 0:  # validate BEFORE the eager aggregate
         raise ValueError(f"temperature must be positive, got {temperature}")
-    counts = {
-        r["s"]: r["n"]
-        for r in df.groupBy(F.col(strata_col).alias("s"))
+    # the bounded-collect claim above is ENFORCED, same sentinel shape
+    # as token_budget_fractions: a mistakenly high-cardinality
+    # strata_col (url, doc_id) must fail fast, not OOM the driver
+    rows = (
+        df.groupBy(F.col(strata_col).alias("s"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_strata + 1)
         .collect()
-    }
+    )
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"temperature_fractions: more than {max_strata} distinct "
+            f"{strata_col!r} values — strata must stay a bounded "
+            "driver collect (raise max_strata only if the cardinality "
+            "is genuinely that high)"
+        )
+    counts = {r["s"]: r["n"] for r in rows}
     return temperature_fractions_from_counts(
         counts, temperature, total_fraction
     )
@@ -392,11 +415,6 @@ def temperature_sample(
     :func:`stratified_sample`: one tiny driver aggregate for the rates,
     then the map-only deterministic membership filter."""
     fr = temperature_fractions(df, strata_col, temperature, total_fraction)
-    # NULL stratum: create_map lookup can't match a NULL key, so its
-    # computed fraction rides in as the default (no other stratum can
-    # fall through to the default — every non-NULL stratum observed in
-    # df has an entry in fr by construction)
-    null_frac = fr.pop(None, 0.0)
-    return stratified_sample(
-        df, fr, strata_col, key, default_fraction=null_frac
-    )
+    # the NULL stratum's fraction rides in fr under key None;
+    # stratified_sample applies it through its isNull branch
+    return stratified_sample(df, fr, strata_col, key)

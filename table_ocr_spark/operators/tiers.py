@@ -148,6 +148,11 @@ def tier_cutoffs_continuous(
     engines agree wherever both apply."""
     if n_tiers < 2:
         raise ValueError(f"n_tiers must be >= 2, got {n_tiers}")
+    if bucket_count < 2:
+        # one bucket makes every refinement round return a child range
+        # identical to its parent — zero progress, max_rounds wasted
+        # corpus scans, then a misleading 'raise max_rounds' error
+        raise ValueError(f"bucket_count must be >= 2, got {bucket_count}")
     s = df.select(F.col(score_col).cast("double").alias("s"))
     st = s.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -227,3 +227,18 @@ def test_default_df_ratio_prunes_stop_words(spark):
     qs = _qdf(spark, [("q", "banana")])
     assert bm25_topk(_df(spark), qs).count() == 0
     assert bm25_topk(_df(spark), qs, max_df_ratio=1.0).count() == 4
+
+def test_bm25_parameter_guards(spark):
+    """k1=0 forked the two engines (kernel ZeroDivisionError vs expr
+    silent NaN-drop); both knobs are validated up front now."""
+    import pytest
+
+    from table_ocr_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "a")], "query_id long, query_text string")
+    with pytest.raises(ValueError, match="k1"):
+        bm25_topk(docs, qs, k1=0.0)
+    with pytest.raises(ValueError, match="b must"):
+        bm25_topk(docs, qs, b=1.5)
+

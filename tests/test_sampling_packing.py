@@ -575,3 +575,91 @@ class TestLangidClassifier:
         }
         # densified: zh also gets smoothed rows for de's buckets
         assert any(r["bucket"] >= 0 for r in zh)
+
+def test_pack_sequences_rejects_bad_ids_and_weights(spark):
+    """Round-5 review regressions: non-numeric/NULL ids must raise
+    (they landed in bucket NULL and silently vanished in the inner
+    bucket join -- or crashed the driver sort on a numeric mix), and
+    NULL/negative weights must raise like token_budget_fractions
+    (NULL weights silently shift every later start_offset)."""
+    from table_ocr_spark.operators.packing import pack_sequences
+
+    str_ids = spark.createDataFrame(
+        [("a1b2", "x y z"), ("c3d4", "w")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        pack_sequences(str_ids, capacity=4)
+
+    null_ids = spark.createDataFrame(
+        [(None, "x y"), (2, "w")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        pack_sequences(null_ids, capacity=4)
+
+    null_w = spark.createDataFrame(
+        [(1, "x", 3), (2, "y", None)],
+        "doc_id long, text string, bpe_len long",
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        pack_sequences(null_w, capacity=4, weight_col="bpe_len")
+    neg_w = spark.createDataFrame(
+        [(1, "x", 3), (2, "y", -1)],
+        "doc_id long, text string, bpe_len long",
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        pack_sequences(neg_w, capacity=4, weight_col="bpe_len")
+
+
+def test_stratified_sample_null_stratum_key(spark):
+    """A None key in the fractions dict (temperature_fractions returns
+    one for lang-id failures) is applied via the isNull branch -- the
+    documented direct composition used to crash on a NULL map key."""
+    from table_ocr_spark.operators.sampling import (
+        stratified_sample,
+        temperature_fractions,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else None) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    fr = temperature_fractions(df, temperature=0.5)
+    assert None in fr
+    out = stratified_sample(df, fr)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    # both strata sampled at their computed (nonzero) rates
+    assert langs == {"en", None}
+    # null-stratum rows kept at roughly fr[None] (deterministic count)
+    n_null = out.where(F.col("lang").isNull()).count()
+    assert 0 < n_null <= 100
+    # full fraction keeps everything, both strata
+    assert stratified_sample(df, {None: 1.0, "en": 1.0}).count() == 300
+
+
+def test_temperature_fractions_bounded_collect_enforced(spark):
+    """Sibling operators fail fast on high-cardinality strata; the
+    temperature recipe now enforces the same sentinel."""
+    from table_ocr_spark.operators.sampling import temperature_fractions
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(50)], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        temperature_fractions(df, max_strata=10)
+
+def test_bucket_guard_shared_by_all_hashed_ngram_consumers(spark):
+    """The int32 bucket-space guard lives in the shared kernel factory
+    now, so apply_linear_model (and friends) fail fast at plan-build
+    time instead of overflowing the Arrow conversion in an executor."""
+    from table_ocr_spark.operators.importance import (
+        apply_linear_model,
+        dsir_weights,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    w = spark.createDataFrame([(0, 0.1)], "bucket int, weight double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        apply_linear_model(df, w, n_buckets=2**32)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(df, df, n_buckets=2**32)
+

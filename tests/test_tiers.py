@@ -350,3 +350,17 @@ def test_ccnet_label_validation(spark):
     )
     with pytest.raises(ValueError, match="labels"):
         ccnet_buckets(df, labels=("only",))
+
+def test_continuous_cutoffs_bucket_count_guard(spark):
+    """bucket_count=1 could never refine (child range == parent);
+    fail fast instead of burning max_rounds corpus scans."""
+    import pytest
+
+    from table_ocr_spark.operators.tiers import tier_cutoffs_continuous
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)], "s double"
+    )
+    with pytest.raises(ValueError, match="bucket_count"):
+        tier_cutoffs_continuous(df, "s", 2, bucket_count=1)
+
