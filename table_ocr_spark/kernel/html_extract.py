@@ -260,6 +260,12 @@ class _Extractor:
                 rs, cs = _parse_spans(attrs)
                 t.cur_cell = _RawCell(rs, cs)
                 t.cur_row.append(t.cur_cell)
+            elif tag in _BLOCK_TAGS and t.cur_cell is not None:
+                # block boundary INSIDE a cell separates words — cell
+                # text is whitespace-normalized at grid build, so a
+                # space is exact ('<td><p>alpha</p><p>beta</p></td>'
+                # must not read 'alphabeta')
+                t.cur_cell.parts.append(" ")
             return
         if tag == "a":
             self.link_depth += 1
@@ -301,6 +307,8 @@ class _Extractor:
             elif tag == "tr":
                 t.cur_row = None
                 t.cur_cell = None
+            elif tag in _BLOCK_TAGS and t.cur_cell is not None:
+                t.cur_cell.parts.append(" ")  # see starttag twin
             return
         if tag == "a":
             if self.link_depth:
@@ -333,7 +341,10 @@ class _Extractor:
 # ~85% of kernel time and allocation). Event protocol and semantics
 # match HTMLParser(convert_charrefs=True): charrefs decoded in data
 # (not inside script/style raw text), tag names lowercased, stray '<'
-# left as text, self-closing tags delivered as a start event only.
+# left as text, self-closing tags delivered as start+end (stdlib
+# handle_startendtag's default) — delivering the start event ONLY was
+# a round-5 bug: '<script/>' / '<header/>' / '<a/>' permanently leaked
+# skip/boiler/link depth and silently emptied the rest of the page.
 
 # Attrs scanning is LINEAR by construction: the three alternatives are
 # disjoint on their first character ('"', "'", or neither), so every
@@ -361,6 +372,18 @@ _RAWTEXT_TAGS = ("script", "style")  # HTMLParser CDATA_CONTENT_ELEMENTS
 _RAWTEXT_END = {
     t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in _RAWTEXT_TAGS
 }
+
+
+def _is_self_closing(attrs: str) -> bool:
+    """stdlib-faithful self-closing test on the raw attrs blob: the
+    '/' must sit IMMEDIATELY before the tag close ('/ >' is stdlib's
+    data-not-a-tag error path, unchanged here) and must not be the
+    tail of an unquoted attribute value (stdlib's attr scan consumes
+    '<a href=http://x/>'s slash into the value — that is a plain
+    start tag)."""
+    return attrs.endswith("/") and (
+        len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'"
+    )
 
 
 def _feed(html: str, ex: _Extractor) -> None:
@@ -392,8 +415,9 @@ def _feed(html: str, ex: _Extractor) -> None:
             tag = tag.lower()
             attrs = m.group("attrs")
             ex.handle_starttag(tag, attrs)
+            selfclose = _is_self_closing(attrs)
             # raw-text elements: content is opaque until the real close
-            if tag in _RAWTEXT_TAGS and not attrs.rstrip().endswith("/"):
+            if tag in _RAWTEXT_TAGS and not selfclose:
                 em = _RAWTEXT_END[tag].search(html, pos)
                 if em is None:
                     ex.handle_data(html[pos:])
@@ -403,6 +427,12 @@ def _feed(html: str, ex: _Extractor) -> None:
                     gt = html.find(">", em.end())
                     pos = n if gt == -1 else gt + 1
                     ex.handle_endtag(tag)
+            elif selfclose and tag not in _VOID_TAGS:
+                # start+end, stdlib handle_startendtag semantics —
+                # start-only leaked skip/boiler/link/table depth and
+                # emptied the rest of the page (void tags' start
+                # handler never touches depth, so no end needed)
+                ex.handle_endtag(tag)
             continue
         ctag = m.group("ctag")
         if ctag is not None:

@@ -36,7 +36,11 @@ from dataclasses import dataclass
 from statistics import median
 from typing import List, Optional, Sequence, Tuple
 
-from table_ocr_spark.kernel.html_extract import Cell, ExtractionResult
+from table_ocr_spark.kernel.html_extract import (
+    Cell,
+    ExtractionResult,
+    _resolve_dittos,
+)
 from table_ocr_spark.kernel.textops import normalize_text
 
 FAKE_PDF_MAGIC = b"FAKEPDF"
@@ -127,11 +131,32 @@ def parse_pdf_payload(payload: bytes) -> List[List[Span]]:
     PyMuPDF when available; otherwise NotImplementedError (stub gate,
     like the multimodal decoders)."""
     if payload.startswith(FAKE_PDF_MAGIC):
-        doc = json.loads(payload[len(FAKE_PDF_MAGIC):].decode("utf-8"))
-        return [
-            [Span(s["x0"], s["y0"], s["x1"], s["y1"], s["text"]) for s in p["spans"]]
-            for p in doc
-        ]
+        try:
+            doc = json.loads(payload[len(FAKE_PDF_MAGIC):].decode("utf-8"))
+            out: List[List[Span]] = []
+            for p in doc:
+                spans: List[Span] = []
+                for s in p["spans"]:
+                    text = s["text"]
+                    if not isinstance(text, str):
+                        raise ValueError("span text must be a string")
+                    spans.append(
+                        Span(
+                            float(s["x0"]),
+                            float(s["y0"]),
+                            float(s["x1"]),
+                            float(s["y1"]),
+                            text,
+                        )
+                    )
+                out.append(spans)
+            return out
+        except (TypeError, KeyError, AttributeError) as e:
+            # shape-corrupt containers (dict top-level, string coords,
+            # non-dict spans) must raise the DEGRADABLE error class —
+            # a raw TypeError here escaped extract's degrade catch and
+            # one poison document failed the whole stage
+            raise ValueError(f"malformed FAKEPDF container: {e!r}") from e
     # real branch: covered by tests/test_real_codecs.py wherever PyMuPDF
     # is installed (pytest.importorskip); absent in this container
     try:
@@ -186,8 +211,16 @@ def _split_blocks(lines: List[List[Span]]) -> List[List[List[Span]]]:
     return blocks
 
 
+MAX_COL_BINS = 256  # no real table grid has more columns
+
+
 def _column_bins(block: List[List[Span]]) -> List[float]:
-    """Quantized x0 bins shared across the block's lines."""
+    """Quantized x0 bins shared across the block's lines. The bin scan
+    is O(spans × bins); ``MAX_COL_BINS`` bounds it — an untrusted
+    payload with thousands of distinct x0 values in one block is not a
+    grid, and an unbounded scan there was a quadratic one-core hang
+    (the same footprint-budget class html_extract's MAX_GRID_CELLS
+    caps)."""
     bins: List[Tuple[float, int]] = []  # (representative x, hits)
     for line in block:
         for s in line:
@@ -196,6 +229,9 @@ def _column_bins(block: List[List[Span]]) -> List[float]:
                     bins[i] = (bx, n + 1)
                     break
             else:
+                if len(bins) >= MAX_COL_BINS:
+                    # un-grid-like block: treat as flowing text
+                    return []
                 bins.append((s.x0, 1))
     # a column bin must recur on most lines (>= half, min 2)
     need = max(2, (len(block) + 1) // 2)
@@ -288,4 +324,8 @@ def extract_pdf(
         texts.extend(t)
         cells.extend(c)
         n_tables += n
+    # ditto marks are the scanned-register phenomenology (reference
+    # config.py:50) — they arrive through THIS modality above all, so
+    # the PDF path resolves them exactly like extract_html does
+    _resolve_dittos(cells)
     return ExtractionResult(text="\n".join(texts), cells=cells, n_tables=n_tables)

@@ -265,7 +265,11 @@ def extract_documents(
     keep = tuple(
         c for c in (keep_columns or []) if c not in ("url", "html")
     )
-    clash = [c for c in keep if c in ("extracted_text", "cells", "n_tables")]
+    clash = [
+        c
+        for c in keep
+        if c in ("extracted_text", "cells", "n_tables", "degraded")
+    ]
     if clash:
         raise ValueError(
             f"keep_columns {clash} collide with the extraction output "

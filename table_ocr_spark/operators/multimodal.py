@@ -154,9 +154,11 @@ def image_metadata(images: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 try:
                     w, h, mean = _decode_image(b)
-                except (struct.error, IndexError, ValueError):
+                except (struct.error, IndexError, ValueError, OSError):
                     # truncated/malformed payload: degrade per-row, same
-                    # pin as NULL — one bad row must not fail the stage
+                    # pin as NULL — one bad row must not fail the stage.
+                    # OSError covers PIL's UnidentifiedImageError and
+                    # truncated-file errors on the real decode path
                     rows.append((url, _sniff_mime(b), None, None, None))
                     continue
                 rows.append((url, _sniff_mime(b), w, h, mean))
@@ -197,22 +199,39 @@ def resize_images(images: DataFrame, max_dim: int = 256) -> DataFrame:
                     rows.append((url, None, None, None))
                     continue
                 b = bytes(payload)
-                try:
-                    w, h, mean = _decode_image(b)
-                except (struct.error, IndexError, ValueError):
-                    rows.append((url, None, None, None))
+                if b.startswith(_FAKE_MAGIC):
+                    try:
+                        w, h, mean = _decode_image(b)
+                    except (struct.error, IndexError, ValueError):
+                        rows.append((url, None, None, None))
+                        continue
+                    scale = min(1.0, max_dim / max(w, h, 1))
+                    nw = max(1, int(w * scale))
+                    nh = max(1, int(h * scale))
+                    rows.append((url, _encode_fake(nw, nh, mean), nw, nh))
                     continue
-                if mean is None:
-                    # header-only metadata is enough for image_metadata,
-                    # but RESAMPLING pixels genuinely needs a decoder —
-                    # missing capability surfaces, never silently fakes
+                # REAL payload: resampling pixels genuinely needs a
+                # decoder. With PIL present the resize is REAL
+                # (thumbnail + PNG re-encode) — emitting a FAKEIMG stub
+                # here would silently discard the pixel data; without
+                # PIL the missing capability surfaces, never fakes
+                try:
+                    import io
+
+                    from PIL import Image
+                except ImportError as e:
                     raise NotImplementedError(
                         "pixel resample requires PIL/cv2 (absent); "
                         "header-only parsing cannot resize real images"
-                    )
-                scale = min(1.0, max_dim / max(w, h, 1))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                rows.append((url, _encode_fake(nw, nh, mean), nw, nh))
+                    ) from e
+                try:
+                    img = Image.open(io.BytesIO(b))
+                    img.thumbnail((max_dim, max_dim))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    rows.append((url, buf.getvalue(), img.width, img.height))
+                except OSError:
+                    rows.append((url, None, None, None))  # corrupt: degrade
             yield pd.DataFrame(rows, columns=["url", "payload", "width", "height"])
 
     return images.select("url", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
@@ -259,6 +278,11 @@ def sample_frames(videos: DataFrame, every_nth: int = 2) -> DataFrame:
                         for i in range(n):
                             (ln,) = struct.unpack("<I", b[off : off + 4])
                             off += 4
+                            if off + ln > len(b):
+                                # length prefix parsed but the payload
+                                # is cut short: a silently truncated
+                                # frame must not flow downstream
+                                break
                             frame = b[off : off + ln]
                             off += ln
                             if i % every_nth == 0:
@@ -279,10 +303,16 @@ def sample_frames(videos: DataFrame, every_nth: int = 2) -> DataFrame:
                         "video decode requires pyav/ffmpeg (absent in this "
                         "container); use FAKEVID payloads in tests"
                     ) from e
-                with av.open(io.BytesIO(b)) as container:
-                    for i, frame in enumerate(container.decode(video=0)):
-                        if i % every_nth == 0:
-                            rows.append((url, i, bytes(frame.planes[0])))
+                try:
+                    with av.open(io.BytesIO(b)) as container:
+                        for i, frame in enumerate(container.decode(video=0)):
+                            if i % every_nth == 0:
+                                rows.append((url, i, bytes(frame.planes[0])))
+                except (OSError, ValueError):
+                    # pyav raises OSError subclasses on malformed
+                    # containers — one bad video degrades to zero
+                    # frames, it must not fail the stage
+                    continue
             yield pd.DataFrame(rows, columns=["url", "frame_idx", "frame"])
 
     return videos.select("url", "payload").mapInPandas(kernel, FRAME_SCHEMA)

@@ -91,9 +91,13 @@ def _vote(
     )
     sel = [F.col(k) for k in keys]
     for c in value_cols:
-        sel.append(F.col(f"{c}_v").alias(c))
-        sel.append(F.col(f"{c}_a").alias(f"{c}_agreement"))
-    sel.append(F.col(f"{value_cols[0]}_n").alias("n_samples"))
+        # backtick-quoted references: a dot in a value column name
+        # ('price.usd', plausible from user table headers) would
+        # otherwise parse as struct-field access and fail analysis
+        # deep in the plan (backticks themselves are rejected above)
+        sel.append(F.col(f"`{c}_v`").alias(c))
+        sel.append(F.col(f"`{c}_a`").alias(f"{c}_agreement"))
+    sel.append(F.col(f"`{value_cols[0]}_n`").alias("n_samples"))
     sel.append(F.lit(ambiguous).alias("ambiguous"))
     return pivoted.select(*sel)
 

@@ -217,3 +217,10 @@ def test_keep_columns_collision_raises(spark, corpus):
     pages = spark.read.parquet(path).withColumn("n_tables", F.lit(1))
     with pytest.raises(ValueError, match="collide"):
         extract_documents(pages, keep_columns=["n_tables"])
+
+def test_keep_columns_degraded_collision_raises(spark, corpus):
+    path, *_ = corpus
+    pages = spark.read.parquet(path).withColumn("degraded", F.lit(False))
+    with pytest.raises(ValueError, match="collide"):
+        extract_documents(pages, keep_columns=["degraded"])
+

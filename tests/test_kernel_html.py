@@ -257,3 +257,39 @@ class TestRobustness:
         grid = {(c.row, c.col): (c.text, c.rowspan, c.colspan) for c in r.cells}
         assert grid[(0, 0)] == ("a", 1, 1)  # aria-/data- are NOT spans
         assert grid[(0, 1)][0] == "b" and grid[(1, 1)][0] == "d"
+
+def test_self_closing_container_tags_do_not_swallow_page():
+    """Round-5 regression (confirmed by execution pre-fix): a
+    self-closing script/header/a tag leaked skip/boiler/link depth and
+    silently emptied every later block. Start+end delivery (stdlib
+    handle_startendtag semantics) balances the depth counters."""
+    body = b"<p>this paragraph carries more than enough characters to pass the minimum block length filter</p>"
+    for prefix in (
+        b'<script src="a.js"/>',
+        b"<header/>",
+        b"<a/>",
+        b"<nav/>",
+        b"<iframe/>",
+    ):
+        r = extract_html(b"<html><body>" + prefix + body + b"</body></html>")
+        assert "minimum block length" in r.text, prefix
+    # unquoted trailing slash is a VALUE character, not self-closing:
+    # the anchor stays open and its text still counts as link text
+    r = extract_html(
+        b'<a href=http://x.test/>all of this text is one giant link so link density drops the block</a>'
+    )
+    assert r.text == ""
+
+def test_block_boundaries_inside_cells_separate_words():
+    """Round-5 regression: '<td><p>alpha</p><p>beta</p></td>' read
+    'alphabeta' -- block-tag boundaries inside a cell now emit a
+    separator, collapsed exactly by the cell's normalize pass."""
+    r = extract_html(
+        b"<table><tr><th>h1</th><th>h2</th></tr>"
+        b"<tr><td><p>alpha</p><div>beta</div><li>gamma</li></td>"
+        b"<td>x</td></tr></table>"
+    )
+    cells = {(c.row, c.col): c.text for c in r.cells}
+    assert cells[(1, 0)] == "alpha beta gamma"
+    assert cells[(1, 1)] == "x"
+

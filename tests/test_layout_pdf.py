@@ -184,3 +184,68 @@ def test_corrupt_fakepdf_degrades_per_row_in_spark(spark):
         )
         with pytest.raises(Exception, match="PyMuPDF|NotImplemented"):
             extract_pdf_documents(real).collect()
+
+def test_type_corrupt_fakepdf_degrades_not_typeerror(spark):
+    """Round-5 regression (confirmed by execution pre-fix): shape-
+    corrupt FAKEPDF containers raised TypeError past the degrade catch
+    and one poison document failed the whole stage. parse_pdf_payload
+    now validates shapes and raises the degradable ValueError."""
+    from table_ocr_spark.operators.extract import extract_pdf_documents
+
+    good = encode_fake_pdf([para_spans(PARA)])
+    rows = [
+        ("good", bytearray(good)),
+        ("dict_top", bytearray(b'FAKEPDF{"spans": []}')),
+        ("str_coords", bytearray(
+            b'FAKEPDF[{"spans":[{"x0":"a","y0":1,"x1":2,"y1":3,"text":"t"}]}]'
+        )),
+        ("int_span", bytearray(b'FAKEPDF[{"spans":[5]}]')),
+        ("int_text", bytearray(
+            b'FAKEPDF[{"spans":[{"x0":1,"y0":1,"x1":2,"y1":3,"text":9}]}]'
+        )),
+    ]
+    pdfs = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in extract_pdf_documents(pdfs).collect()}
+    assert got["good"]["degraded"] is False
+    for k in ("dict_top", "str_coords", "int_span", "int_text"):
+        assert got[k]["degraded"] is True, k
+        assert got[k]["extracted_text"] == ""
+
+
+def test_pdf_dittos_resolved_like_html():
+    """Round-5 parity fix: ditto marks are the scanned-register (PDF)
+    phenomenology; extract_pdf resolves them exactly like the HTML
+    kernel (value above, same table/col)."""
+    spans = [
+        {"x0": 20.0, "y0": 20.0, "x1": 60.0, "y1": 30.0, "text": "alpha"},
+        {"x0": 170.0, "y0": 20.0, "x1": 210.0, "y1": 30.0, "text": "one"},
+        {"x0": 20.0, "y0": 34.0, "x1": 60.0, "y1": 44.0, "text": "beta"},
+        {"x0": 170.0, "y0": 34.0, "x1": 180.0, "y1": 44.0, "text": '"'},
+    ]
+    r = extract_pdf(encode_fake_pdf([spans]))
+    cells = {(c.row, c.col): c.text for c in r.cells}
+    assert cells[(1, 1)] == "one"
+
+
+def test_column_bins_footprint_bounded():
+    """An untrusted block with thousands of distinct x0 values is not
+    a grid; the bin scan bails at MAX_COL_BINS instead of scanning
+    O(spans x bins) on one executor core."""
+    import time
+
+    from table_ocr_spark.kernel.layout import MAX_COL_BINS
+
+    spans = []
+    for i in range(20_000):
+        x = 20.0 + i * 10.0
+        spans.append(
+            {"x0": x, "y0": 20.0 + (i % 40) * 12.0,
+             "x1": x + 4.0, "y1": 30.0 + (i % 40) * 12.0, "text": "w"}
+        )
+    t0 = time.monotonic()
+    r = extract_pdf(encode_fake_pdf([spans]))
+    dt = time.monotonic() - t0
+    assert r.n_tables == 0  # un-grid-like: flowing text, no table
+    assert dt < 5.0, f"bin scan took {dt:.1f}s — budget regressed"
+    assert MAX_COL_BINS == 256
+

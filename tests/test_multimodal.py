@@ -210,3 +210,29 @@ def test_jpeg_sof_segment_length_guard():
         + _struct.pack(">HH", 240, 320) + b"\x01" + b"\x00" * 3
     )
     assert parse_jpeg_dimensions(good) == (320, 240)
+
+def test_truncated_fakevid_frame_not_emitted(spark):
+    """Round-5 regression (confirmed by execution pre-fix): a FAKEVID
+    cut short AFTER a frame's length prefix emitted the truncated
+    frame bytes as a normal row. The guard drops it."""
+    from table_ocr_spark.operators.multimodal import (
+        encode_fake_video,
+        sample_frames,
+    )
+
+    full = encode_fake_video([b"AAAA", b"BBBB"])
+    rows = [
+        ("ok", bytearray(full)),
+        ("cut", bytearray(full[:-2])),  # second frame payload short
+    ]
+    vids = spark.createDataFrame(rows, "url string, payload binary")
+    got = sorted(
+        (r["url"], r["frame_idx"], bytes(r["frame"]))
+        for r in sample_frames(vids, every_nth=1).collect()
+    )
+    assert got == [
+        ("cut", 0, b"AAAA"),  # intact frame kept, truncated one dropped
+        ("ok", 0, b"AAAA"),
+        ("ok", 1, b"BBBB"),
+    ]
+

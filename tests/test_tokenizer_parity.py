@@ -28,7 +28,10 @@ class _StdlibDriver(HTMLParser):
         self.ex.handle_starttag(tag, raw)
 
     def handle_startendtag(self, tag, attrs):
+        # stdlib default semantics: start THEN end (round-5 fix — the
+        # old start-only twin pinned the depth-leak bug into parity)
         self.handle_starttag(tag, attrs)
+        self.ex.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         self.ex.handle_endtag(tag)
@@ -96,6 +99,16 @@ EDGE_CASES = [
     b"<table><tr><td>nested <table><tr><td>inner</td></tr></table> host</td><td>k</td></tr><tr><td>r</td><td>s</td></tr></table>",
     b"<?xml version='1.0'?><!DOCTYPE html><article><p>after decls fine</p></article>",
     b"<article><p>self-closing <td/> inline</p></article>",
+    # round-5 regression: self-closing container tags must not leak
+    # skip/boiler/link depth and empty the rest of the page
+    b'<html><body><script src="a.js"/><p>content after a self-closing script tag survives extraction</p></body></html>',
+    b"<header/><p>content after a self-closing header tag survives extraction here</p>",
+    b'<a/><p>content after a self-closing anchor is not all link-density-dropped text</p>',
+    b'<article><table/><p>self-closing table then enough words for a block</p></article>',
+    # unquoted-value trailing slash is NOT self-closing (stdlib attr
+    # scan consumes it into the value)
+    b'<article><a href=http://x.test/>linked words</a><p>trailing slash in unquoted href stays open</p></article>',
+    b'<article><p rowspan="2" />spaced self-close then words enough to keep</p></article>',
 ]
 
 

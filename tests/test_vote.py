@@ -121,3 +121,19 @@ def test_vote_column_names_with_quotes_and_backticks(spark):
     )
     with pytest.raises(ValueError, match="backtick"):
         sample_majority_vote(bad, group_by_cols=["doc_id"]).collect()
+
+def test_vote_column_names_with_dots(spark):
+    """Round-5 regression: a voted column named 'price.usd' parsed as
+    struct-field access in the post-pivot select and failed analysis;
+    references are backtick-quoted now."""
+    df = spark.createDataFrame(
+        [(1, 1, "9.99"), (1, 2, "9.99"), (1, 3, "8.00")],
+        ["doc_id", "sample", "price.usd"],
+    )
+    out = sample_majority_vote(df, ["doc_id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["price.usd"] == "9.99"
+    assert abs(r["price.usd_agreement"] - 2 / 3) < 1e-9
+    assert r["n_samples"] == 3
+
