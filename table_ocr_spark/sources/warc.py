@@ -77,6 +77,24 @@ WARC_SCHEMA = T.StructType(
 
 
 # ---------------------------------------------------------------- build
+_HDR_SAN = {ord("\r"): "%0D", ord("\n"): "%0A", 0: "%00"}
+
+
+def header_value(v: str) -> str:
+    """Percent-encode the three bytes that would break WARC header
+    framing (CR, LF, NUL) in an interpolated header VALUE — header-
+    injection hardening for messy crawl urls (a raw ``\\r\\n`` inside
+    a url would otherwise inject header lines or truncate the block,
+    corrupting the member and every reader downstream). RFC 3986
+    requires these bytes percent-encoded in any valid URI, and no
+    ISO-8601 timestamp or labelled digest contains them, so every
+    VALID value passes through byte-identical — the sinks'
+    byte-determinism contract is unchanged except on input that was
+    never writable correctly. Shared by this module's record builder
+    and the WET/WAT sink grammars."""
+    return v.translate(_HDR_SAN)
+
+
 def build_warc_record(
     url: str,
     ts_iso: str,
@@ -95,7 +113,11 @@ def build_warc_record(
     adds a ``WARC-Payload-Digest`` header (labelled ``algo:value``
     form — what ``revisit`` records point back through)."""
     if http:
-        loc_hdr = f"Location: {location}\r\n" if location is not None else ""
+        loc_hdr = (
+            f"Location: {header_value(location)}\r\n"
+            if location is not None
+            else ""
+        )
         block = (
             f"HTTP/1.1 {http_status} OK\r\n"
             f"{loc_hdr}"
@@ -104,15 +126,17 @@ def build_warc_record(
     else:
         block = body
     dg_hdr = (
-        f"WARC-Payload-Digest: {payload_digest}\r\n".encode("ascii")
+        f"WARC-Payload-Digest: {header_value(payload_digest)}\r\n".encode(
+            "ascii"
+        )
         if payload_digest is not None
         else b""
     )
     head = (
         b"WARC/1.0\r\n"
         + f"WARC-Type: {warc_type}\r\n".encode("ascii")
-        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
-        + f"WARC-Date: {ts_iso}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {header_value(url)}\r\n".encode("utf-8")
+        + f"WARC-Date: {header_value(ts_iso)}\r\n".encode("ascii")
         + dg_hdr
         + f"Content-Length: {len(block)}\r\n".encode("ascii")
         + _CRLF

@@ -50,6 +50,7 @@ from table_ocr_spark.operators.linkgraph import (
     NOFOLLOW_RE,
 )
 from table_ocr_spark.operators.pagemeta import TITLE_RE, _TRIM_RE
+from table_ocr_spark.sources.warc import header_value
 from table_ocr_spark.sources.wet import (
     _WET_HDR_END,
     warc_ts_str,
@@ -102,8 +103,8 @@ def wat_record_bytes(url: str, ts_iso: str, payload_json: str) -> bytes:
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: metadata\r\n"
-        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
-        + f"WARC-Date: {ts_iso}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {header_value(url)}\r\n".encode("utf-8")
+        + f"WARC-Date: {header_value(ts_iso)}\r\n".encode("ascii")
         + b"Content-Type: application/json\r\n"
         + f"Content-Length: {len(body)}\r\n".encode("ascii")
         + b"\r\n"

@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from table_ocr_spark.sources.sinkio import SinkOpener, resolve_opener
+from table_ocr_spark.sources.warc import header_value
 
 _WET_HDR_END = b"\r\n\r\n"
 
@@ -73,8 +74,8 @@ def wet_record_bytes(url: str, ts_iso: str, text: str) -> bytes:
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: conversion\r\n"
-        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
-        + f"WARC-Date: {ts_iso}\r\n".encode("ascii")
+        + f"WARC-Target-URI: {header_value(url)}\r\n".encode("utf-8")
+        + f"WARC-Date: {header_value(ts_iso)}\r\n".encode("ascii")
         + b"Content-Type: text/plain\r\n"
         + f"Content-Length: {len(body)}\r\n".encode("ascii")
         + b"\r\n"

@@ -402,3 +402,61 @@ class TestNonAsciiUrl:
         ):
             rows = list(iter_warc_records(rec))
             assert len(rows) == 1 and rows[0]["url"] == url
+
+
+class TestHeaderInjection:
+    """A raw CR/LF inside an interpolated header value (a messy crawl
+    url) must not inject header lines or break member framing — the
+    builder percent-encodes CR/LF/NUL (RFC 3986 requires them encoded
+    in any valid URI, so valid urls pass through byte-identical)."""
+
+    EVIL = "http://h.test/a\r\nWARC-Type: fake\r\n\r\nsmuggled"
+
+    def test_crlf_url_cannot_inject_headers(self):
+        rec = build_warc_record(
+            self.EVIL, "2026-01-01T00:00:00Z", b"<html>x</html>"
+        )
+        follower = build_warc_record(
+            "http://h.test/b", "2026-01-01T00:00:00Z", b"<html>y</html>"
+        )
+        rows = list(iter_warc_records(rec + follower))
+        assert len(rows) == 2  # framing intact, no phantom third record
+        assert rows[0]["warc_type"] == "response"  # not "fake"
+        assert rows[0]["url"] == (
+            "http://h.test/a%0D%0AWARC-Type: fake%0D%0A%0D%0Asmuggled"
+        )
+        assert rows[1]["url"] == "http://h.test/b"
+
+    def test_crlf_location_cannot_truncate_http_block(self):
+        rec = build_warc_record(
+            "http://h.test/old",
+            "2026-01-01T00:00:00Z",
+            b"BODY",
+            http_status=301,
+            location="http://h.test/new\r\n\r\nnot-the-body",
+        )
+        rows = list(iter_warc_records(rec))
+        status, ctype, body, loc = split_http_payload(rows[0]["block"])
+        assert status == 301
+        assert body == b"BODY"
+        assert loc == "http://h.test/new%0D%0A%0D%0Anot-the-body"
+
+    def test_valid_values_pass_byte_identical(self):
+        a = build_warc_record(
+            "http://exämple.test/søk?q=号",
+            "2026-01-01T00:00:00Z",
+            b"x",
+            payload_digest="sha256:00ff",
+        )
+        from table_ocr_spark.sources.warc import header_value
+
+        assert header_value("http://exämple.test/søk?q=号") == (
+            "http://exämple.test/søk?q=号"
+        )
+        b = build_warc_record(
+            "http://exämple.test/søk?q=号",
+            "2026-01-01T00:00:00Z",
+            b"x",
+            payload_digest="sha256:00ff",
+        )
+        assert a == b

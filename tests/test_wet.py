@@ -108,3 +108,23 @@ class TestWriteWet:
     def test_n_files_guard(self, spark, tmp_path):
         with pytest.raises(ValueError):
             write_wet(_pages(spark, 1), str(tmp_path / "x"), n_files=0)
+
+
+class TestHeaderInjection:
+    def test_crlf_url_sanitized_in_wet_record(self):
+        """The sink grammar shares the builder's header-value
+        hardening: a url carrying raw CR/LF percent-encodes instead of
+        injecting headers into the conversion record."""
+        rec = wet_record_bytes(
+            "http://a.test/x\r\nContent-Length: 0\r\n",
+            "2026-01-01T00:00:00Z",
+            "body text",
+        )
+        from table_ocr_spark.sources.warc import iter_warc_records
+
+        rows = list(iter_warc_records(rec))
+        assert len(rows) == 1
+        assert rows[0]["block"] == b"body text"
+        assert rows[0]["url"] == (
+            "http://a.test/x%0D%0AContent-Length: 0%0D%0A"
+        )
