@@ -37,6 +37,15 @@ def main() -> int:
     from table_ocr_spark.sources.warc import warc_record_expr
     from table_ocr_spark.session import get_spark
 
+    # local mode concentrates EVERY executor's storage in one JVM, so
+    # heap must scale with the corpus here (a real cluster holds
+    # data-per-executor constant by growing executors instead): at 4M
+    # docs the default 8g heap hit storage-eviction thrash in the
+    # near-dup→CC region and a Python worker crash. ~6 GB per 1M docs
+    # of this mix keeps the persisted edge/label frames resident.
+    if "SPARK_DRIVER_MEM" not in os.environ:
+        os.environ["SPARK_DRIVER_MEM"] = f"{max(8, 6 * target // 1_000_000)}g"
+
     spark = get_spark(
         "rehearse_north_star",
         master="local[32]",
