@@ -56,6 +56,16 @@ def main() -> int:
         },
     )
     work = tempfile.mkdtemp(prefix="tos_north_")
+    # TOS_CHECKPOINT_DIR=1 routes the CC iteration through the
+    # RELIABLE checkpoint branch (persist + checkpoint(eager=False),
+    # dedup._truncate_plan) — the cluster-deployment path that
+    # survives executor loss — instead of the sandbox default
+    # localCheckpoint. Set to a path to use that path verbatim.
+    ckpt = os.environ.get("TOS_CHECKPOINT_DIR")
+    if ckpt:
+        ckpt_dir = ckpt if ckpt != "1" else os.path.join(work, "ckpt")
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        print(f"reliable checkpoint dir: {ckpt_dir}")
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n = docs.count()
