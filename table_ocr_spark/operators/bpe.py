@@ -1,0 +1,314 @@
+"""Byte-pair-encoding tokenizer — the pinned whitespace token-count
+heuristic's documented swap-in made EXECUTABLE with the public
+algorithm (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+of Rare Words with Subword Units"). Completes the swap-in trio next to
+the NB quality scorer and the multiclass lang-id head in
+``importance.py``: a merge table exported from any trained tokenizer
+(subword-nmt, HuggingFace ``tokenizers``'s BPE model, tiktoken ranks
+reduced to pairs) drops into ``apply_bpe``/``bpe_token_count``
+unchanged, and the bundled ``train_bpe`` learns one from the corpus
+itself with no external artifacts.
+
+Split of labor, pinned deliberately:
+
+- TRAINING is driver-side over a BOUNDED deterministic sample.
+  BPE training is inherently sequential in merge rank — merge ``i+1``'s
+  pair statistics are defined on the corpus AFTER merge ``i`` has been
+  applied — so a faithful distributed trainer would run ``n_merges``
+  corpus-wide aggregation rounds (a shuffle per merge; thousands of
+  jobs for a real vocabulary). Standard practice, including the
+  original paper and every production vocabulary since, trains on a
+  corpus sample and applies everywhere; the sample here is a
+  deterministic hash-ordered top-N (``TakeOrderedAndProject`` — a
+  per-partition top-N merge, never a full sort or full collect), so
+  two runs over the same corpus learn the same merges regardless of
+  partitioning. The materialization is bounded AND enforced
+  (``MAX_TRAIN_DOCS``), per the repo-wide driver-collect rule.
+- APPLICATION is the distributed part: a map-only Arrow kernel, no
+  exchange at all. Per word, the greedy lowest-rank-pair loop (the
+  rank-dict formulation popularized by the GPT-2 reference encoder);
+  a per-worker word→tokens cache exploits the Zipfian repetition of
+  web text so the merge loop runs once per DISTINCT word per worker,
+  not once per occurrence. The cache is size-bounded — web-scale
+  vocabulary is unbounded and an unbounded dict would grow for the
+  lifetime of the Python worker.
+
+Differential twin: ``_encode_word_by_order`` applies merges in learned
+order (the subword-nmt formulation). The two formulations are
+algebraically equivalent — the lowest surviving rank is always applied
+before anything that could feed it — and ``tests/test_bpe.py`` pins
+the equivalence on generated corpora, so the fast kernel is locked to
+the textbook semantics.
+
+Pre-tokenization matches the pinned ``textstats.tokens()`` contract:
+split on ``\\s+``, drop empties, NULL text → zero tokens. The
+end-of-word marker is appended as its own SYMBOL (never concatenated
+into the last character), so a literal ``</w>`` inside input text
+cannot collide with it during pair counting; a merged token whose
+string HAPPENS to spell ``...</w>`` is still unambiguous in count
+space, which is what packing consumes.
+
+Reference parity note: the reference repo counts LLM usage tokens from
+API metadata (table_ocr/parser.py's usage fields); it has no local
+tokenizer. This operator exists for the 100 TB packing path
+(``packing.pack_sequences(weight_col=...)``), where sequence budgets
+are denominated in model tokens, not whitespace words.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EOW = "</w>"
+
+# the pinned tokens() splits on JAVA \s+ (ASCII: space \t \n \x0B \f
+# \r); Python's str.split() splits on UNICODE whitespace (NBSP,
+# ideographic space, ...), which would move word boundaries on exactly
+# the messy text a crawl corpus is full of. re.ASCII pins the same
+# six-character class as the JVM expression.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _words(text: str) -> List[str]:
+    return [w for w in _WS.split(text) if w]
+
+# enforced ceiling on the driver-side training materialization — at
+# 20k docs of web text the pair statistics are already stable (the
+# original paper trained 32k merges on sampled news corpora); raise
+# deliberately, not by accident
+MAX_TRAIN_DOCS = 200_000
+
+# per-worker word→tokens cache bound: ~64k distinct words comfortably
+# covers a web-text working set; beyond it, clear and rebuild (simple
+# and allocation-free vs an LRU, and correct at any size)
+_CACHE_MAX = 1 << 16
+
+
+def _word_seq(word: str) -> Tuple[str, ...]:
+    return tuple(word) + (EOW,)
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    sample_docs: int = 20_000,
+) -> List[Tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a bounded deterministic
+    sample of ``df``. Returns the ordered merge list — the model IS
+    this list; persist it however you like (it is plain data).
+
+    Determinism: the sample is the ``sample_docs`` texts with the
+    smallest ``(md5(text), text)`` key — a global top-N the planner
+    executes as per-partition top-N + merge (no full sort, no full
+    shuffle), identical on every run and partitioning. Ties in pair
+    frequency break to the lexicographically smallest pair, so the
+    learned merges are a pure function of the sampled multiset.
+
+    Scale: the ONLY distributed work is the top-N scan; everything
+    after runs on ≤ ``sample_docs`` driver-side texts (enforced ≤
+    ``MAX_TRAIN_DOCS``). On 10^12 docs this is one bounded pass —
+    the deliberate design, not a shortcut (see module docstring)."""
+    if n_merges <= 0:
+        raise ValueError(f"train_bpe: n_merges={n_merges} must be positive")
+    if sample_docs <= 0 or sample_docs > MAX_TRAIN_DOCS:
+        raise ValueError(
+            f"train_bpe: sample_docs={sample_docs} outside "
+            f"(0, {MAX_TRAIN_DOCS}] — the driver-side training "
+            "materialization is bounded by design"
+        )
+    rows = (
+        df.select(F.col(text_col).alias("_t"))
+        .where(F.col("_t").isNotNull() & (F.length("_t") > 0))
+        .orderBy(F.md5(F.col("_t")), F.col("_t"))
+        .limit(sample_docs)
+        .collect()
+    )
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for r in rows:
+        for w in _words(r["_t"]):
+            vocab[w] += 1
+
+    seqs: Dict[str, Tuple[str, ...]] = {w: _word_seq(w) for w in vocab}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, freq in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq
+        if not pairs:
+            break  # every word fully merged — nothing left to learn
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, s in seqs.items():
+            if a not in s:  # cheap reject: tuple membership
+                continue
+            out: List[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def _check_merges(merges: Sequence[Sequence[str]]) -> List[Tuple[str, str]]:
+    out = []
+    for m in merges:
+        if len(m) != 2 or not all(isinstance(x, str) and x for x in m):
+            raise ValueError(
+                f"bpe: merge entry {m!r} is not a pair of non-empty strings"
+            )
+        out.append((m[0], m[1]))
+    if len(set(out)) != len(out):
+        raise ValueError("bpe: duplicate merge pairs — ranks would be ambiguous")
+    return out
+
+
+def _encode_word(
+    word: str,
+    ranks: Dict[Tuple[str, str], int],
+    cache: Dict[str, Tuple[str, ...]],
+) -> Tuple[str, ...]:
+    """Greedy BPE: repeatedly merge ALL occurrences (left-to-right,
+    non-overlapping) of the lowest-rank pair present. Rank-dict
+    formulation — only pairs actually in the word are consulted, so
+    cost scales with the word, not the merge table."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    s = _word_seq(word)
+    while len(s) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (s[i], s[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        ab = a + b
+        out: List[str] = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = tuple(out)
+    if len(cache) >= _CACHE_MAX:
+        cache.clear()
+    cache[word] = s
+    return s
+
+
+def _encode_word_by_order(
+    word: str, merges: Sequence[Tuple[str, str]]
+) -> Tuple[str, ...]:
+    """Differential twin: apply merges in LEARNED ORDER, each
+    everywhere (the subword-nmt formulation). Equivalent to
+    ``_encode_word``; kept slow and obvious, exercised only by
+    tests."""
+    s = _word_seq(word)
+    for a, b in merges:
+        if len(s) < 2:
+            break
+        ab = a + b
+        out: List[str] = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = tuple(out)
+    return s
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: Sequence[Sequence[str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Add ``out_col``: the document's BPE token strings
+    (``array<string>``; word boundary = the ``</w>``-terminated
+    token). Map-only Arrow kernel — no exchange; the merge-rank dict
+    rides the UDF closure (a 32k-merge table is ~1 MB — task-binary
+    freight, far under broadcast-worthy).
+
+    NULL text → empty array, matching the pinned ``tokens()``
+    NULL-contract."""
+    ranks = {m: i for i, m in enumerate(_check_merges(merges))}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(texts):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        cache: Dict[str, Tuple[str, ...]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks: List[str] = []
+            for w in _words(t):
+                toks.extend(_encode_word(w, ranks, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: Sequence[Sequence[str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Add ``out_col``: the document's BPE token COUNT (long) — the
+    packing weight column (`packing.pack_sequences(weight_col=...)`:
+    sequence budgets are denominated in model tokens, and this makes
+    the documented BPE-weight swap-in executable end to end). Same
+    kernel as ``apply_bpe`` but returns only the count: the token
+    strings never cross the Arrow boundary, which is the entire
+    per-row cost at corpus scale. NULL text → 0."""
+    ranks = {m: i for i, m in enumerate(_check_merges(merges))}
+
+    @F.pandas_udf(T.LongType())
+    def udf(texts):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        cache: Dict[str, Tuple[str, ...]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            n = 0
+            for w in _words(t):
+                n += len(_encode_word(w, ranks, cache))
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn(out_col, udf(F.col(text_col)))
