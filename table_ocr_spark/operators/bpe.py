@@ -169,7 +169,14 @@ def train_bpe(
 def _check_merges(merges: Sequence[Sequence[str]]) -> List[Tuple[str, str]]:
     out = []
     for m in merges:
-        if len(m) != 2 or not all(isinstance(x, str) and x for x in m):
+        # reject plain strings explicitly: "ab" IS a length-2 sequence
+        # of strings, so a flat token list passed by mistake would
+        # silently decompose into bogus ('a','b') pairs
+        if (
+            isinstance(m, str)
+            or len(m) != 2
+            or not all(isinstance(x, str) and x for x in m)
+        ):
             raise ValueError(
                 f"bpe: merge entry {m!r} is not a pair of non-empty strings"
             )

@@ -142,6 +142,10 @@ class TestApply:
             bpe_token_count(corpus, [("a",)])
         with pytest.raises(ValueError, match="ambiguous"):
             bpe_token_count(corpus, [("a", "b"), ("a", "b")])
+        # a flat token list is NOT a merge table — "ab" is a length-2
+        # sequence of strings and must not decompose into ('a', 'b')
+        with pytest.raises(ValueError, match="pair"):
+            bpe_token_count(corpus, ["ab", "cd"])
 
     def test_real_corpus_round_trip(self, spark, sf_dir):
         # word-boundary conservation on real documents: EOW-terminated
