@@ -267,12 +267,15 @@ def apply_bpe(
     NULL text → empty array, matching the pinned ``tokens()``
     NULL-contract."""
     ranks = {m: i for i, m in enumerate(_check_merges(merges))}
+    # closure state, NOT per-batch: each Python worker deserializes its
+    # own copy once and keeps it across Arrow batches for the lifetime
+    # of the task — per-batch (256 rows) a cache barely amortizes
+    cache: Dict[str, Tuple[str, ...]] = {}
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def udf(texts):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        cache: Dict[str, Tuple[str, ...]] = {}
         out = []
         for t in texts:
             if t is None:
@@ -301,12 +304,12 @@ def bpe_token_count(
     strings never cross the Arrow boundary, which is the entire
     per-row cost at corpus scale. NULL text → 0."""
     ranks = {m: i for i, m in enumerate(_check_merges(merges))}
+    cache: Dict[str, Tuple[str, ...]] = {}  # per-worker closure state (see apply_bpe)
 
     @F.pandas_udf(T.LongType())
     def udf(texts):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        cache: Dict[str, Tuple[str, ...]] = {}
         out = []
         for t in texts:
             if t is None:
