@@ -113,7 +113,14 @@ def train_bpe(
     Scale: the ONLY distributed work is the top-N scan; everything
     after runs on ≤ ``sample_docs`` driver-side texts (enforced ≤
     ``MAX_TRAIN_DOCS``). On 10^12 docs this is one bounded pass —
-    the deliberate design, not a shortcut (see module docstring)."""
+    the deliberate design, not a shortcut (see module docstring).
+    One caveat at EXTREME partition counts: the top-N's single merge
+    reducer receives ``partitions × sample_docs`` candidate rows
+    (each partition's local top-N). At 10^5 input partitions,
+    pre-thin with the map-only hash-threshold filter first —
+    ``train_bpe(deterministic_sample(df, f, key="url"), ...)`` — the
+    top-N of a deterministic sample is still deterministic, and the
+    reducer input shrinks by ``f``."""
     if n_merges <= 0:
         raise ValueError(f"train_bpe: n_merges={n_merges} must be positive")
     if sample_docs <= 0 or sample_docs > MAX_TRAIN_DOCS:
