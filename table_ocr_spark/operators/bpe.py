@@ -3,11 +3,15 @@ heuristic's documented swap-in made EXECUTABLE with the public
 algorithm (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
 of Rare Words with Subword Units"). Completes the swap-in trio next to
 the NB quality scorer and the multiclass lang-id head in
-``importance.py``: a merge table exported from any trained tokenizer
-(subword-nmt, HuggingFace ``tokenizers``'s BPE model, tiktoken ranks
-reduced to pairs) drops into ``apply_bpe``/``bpe_token_count``
-unchanged, and the bundled ``train_bpe`` learns one from the corpus
-itself with no external artifacts.
+``importance.py``: any merge table expressed in this module's symbol
+space — single characters plus the STANDALONE end-of-word sentinel —
+drops into ``apply_bpe``/``bpe_token_count`` unchanged, and the
+bundled ``train_bpe`` learns one from the corpus itself with no
+external artifacts. Tables in a FUSED end-of-word alphabet
+(subword-nmt's ``learn_bpe`` emits symbols like ``t</w>`` as base
+alphabet entries) are REJECTED loudly by the validator rather than
+silently under-merging — convert them first by splitting each fused
+``x</w>`` base symbol into the explicit ``(x, </w>)`` merge.
 
 Split of labor, pinned deliberately:
 
@@ -23,30 +27,42 @@ Split of labor, pinned deliberately:
   per-partition top-N merge, never a full sort or full collect), so
   two runs over the same corpus learn the same merges regardless of
   partitioning. The materialization is bounded AND enforced
-  (``MAX_TRAIN_DOCS``), per the repo-wide driver-collect rule.
+  (``MAX_TRAIN_DOCS``), per the repo-wide driver-collect rule. The
+  merge loop itself is the INDEXED incremental algorithm (pair stats
+  maintained under a lazy max-heap, each merge touching only the
+  words that contain its pair — subword-nmt's approach), so cost per
+  merge scales with the pair's support, not the sample; the obvious
+  recount-everything loop is kept as ``_train_merges_reference`` and
+  differential-pinned in tests.
 - APPLICATION is the distributed part: a map-only Arrow kernel, no
   exchange at all. Per word, the greedy lowest-rank-pair loop (the
   rank-dict formulation popularized by the GPT-2 reference encoder);
-  a per-worker word→tokens cache exploits the Zipfian repetition of
-  web text so the merge loop runs once per DISTINCT word per worker,
-  not once per occurrence. The cache is size-bounded — web-scale
-  vocabulary is unbounded and an unbounded dict would grow for the
-  lifetime of the Python worker.
+  a per-worker word→tokens cache (closure state, shared across Arrow
+  batches) exploits the Zipfian repetition of web text so the merge
+  loop runs once per DISTINCT word per worker, not once per
+  occurrence. The cache is size-bounded — web-scale vocabulary is
+  unbounded and an unbounded dict would grow for the lifetime of the
+  Python worker.
 
-Differential twin: ``_encode_word_by_order`` applies merges in learned
-order (the subword-nmt formulation). The two formulations are
-algebraically equivalent — the lowest surviving rank is always applied
-before anything that could feed it — and ``tests/test_bpe.py`` pins
-the equivalence on generated corpora, so the fast kernel is locked to
-the textbook semantics.
+Validated table contract (``_check_merges``, enforced on every apply):
+
+- every component is a single character, the sentinel, or the product
+  of an EARLIER merge — so the rank-min kernel and the rank-order
+  twin provably agree (an out-of-order pair like ``('ab','c')``
+  before ``('a','b')`` makes the two formulations diverge and is
+  rejected, as is any fused-alphabet symbol);
+- no merge may SPELL the sentinel out of literal text: a product that
+  contains ``</w>`` is only legal when it inherits it from its right
+  component (true end-of-word lineage). Crawled text legitimately
+  contains a literal ``</w>`` substring (raw HTML fragments); without
+  this rule those characters could merge into a symbol
+  string-identical to the sentinel, conflating pair statistics and
+  breaking the "word boundary = ``</w>``-suffixed token" parse. The
+  trainer skips such candidate merges under the SAME rule, so
+  trained tables always validate.
 
 Pre-tokenization matches the pinned ``textstats.tokens()`` contract:
-split on ``\\s+``, drop empties, NULL text → zero tokens. The
-end-of-word marker is appended as its own SYMBOL (never concatenated
-into the last character), so a literal ``</w>`` inside input text
-cannot collide with it during pair counting; a merged token whose
-string HAPPENS to spell ``...</w>`` is still unambiguous in count
-space, which is what packing consumes.
+split on ``\\s+``, drop empties, NULL text → zero tokens.
 
 Reference parity note: the reference repo counts LLM usage tokens from
 API metadata (table_ocr/parser.py's usage fields); it has no local
@@ -77,6 +93,7 @@ _WS = re.compile(r"\s+", re.ASCII)
 def _words(text: str) -> List[str]:
     return [w for w in _WS.split(text) if w]
 
+
 # enforced ceiling on the driver-side training materialization — at
 # 20k docs of web text the pair statistics are already stable (the
 # original paper trained 32k merges on sampled news corpora); raise
@@ -91,6 +108,36 @@ _CACHE_MAX = 1 << 16
 
 def _word_seq(word: str) -> Tuple[str, ...]:
     return tuple(word) + (EOW,)
+
+
+def _apply_pair(s: Tuple[str, ...], a: str, b: str) -> Tuple[str, ...]:
+    """Replace every left-to-right non-overlapping (a, b) adjacency in
+    ``s`` with the concatenated symbol — the one merge-rewrite shared
+    by the trainer, the kernel, and the order-apply twin."""
+    ab = a + b
+    out: List[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        if i + 1 < n and s[i] == a and s[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return tuple(out)
+
+
+def _eow_collision(a: str, b: str) -> bool:
+    """True when merging (a, b) would create a symbol that SPELLS the
+    sentinel out of literal text. Legal products carry ``</w>`` only
+    by inheriting it from their right component (end-of-word lineage:
+    such symbols exist solely in word-final position, and by induction
+    every symbol containing ``</w>`` is suffix-terminated by it). A
+    product containing ``</w>`` that the right side does not account
+    for — spelled across the join (``'es<' + '/w>x'``) or sitting in
+    the left component — would alias the sentinel mid-word."""
+    return EOW in (a + b) and (EOW in a or EOW not in b)
 
 
 def train_bpe(
@@ -142,40 +189,129 @@ def train_bpe(
     for r in rows:
         for w in _words(r["_t"]):
             vocab[w] += 1
+    return _train_merges(dict(vocab), n_merges)
+
+
+def _train_merges(
+    vocab: Dict[str, int], n_merges: int
+) -> List[Tuple[str, str]]:
+    """Indexed incremental merge learner: pair statistics live under a
+    lazy max-heap and each merge rewrites ONLY the words that contain
+    its pair (tracked by a pair→words index) — cost per merge scales
+    with the pair's support, not the sample. Heap entries are
+    (-count, pair); stale entries (count changed since push) are
+    discarded on pop, so the deterministic argmax — highest count,
+    ties to the lexicographically smallest pair — is exact.
+    Differential-pinned against ``_train_merges_reference``."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    seqs: Dict[str, Tuple[str, ...]] = {w: _word_seq(w) for w in vocab}
+    stats: Counter = Counter()
+    index: Dict[Tuple[str, str], set] = defaultdict(set)
+    for w, freq in vocab.items():
+        s = seqs[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            stats[p] += freq
+            index[p].add(w)
+    heap: List[Tuple[int, Tuple[str, str]]] = [
+        (-c, p) for p, c in stats.items() if not _eow_collision(*p)
+    ]
+    heapq.heapify(heap)
+
+    merges: List[Tuple[str, str]] = []
+    taken: set = set()
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if -negc != stats.get(best, 0) or negc == 0:
+            continue  # stale entry — a fresher one exists if still live
+        if best not in taken:
+            # a picked pair's adjacency can RE-EMERGE when a later
+            # merge builds the same product string via a different
+            # split ('abc' from ('a','bc') after ('ab','c') already
+            # produced it); apply-side merges those at the ORIGINAL
+            # rank, so the trainer merges them too but must not record
+            # a duplicate rank (the validator rejects duplicates)
+            merges.append(best)
+            taken.add(best)
+        a, b = best
+        changed: set = set()
+        for w in list(index.get(best, ())):
+            freq = vocab[w]
+            s = seqs[w]
+            s2 = _apply_pair(s, a, b)
+            if s2 == s:  # index is maintained lazily via `changed`
+                continue
+            old = Counter(zip(s, s[1:]))
+            new = Counter(zip(s2, s2[1:]))
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    stats[p] += d * freq
+                    changed.add(p)
+                if new.get(p, 0):
+                    index[p].add(w)
+                elif p in index:
+                    index[p].discard(w)
+            seqs[w] = s2
+        stats.pop(best, None)
+        index.pop(best, None)
+        for p in changed:
+            c = stats.get(p, 0)
+            if c > 0 and not _eow_collision(*p):
+                heapq.heappush(heap, (-c, p))
+            elif c <= 0:
+                stats.pop(p, None)
+                index.pop(p, None)
+    return merges
+
+
+def _train_merges_reference(
+    vocab: Dict[str, int], n_merges: int
+) -> List[Tuple[str, str]]:
+    """The obvious recount-everything trainer — O(sample symbols) per
+    merge. Kept slow and readable as the differential twin for
+    ``_train_merges``; exercised only by tests."""
+    from collections import Counter
 
     seqs: Dict[str, Tuple[str, ...]] = {w: _word_seq(w) for w in vocab}
     merges: List[Tuple[str, str]] = []
-    for _ in range(n_merges):
+    taken: set = set()
+    guard = 0
+    while len(merges) < n_merges and guard < 4 * n_merges + 100:
+        guard += 1
         pairs: Counter = Counter()
         for w, freq in vocab.items():
             s = seqs[w]
             for i in range(len(s) - 1):
-                pairs[(s[i], s[i + 1])] += freq
+                p = (s[i], s[i + 1])
+                if not _eow_collision(*p):
+                    pairs[p] += freq
         if not pairs:
-            break  # every word fully merged — nothing left to learn
+            break
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
-        a, b = best
-        ab = a + b
+        if best not in taken:  # re-emerged pair: merge, no new rank
+            merges.append(best)
+            taken.add(best)
         for w, s in seqs.items():
-            if a not in s:  # cheap reject: tuple membership
-                continue
-            out: List[str] = []
-            i = 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            seqs[w] = tuple(out)
+            if best[0] in s:
+                seqs[w] = _apply_pair(s, *best)
     return merges
 
 
 def _check_merges(merges: Sequence[Sequence[str]]) -> List[Tuple[str, str]]:
-    out = []
-    for m in merges:
+    """Validate a merge table against the symbol-space contract (see
+    module docstring): pairs of non-empty strings, no duplicates,
+    every component CONSTRUCTIBLE (a single character, the sentinel,
+    or the product of an earlier merge), and no sentinel-spelling
+    products. Constructibility is what makes the rank-min kernel and
+    the rank-order twin provably agree, and what turns a fused-
+    alphabet table (subword-nmt) into a loud error instead of a
+    silent systematic under-merge."""
+    out: List[Tuple[str, str]] = []
+    products: set = set()
+    for rank, m in enumerate(merges):
         # reject plain strings explicitly: "ab" IS a length-2 sequence
         # of strings, so a flat token list passed by mistake would
         # silently decompose into bogus ('a','b') pairs
@@ -187,7 +323,25 @@ def _check_merges(merges: Sequence[Sequence[str]]) -> List[Tuple[str, str]]:
             raise ValueError(
                 f"bpe: merge entry {m!r} is not a pair of non-empty strings"
             )
-        out.append((m[0], m[1]))
+        a, b = m[0], m[1]
+        for x in (a, b):
+            if len(x) > 1 and x != EOW and x not in products:
+                raise ValueError(
+                    f"bpe: merge #{rank} component {x!r} is not a single "
+                    f"character, the {EOW!r} sentinel, or the product of "
+                    "an earlier merge. Fused end-of-word alphabets "
+                    "(subword-nmt) must be converted: split each fused "
+                    f"'x{EOW}' base symbol into the explicit ('x', "
+                    f"{EOW!r}) merge"
+                )
+        if _eow_collision(a, b):
+            raise ValueError(
+                f"bpe: merge #{rank} ({a!r}, {b!r}) would spell the "
+                f"{EOW!r} sentinel out of literal text — its product "
+                "carries the marker without end-of-word lineage"
+            )
+        out.append((a, b))
+        products.add(a + b)
     if len(set(out)) != len(out):
         raise ValueError("bpe: duplicate merge pairs — ranks would be ambiguous")
     return out
@@ -216,18 +370,7 @@ def _encode_word(
                 best_pair = (s[i], s[i + 1])
         if best_pair is None:
             break
-        a, b = best_pair
-        ab = a + b
-        out: List[str] = []
-        i = 0
-        while i < len(s):
-            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                out.append(ab)
-                i += 2
-            else:
-                out.append(s[i])
-                i += 1
-        s = tuple(out)
+        s = _apply_pair(s, *best_pair)
     if len(cache) >= _CACHE_MAX:
         cache.clear()
     cache[word] = s
@@ -239,23 +382,16 @@ def _encode_word_by_order(
 ) -> Tuple[str, ...]:
     """Differential twin: apply merges in LEARNED ORDER, each
     everywhere (the subword-nmt formulation). Equivalent to
-    ``_encode_word``; kept slow and obvious, exercised only by
+    ``_encode_word`` for every table that passes ``_check_merges``
+    (constructibility is exactly the property that makes the two
+    formulations agree); kept slow and obvious, exercised only by
     tests."""
     s = _word_seq(word)
     for a, b in merges:
         if len(s) < 2:
             break
-        ab = a + b
-        out: List[str] = []
-        i = 0
-        while i < len(s):
-            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                out.append(ab)
-                i += 2
-            else:
-                out.append(s[i])
-                i += 1
-        s = tuple(out)
+        if a in s:
+            s = _apply_pair(s, a, b)
     return s
 
 
@@ -266,10 +402,12 @@ def apply_bpe(
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """Add ``out_col``: the document's BPE token strings
-    (``array<string>``; word boundary = the ``</w>``-terminated
-    token). Map-only Arrow kernel — no exchange; the merge-rank dict
-    rides the UDF closure (a 32k-merge table is ~1 MB — task-binary
-    freight, far under broadcast-worthy).
+    (``array<string>``; word boundary = the ``</w>``-suffixed token —
+    sound for arbitrary input text because validated tables cannot
+    spell the sentinel, see ``_check_merges``). Map-only Arrow
+    kernel — no exchange; the merge-rank dict rides the UDF closure
+    (a 32k-merge table is ~1 MB — task-binary freight, far under
+    broadcast-worthy).
 
     NULL text → empty array, matching the pinned ``tokens()``
     NULL-contract."""

@@ -100,6 +100,97 @@ class TestKernelDifferential:
         assert _encode_word("ab", r, cache) is first
 
 
+class TestValidator:
+    def _df(self, spark):
+        return spark.createDataFrame([(1, "ab abc")], ["doc_id", "text"])
+
+    def test_fused_alphabet_rejected(self, spark):
+        # subword-nmt's learn_bpe emits fused base symbols like 't</w>';
+        # in this symbol space such a merge could never match and would
+        # silently under-merge — it must be a loud error instead
+        with pytest.raises(ValueError, match="single"):
+            bpe_token_count(self._df(spark), [("es", "t" + EOW)])
+
+    def test_out_of_order_rejected(self, spark):
+        # ('ab','c') before ('a','b') makes the rank-min kernel and the
+        # order-apply twin diverge; constructibility forbids it
+        with pytest.raises(ValueError, match="earlier merge"):
+            bpe_token_count(self._df(spark), [("ab", "c"), ("a", "b")])
+        # same pairs in constructible order validate
+        out = bpe_token_count(
+            self._df(spark), [("a", "b"), ("ab", "c")]
+        ).collect()
+        assert out[0]["n_bpe_tokens"] == 4  # 'ab'+EOW, 'abc'+EOW
+
+    def test_sentinel_spelling_rejected(self, spark):
+        # chars merging into the literal sentinel string
+        with pytest.raises(ValueError, match="sentinel"):
+            bpe_token_count(
+                self._df(spark), [("<", "/"), ("</", "w"), ("</w", ">")]
+            )
+        # boundary-spanning spelling: product 'x</w>' with clean sides
+        with pytest.raises(ValueError, match="sentinel"):
+            bpe_token_count(
+                self._df(spark),
+                [("x", "<"), ("/", "w"), ("/w", ">"), ("x<", "/w>")],
+            )
+
+
+class TestTrainerDifferential:
+    def test_indexed_matches_reference(self):
+        from table_ocr_spark.operators.bpe import (
+            _train_merges,
+            _train_merges_reference,
+        )
+
+        for seed in range(6):
+            rng = random.Random(seed)
+            vocab = {}
+            for _ in range(120):
+                w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+                vocab[w] = vocab.get(w, 0) + rng.randint(1, 20)
+            # plant literal-sentinel text so the skip rule is exercised
+            vocab["x" + EOW + "y"] = 15
+            vocab[EOW] = 12
+            for n in (1, 7, 40):
+                assert _train_merges(dict(vocab), n) == \
+                    _train_merges_reference(dict(vocab), n), (seed, n)
+
+
+class TestSentinelSafety:
+    def test_literal_sentinel_text_round_trips(self, spark):
+        from table_ocr_spark.operators.bpe import _words
+
+        df = spark.createDataFrame(
+            [
+                (1, "pre </w> post"),
+                (2, "x</w>y low low"),
+                (3, "</w></w>"),
+            ],
+            ["doc_id", "text"],
+        )
+        merges = train_bpe(df, 30, sample_docs=10)
+        # trained tables always validate (the trainer skips
+        # sentinel-spelling candidates under the validator's own rule)
+        rows = apply_bpe(df, merges).collect()
+        for r in rows:
+            toks = r["bpe_tokens"]
+            # no token smuggles the marker mid-string: it appears only
+            # as the end-of-word suffix
+            for t in toks:
+                assert EOW not in t or t.endswith(EOW), toks
+            # the boundary parse stays sound on sentinel-laden text
+            words = _words(r["text"])
+            rebuilt, cur = [], ""
+            for t in toks:
+                if t.endswith(EOW):
+                    rebuilt.append(cur + t[: -len(EOW)])
+                    cur = ""
+                else:
+                    cur += t
+            assert rebuilt == words, (toks, words)
+
+
 class TestApply:
     @pytest.fixture(scope="class")
     def corpus(self, spark):
