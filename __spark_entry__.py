@@ -976,6 +976,21 @@ def q_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_langid_model(docs.select("doc_id", "text"), model)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench component: the BPE tokenizer swap-in (operators/bpe.py) —
+    train merges on the bounded deterministic sample, then count BPE
+    tokens for every document with the map-only Arrow kernel (the
+    `pack_sequences(weight_col=...)` producer). Not a contract row:
+    iterative merge learning is not SQL-expressible; correctness is
+    pinned by tests/test_bpe.py (trainer and kernel differentials,
+    validator rejections, sentinel round-trip)."""
+    from table_ocr_spark.operators.bpe import bpe_token_count, train_bpe
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=256, sample_docs=5_000)
+    return bpe_token_count(docs, merges)
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication (operators/dedup.duplicate_span_stats,
     the Lee-et-al. axis): per doc, tokens covered by corpus-repeated

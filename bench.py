@@ -122,6 +122,7 @@ R4_NEW = [
 R5_NEW = [
     "quality_classifier",
     "langid_classifier",
+    "bpe_tokenize",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW + R5_NEW
@@ -156,6 +157,7 @@ def _bench_queries(em) -> dict:
         "dsir_weights": em.q_dsir_only,
         "quality_classifier": em.q_quality_classifier,
         "langid_classifier": em.q_langid_classifier,
+        "bpe_tokenize": em.q_bpe_tokenize,
         "score_tiers": em.q_score_tiers,
         "duplicate_clusters": em.q_duplicate_clusters,
         "dedup_survivors": em.q_dedup_survivors,
