@@ -45,6 +45,7 @@ ANN_QUERIES = 10  # vec_id < 10
 ANN_K, IVF_K = 5, 3
 EMB_COPY_MOD, EMB_COPY_OFF = 20, 10_000
 NEAR_DUP_T = 0.99
+SEMDEDUP_K = 4  # pinned-seed centroid count for the semdedup leg
 SESSION_GAP_US = 1800 * 1_000_000
 KEY_BAD_MOD = 97
 JSON_BAD_MOD = 13
@@ -451,6 +452,73 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from table_ocr_spark.operators.similarity import hyperplane_near_dup_pairs
 
     return hyperplane_near_dup_pairs(_emb_corpus(spark, sf_dir), threshold=NEAR_DUP_T)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py): md5-pinned centroids (the
+    engine-independent seeding — NOT a quality claim, train_kmeans is
+    the production trainer) → nearest-centroid assignment (expr twin:
+    JVM left-fold cosines, bit-identical to DuckDB; the matmul kernel
+    is pinned equal by the pytest differential) → within-cluster pairs
+    ≥ NEAR_DUP_T → connected components → keep the LEAST-central
+    member per group. One row per corpus vector: id_a=vec_id,
+    id_b=dup-group label, cosine=centroid_sim, cluster=centroid index,
+    keep=survivor flag."""
+    from table_ocr_spark.operators.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    emb = _emb_corpus(spark, sf_dir)
+    cents = pinned_centroids(emb, k=SEMDEDUP_K)
+    out = semantic_dedup(
+        emb, centroids=cents, threshold=NEAR_DUP_T, method="expr"
+    )
+    return out.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("group_id").alias("id_b"),
+        F.col("centroid_sim").alias("cosine"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "keep",
+    )
+
+
+def q_semantic_dedup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench component: SemDeDup on the matmul assignment kernel — the
+    scale path (one Arrow batch matmul vs k JVM folds per row). The
+    contract leg runs the bit-exact expr twin; the pytest differential
+    pins the two engines equal at 6 dp."""
+    from table_ocr_spark.operators.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    emb = _emb_corpus(spark, sf_dir)
+    cents = pinned_centroids(emb, k=SEMDEDUP_K)
+    return semantic_dedup(
+        emb, centroids=cents, threshold=NEAR_DUP_T, method="kernel"
+    )
+
+
+def q_unimax_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench component: the UniMax waterfill leg alone (tier strata,
+    budget = 2*T_total, max_epochs = 3)."""
+    from table_ocr_spark.operators.sampling import unimax_sample
+    from table_ocr_spark.operators.textstats import token_stats
+    from table_ocr_spark.operators.tiers import score_tiers
+
+    stats = token_stats(_read_par(spark, sf_dir, "documents"))
+    # three consumers (total agg, fractions agg, membership filter)
+    tiers = score_tiers(stats, "quality_score", n_tiers=4).cache()
+    total = int(
+        tiers.agg(
+            F.sum(F.col("n_tokens").cast("decimal(38,0)")).alias("t")
+        ).collect()[0]["t"]
+    )
+    return unimax_sample(
+        tiers, 2 * total, max_epochs=3, strata_col="tier",
+        weight_col="n_tokens",
+    )
 
 
 def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,10 +1669,20 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible on any engine) ⊕ (tagged union) the round-4
     data-constrained twin ``token_budget_upsample`` at budget =
     (5·T_total)//2 — every tier repeats for 2 full epochs plus an
-    exact-integer residual half-epoch, E[tokens] = budget exactly."""
+    exact-integer residual half-epoch, E[tokens] = budget exactly ⊕
+    (round 5) ``unimax_sample`` at budget = 2·T_total, max_epochs=3:
+    UniMax waterfilling over the tier token totals (shares ~10/20/30/40%
+    at this synth, so the smallest tier CAPS at exactly 3 epochs while
+    the rest split the remainder uniformly — both waterfill regimes
+    exercised), emission via the same exact-integer rule. The oracle
+    re-derives the allocation independently from the closed form
+    (window prefix-sums — the capped set is a prefix of the cap-sorted
+    order), so the driver hash checks the waterfill arithmetic itself,
+    not a copied literal."""
     from table_ocr_spark.operators.sampling import (
         token_budget_sample,
         token_budget_upsample,
+        unimax_sample,
     )
     from table_ocr_spark.operators.textstats import token_stats
     from table_ocr_spark.operators.tiers import score_tiers
@@ -1643,7 +1721,18 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.col("epoch").cast("long").alias("epoch"),
     )
-    return sample_part.unionByName(up_part)
+    um = unimax_sample(
+        tiers, 2 * total, max_epochs=3, strata_col="tier",
+        weight_col="n_tokens",
+    )
+    um_part = um.select(
+        F.lit("unimax").alias("part"),
+        "doc_id",
+        "tier",
+        "n_tokens",
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+    return sample_part.unionByName(up_part).unionByName(um_part)
 
 
 # ---------------------------------------------------------------------------
@@ -1924,13 +2013,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding_near_dup (blocked exact) ∪ embedding_near_dup_lsh,
-    tagged by method."""
+    """embedding_near_dup (blocked exact) ∪ embedding_near_dup_lsh ∪
+    semantic_dedup (round 5: cluster-scoped SemDeDup — per-vector
+    rows riding the pair schema: id_b carries the dup-group label,
+    cosine the centroid similarity), tagged by method. The pair legs
+    carry cluster=-1 / keep=true so the union stays rectangular."""
+    pad = lambda df: df.withColumn(  # noqa: E731
+        "cluster", F.lit(-1).cast("long")
+    ).withColumn("keep", F.lit(True))
     return _tagged_union(
         "method",
         [
-            ("exact", q_embedding_near_dup(spark, sf_dir)),
-            ("lsh", q_embedding_near_dup_lsh(spark, sf_dir)),
+            ("exact", pad(q_embedding_near_dup(spark, sf_dir))),
+            ("lsh", pad(q_embedding_near_dup_lsh(spark, sf_dir))),
+            ("semdedup", q_semantic_dedup(spark, sf_dir)),
         ],
     )
 
@@ -2519,6 +2615,68 @@ _ANN_BASE_SQL = """
         FROM s)
   WHERE rn <= {k}
 """
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup leg oracle: the SAME duplicated corpus as the pair
+    legs; centroids = the SEMDEDUP_K corpus vectors with the smallest
+    (md5(vec_id), vec_id) (the engine-independent pin pinned_centroids
+    applies); assignment = argmax of 6-dp-rounded cosines (ties ->
+    lowest centroid index, mirroring the expr twin's array_position);
+    dup groups = recursive min-label reachability over within-cluster
+    pairs >= NEAR_DUP_T (threshold on the UNROUNDED left-fold cosine,
+    like cosine_near_dup_pairs); survivor = lowest centroid_sim, ties
+    min id (cluster_survivors on the negated sim)."""
+    return f"""
+      WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {EMB_COPY_OFF}, embedding FROM embeddings
+        WHERE vec_id % {EMB_COPY_MOD} = 0),
+      v AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM corpus),
+      cents AS (SELECT vec,
+                       row_number() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) - 1 AS cidx
+                FROM v
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {SEMDEDUP_K}),
+      sims AS (SELECT a.vec_id, c.cidx,
+                      round(list_dot_product(a.vec, c.vec) /
+                            (sqrt(list_dot_product(a.vec, a.vec)) *
+                             sqrt(list_dot_product(c.vec, c.vec))), 6) AS sim
+               FROM v a CROSS JOIN cents c),
+      asg AS (SELECT vec_id, cidx AS cluster, sim AS centroid_sim
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY sim DESC, cidx) AS rn
+                    FROM sims)
+              WHERE rn = 1),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a
+            JOIN asg aa ON aa.vec_id = a.vec_id
+            JOIN asg bb ON bb.cluster = aa.cluster
+            JOIN v b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.vec, b.vec) /
+                  (sqrt(list_dot_product(a.vec, a.vec)) *
+                   sqrt(list_dot_product(b.vec, b.vec))) >= {NEAR_DUP_T}),
+      e AS (SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+      reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+      lab AS (SELECT id, min(lbl) AS gid FROM reach GROUP BY id),
+      rk AS (SELECT lab.id, lab.gid, asg.cluster, asg.centroid_sim,
+                    row_number() OVER (
+                      PARTITION BY lab.gid
+                      ORDER BY asg.centroid_sim ASC, lab.id ASC) AS rn
+             FROM lab JOIN asg ON asg.vec_id = lab.id)
+      SELECT id AS id_a, gid AS id_b, centroid_sim AS cosine,
+             CAST(cluster AS BIGINT) AS cluster, rn = 1 AS keep
+      FROM rk
+    """
 
 
 def _gopher_repetition_sql() -> str:
@@ -3704,7 +3862,46 @@ def oracle_sql() -> dict[str, str]:
                     (((5::HUGEINT * g.gt) // 2) * ts) // g.gt AS bs
              FROM tot, g),
       up AS (SELECT tier, ts, bs // ts AS ep, bs % ts AS rs
-             FROM ub WHERE ts > 0)
+             FROM ub WHERE ts > 0),
+      -- round-5 unimax part: budget = 2*T_total, caps C_s = 3*T_s.
+      -- Closed-form waterfill: sort by (cap, str(tier)); stratum i is
+      -- capped iff C_i*(n-i+1) <= B - P_(i-1) (full cap prefix; the
+      -- capped set is a PREFIX by cap-monotonicity); uncapped strata
+      -- split the rest R as R//m each, remainder one apiece to the
+      -- first R%m uncapped in the same order
+      umr AS (SELECT tier, ts, ts * 3::HUGEINT AS cap,
+                     row_number() OVER w AS rk,
+                     count(*) OVER () AS n,
+                     coalesce(sum(ts * 3::HUGEINT) OVER (
+                       ORDER BY ts * 3::HUGEINT, CAST(tier AS VARCHAR)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0::HUGEINT) AS pre
+              FROM tot
+              WINDOW w AS (ORDER BY ts * 3::HUGEINT,
+                           CAST(tier AS VARCHAR))),
+      umf AS (SELECT umr.*,
+                     (cap * (n - rk + 1) <= (2::HUGEINT * g.gt) - pre)
+                       AS capped
+              FROM umr, g),
+      uma AS (SELECT coalesce(sum(cap) FILTER (WHERE capped),
+                              0::HUGEINT) AS pk,
+                     count(*) FILTER (WHERE NOT capped) AS m
+              FROM umf),
+      umb AS (SELECT f.tier, f.ts,
+                     CASE WHEN f.capped THEN f.cap
+                          ELSE ((2::HUGEINT * g.gt) - a.pk)
+                                 // greatest(a.m, 1)
+                               + CASE WHEN row_number() OVER (
+                                        PARTITION BY f.capped
+                                        ORDER BY f.cap,
+                                                 CAST(f.tier AS VARCHAR))
+                                      <= ((2::HUGEINT * g.gt) - a.pk)
+                                         % greatest(a.m, 1)
+                                 THEN 1 ELSE 0 END
+                     END AS bs
+              FROM umf f, uma a, g),
+      umu AS (SELECT tier, ts, bs // ts AS ep, bs % ts AS rs
+              FROM umb WHERE ts > 0)
       SELECT 'sample' AS part, d.doc_id, d.tier, d.n_tokens,
              CAST(0 AS BIGINT) AS epoch
       FROM d JOIN b USING (tier)
@@ -3722,6 +3919,16 @@ def oracle_sql() -> dict[str, str]:
                      < up.rs * 18446744073709551616::HUGEINT
                  THEN 1 ELSE 0 END)) AS BIGINT)
       FROM d JOIN up USING (tier)
+      UNION ALL
+      SELECT 'unimax', d.doc_id, d.tier, d.n_tokens,
+             CAST(unnest(generate_series(0,
+               CAST(umu.ep AS BIGINT) - 1
+               + CASE WHEN CAST(CAST(concat('0x',
+                       substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+                     AS UBIGINT) AS HUGEINT) * umu.ts
+                     < umu.rs * 18446744073709551616::HUGEINT
+                 THEN 1 ELSE 0 END)) AS BIGINT)
+      FROM d JOIN umu USING (tier)
     """
 
     # continuous-score tiers: same pinned rank definition, score =
@@ -4242,8 +4449,13 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT 'ivf', {_ann_cols} FROM ({sql.pop('ann_ivf')})"
     )
     sql["embedding_near_dup"] = (
-        f"SELECT 'exact' AS method, id_a, id_b, cosine FROM ({sql.pop('embedding_near_dup')}) "
-        f"UNION ALL SELECT 'lsh', id_a, id_b, cosine FROM ({sql.pop('embedding_near_dup_lsh')})"
+        "SELECT 'exact' AS method, id_a, id_b, cosine, "
+        "CAST(-1 AS BIGINT) AS cluster, TRUE AS keep "
+        f"FROM ({sql.pop('embedding_near_dup')}) "
+        "UNION ALL SELECT 'lsh', id_a, id_b, cosine, CAST(-1 AS BIGINT), TRUE "
+        f"FROM ({sql.pop('embedding_near_dup_lsh')}) "
+        "UNION ALL SELECT 'semdedup', id_a, id_b, cosine, cluster, keep "
+        f"FROM ({_semdedup_sql()})"
     )
     sql["score_tiers"] = (
         "SELECT 'histogram' AS variant, doc_id, quality_score AS score, tier "

@@ -123,6 +123,8 @@ R5_NEW = [
     "quality_classifier",
     "langid_classifier",
     "bpe_tokenize",
+    "unimax_sample",
+    "semantic_dedup",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW + R5_NEW
@@ -158,6 +160,10 @@ def _bench_queries(em) -> dict:
         "quality_classifier": em.q_quality_classifier,
         "langid_classifier": em.q_langid_classifier,
         "bpe_tokenize": em.q_bpe_tokenize,
+        "unimax_sample": em.q_unimax_only,
+        # the scale-path kernel twin; the contract leg times as part
+        # of the embedding_near_dup composite on the expr engine
+        "semantic_dedup": em.q_semantic_dedup_kernel,
         "score_tiers": em.q_score_tiers,
         "duplicate_clusters": em.q_duplicate_clusters,
         "dedup_survivors": em.q_dedup_survivors,

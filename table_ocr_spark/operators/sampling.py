@@ -318,6 +318,7 @@ def token_budget_upsample(
     max_strata: int = 10_000,
     max_epochs: int = 1_000,
     epoch_col: str = "epoch",
+    fractions: Dict | None = None,
 ) -> DataFrame:
     """The data-constrained twin of :func:`token_budget_sample`
     (Muennighoff et al.'s regime — the budget EXCEEDS what one pass
@@ -348,13 +349,20 @@ def token_budget_upsample(
     ``(key, epoch_col)``. Output amplification is caller-chosen and
     fail-fast-guarded by ``max_epochs`` (a fat-finger budget of 10^6x
     the corpus would otherwise materialize 10^6 copies of every row).
+
+    ``fractions`` injects a precomputed ``{stratum: (B_s, T_s)}`` plan
+    (exact integers, same shape :func:`token_budget_fractions` and
+    :func:`unimax_fractions` return) and skips the internal aggregate —
+    the hook that lets allocation POLICIES (proportional, fixed mix,
+    UniMax waterfilling) share this one emission kernel. ``budget`` and
+    ``mix`` are ignored when it is given.
     """
     if epoch_col in df.columns:
         raise ValueError(
             f"token_budget_upsample: input already has a {epoch_col!r} "
             "column — pass epoch_col= to avoid the clobber"
         )
-    fr = token_budget_fractions(
+    fr = fractions if fractions is not None else token_budget_fractions(
         df, budget, strata_col, weight_col, mix, max_strata,
         cap_at_total=False,
     )
@@ -402,6 +410,109 @@ def token_budget_upsample(
         n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(epoch_col, F.explode(seq))
+
+
+def unimax_fractions(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+    max_strata: int = 10_000,
+) -> Dict:
+    """UniMax budget allocation (Chung et al. 2023): spread ``budget``
+    tokens as UNIFORMLY as possible across strata, subject to the
+    per-stratum epoch cap ``C_s = T_s * max_epochs`` — the published
+    fix for temperature sampling's twin failure modes (low temperature
+    starves tail languages, high temperature repeats them into
+    memorization). Returns ``{stratum: (B_s, T_s)}`` exact-integer
+    pairs, the same plan shape :func:`token_budget_fractions` emits, so
+    :func:`token_budget_upsample` replays it verbatim.
+
+    The waterfill is the CLOSED FORM, not the paper's iterative loop,
+    so any engine re-derives it from the (stratum, T_s) table alone:
+    sort strata by ``(C_s, str(stratum))`` ascending; stratum ``i``
+    (1-based, full cap prefix ``P_{i-1}``) is *capped* iff
+    ``C_i * (n-i+1) <= budget - P_{i-1}`` — cap-monotonicity makes the
+    capped set a PREFIX of the order (if ``i`` fails, ``i+1`` fails:
+    ``B - P_i < C_i*(n-i+1) - C_i <= C_{i+1}*(n-i)``), so the per-row
+    test needs no iteration. Capped strata take ``C_s`` (exactly
+    ``max_epochs`` passes); the ``m`` uncapped ones split the rest
+    ``R`` as ``R // m`` each, with the ``R mod m`` remainder going one
+    token apiece to the FIRST remainder-many uncapped strata in the
+    same sort order. Everything is integer arithmetic — allocations
+    sum to ``min(budget, sum_s C_s)`` exactly (a budget above the
+    total cap leaves the excess deliberately unspent: every stratum is
+    already at ``max_epochs``, and repeating further is precisely what
+    UniMax exists to refuse).
+
+    Scale shape: identical to :func:`token_budget_fractions` — one
+    bounded map-side-combined aggregate (<= ``max_strata`` rows on the
+    driver, enforced there), then O(n log n) driver arithmetic.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    totals = {
+        s: t for s, (_, t) in token_budget_fractions(
+            df, 0, strata_col, weight_col, None, max_strata
+        ).items()
+    }
+    caps = {s: t * max_epochs for s, t in totals.items()}
+    order = sorted(caps, key=lambda s: (caps[s], str(s)))
+    n = len(order)
+    alloc: Dict = {}
+    prefix = 0
+    j = n  # index of the first uncapped stratum
+    for i, s in enumerate(order):
+        if caps[s] * (n - i) <= budget - prefix:
+            alloc[s] = caps[s]
+            prefix += caps[s]
+        else:
+            j = i
+            break
+    if j < n:
+        base, rem = divmod(budget - prefix, n - j)
+        for idx, s in enumerate(order[j:]):
+            alloc[s] = base + (1 if idx < rem else 0)
+    return {s: (alloc[s], totals[s]) for s in totals}
+
+
+def unimax_sample(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+    key: str = "doc_id",
+    max_strata: int = 10_000,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """UniMax-allocated corpus emission: :func:`unimax_fractions`
+    plans ``(B_s, T_s)`` per stratum, :func:`token_budget_upsample`
+    replays it with the exact-integer md5 membership rule — capped
+    strata emit exactly ``max_epochs`` full passes, waterfilled strata
+    emit ``B_s // T_s`` passes plus the bit-reproducible residual.
+    ``E[emitted tokens] = min(budget, max_epochs * T_total)`` exactly.
+    Map-only after one bounded driver aggregate; the per-stratum epoch
+    count is ``<= max_epochs`` BY CONSTRUCTION, so the emission
+    kernel's own amplification guard is passed through rather than
+    re-tripped."""
+    fr = unimax_fractions(
+        df, budget, max_epochs, strata_col, weight_col, max_strata
+    )
+    return token_budget_upsample(
+        df,
+        0,
+        strata_col,
+        weight_col,
+        key=key,
+        max_strata=max_strata,
+        max_epochs=max_epochs,
+        epoch_col=epoch_col,
+        fractions=fr,
+    )
 
 
 def temperature_sample(

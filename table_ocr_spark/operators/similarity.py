@@ -774,3 +774,396 @@ def cosine_near_dup_pairs(
         .filter(sim >= threshold)  # threshold on the unrounded value
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
     )
+
+
+def train_kmeans(
+    emb: DataFrame,
+    k: int = 64,
+    vec_col: str = "embedding",
+    max_train: int = 65_536,
+    iters: int = 10,
+):
+    """Full-dimension k-means centroids for SemDeDup-style semantic
+    clustering: :func:`train_pq_codebooks` with ``m=1`` IS full-dim
+    Lloyd — bounded deterministic sample (smallest ``xxhash64(vec_id)``
+    rows), pinned k-means++ seed, fixed iteration count, deterministic
+    empty-cluster re-seeding — so the trainer is reused, not
+    re-implemented. Returns numpy ``(k, dim)`` float64 cluster means
+    (inside the unit ball, NOT re-normalized; cosine assignment
+    normalizes both sides). Same input -> bit-identical centroids."""
+    return train_pq_codebooks(
+        emb, m=1, ksub=k, vec_col=vec_col, max_train=max_train,
+        iters=iters,
+    )[0]
+
+
+def pinned_centroids(emb: DataFrame, k: int = 8, vec_col: str = "embedding"):
+    """Engine-independent centroid seeding for cross-engine contract
+    checks: the ``k`` corpus vectors with the smallest
+    ``(md5(vec_id), vec_id)`` — an unbiased pseudo-random pick that
+    Spark and DuckDB reproduce bit-for-bit (``xxhash64``, the trainer's
+    sample rule, is JVM-only; md5 exists in both engines). NOT a
+    clustering-quality claim — production corpora train real centroids
+    (:func:`train_kmeans`); this exists so the assignment/dedup
+    MACHINERY can be pinned to an independent SQL oracle. Bounded
+    k-row collect."""
+    import numpy as np
+
+    rows = (
+        _with_vec(emb, vec_col, with_label=False)
+        .filter(F.col("vec").isNotNull() & (F.size("vec") > 0))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"pinned_centroids: only {len(rows)} non-empty vectors for k={k}"
+        )
+    return np.asarray([r["vec"] for r in rows], dtype=np.float64)
+
+
+def _assign_udf(centroids):
+    """vec -> (cluster, centroid_sim): nearest centroid under cosine,
+    one batched matmul per Arrow batch. Similarities are rounded to
+    6 dp BEFORE the argmax (ties -> lowest centroid index), so the
+    assignment is a function of the same 6-dp values an oracle engine
+    computes — a raw-float argmax would hinge on summation order.
+    NULL/empty/zero-norm vectors -> NULL (they have no cosine
+    direction and must not alias cluster 0)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    norms = np.linalg.norm(centroids, axis=1)
+    if (norms == 0).any():
+        raise ValueError("assign_clusters: zero-norm centroid")
+    c_unit = centroids / norms[:, None]
+    dim = centroids.shape[1]
+    out_t = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("centroid_sim", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def udf(vecs):  # type: ignore[no-untyped-def]
+        n = len(vecs)
+        cluster = np.full(n, -1, dtype=np.int64)
+        sim = np.full(n, np.nan)
+        ok_idx = []
+        for i, v in enumerate(vecs):
+            if v is None or len(v) == 0:
+                continue  # no direction -> NULL assignment
+            if len(v) != dim:
+                # a wrong-width vector is corrupt input, not a
+                # missing one — NULLing it would silently shrink
+                # the dedup universe
+                raise ValueError(
+                    f"assign_clusters: vector of dim {len(v)} vs "
+                    f"centroid dim {dim}"
+                )
+            ok_idx.append(i)
+        if ok_idx:
+            V = np.asarray(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok_idx]
+            )
+            vn = np.linalg.norm(V, axis=1)
+            nz = vn > 0
+            if nz.any():
+                raw = (V[nz] / vn[nz, None]) @ c_unit.T
+                # HALF_UP (away from zero), the convention F.round and
+                # DuckDB round() share — np.round's half-to-even would
+                # diverge from the expr twin exactly on .5e-6 edges
+                sims = np.copysign(
+                    np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw
+                )
+                a = sims.argmax(axis=1)
+                rows = np.asarray(ok_idx)[nz]
+                cluster[rows] = a
+                sim[rows] = sims[np.arange(len(a)), a]
+        return pd.DataFrame(
+            {
+                "cluster": pd.array(
+                    [None if c < 0 else int(c) for c in cluster],
+                    dtype="Int32",
+                ),
+                "centroid_sim": sim,
+            }
+        )
+
+    return udf
+
+
+def assign_clusters(
+    emb: DataFrame, centroids, vec_col: str = "embedding",
+    method: str = "kernel",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment under cosine: appends
+    ``cluster`` (int, NULL for empty/zero-norm vectors) and
+    ``centroid_sim`` (double, 6 dp) to ``emb``. Similarities are
+    rounded to 6 dp BEFORE the argmax (ties -> lowest centroid index)
+    so the assignment is a function of oracle-visible values, not of
+    float summation order. No shuffle, no join — the canonical
+    coarse-quantizer stage IVF/PQ also use.
+
+    Two engines, pinned equal at 6 dp by a differential test:
+
+    - ``kernel`` (default, the scale path): one Arrow-batched numpy
+      matmul per batch; centroids ship as closure state (k x dim
+      float64 — SemDeDup-scale k is 10^2..10^4, i.e. <= ~60 MB at
+      768 dims, the broadcast-table regime).
+    - ``expr``: k JVM left-fold cosines per row (codegen, the same
+      evaluation order as DuckDB's list_dot_product), so every double
+      matches an independent SQL engine BIT-FOR-BIT — the cross-engine
+      contract twin. Right at small k; at k=10^3+ the k-fold expression
+      loses to one matmul, which is why it is not the default.
+    """
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    if c.ndim != 2 or c.shape[0] < 1:
+        raise ValueError(
+            f"assign_clusters: centroids must be (k, dim), got {c.shape}"
+        )
+    if method == "kernel":
+        udf = _assign_udf(c)
+        assigned = emb.withColumn("_as", udf(as_double_array(vec_col)))
+        return assigned.select(
+            *[F.col(x) for x in emb.columns],
+            F.col("_as.cluster").alias("cluster"),
+            F.col("_as.centroid_sim").alias("centroid_sim"),
+        )
+    if method != "expr":
+        raise ValueError(f"assign_clusters: unknown method {method!r}")
+    vec = as_double_array(vec_col)
+    sims = F.array(
+        *[
+            F.round(
+                cosine(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in row]),
+                ),
+                6,
+            )
+            for row in c
+        ]
+    )
+    # array_position returns the FIRST index of the max (1-based) —
+    # the same lowest-index tiebreak the kernel's argmax applies; a
+    # zero-norm/empty vector yields NULL sims -> NULL max -> NULL
+    # position -> NULL cluster
+    bound = emb.withColumn("_sims", sims)
+    best = F.array_max(F.col("_sims"))
+    pos = F.array_position(F.col("_sims"), best)
+    return bound.select(
+        *[F.col(x) for x in emb.columns],
+        F.when(pos.isNotNull(), (pos - 1).cast("int")).alias("cluster"),
+        best.alias("centroid_sim"),
+    )
+
+
+def cluster_pairs_kernel(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    cell_col: str = "cluster",
+    max_cell_size: Optional[int] = 100_000,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Within-cell cosine near-dup pairs (``id_a < id_b``, cosine >=
+    ``threshold``) as ONE dense matmul per cell instead of one JVM
+    fold per candidate pair — the SemDeDup-paper shape (pairwise
+    similarity matrix inside each cluster). One shuffle lands each
+    cell on a task; ``applyInPandas`` then walks the cell's similarity
+    matrix in ``block_rows``-row blocks, so peak memory is
+    ``block_rows * |cell|`` doubles (~0.8 GB for a 100k cell at the
+    default — and ``max_cell_size`` fail-fasts beyond that, same
+    contract as :func:`cosine_near_dup_pairs`). Measured on the sf0.1
+    contract corpus (2100 x 64-dim, 4 cells): the label-equi fold join
+    spends ~9 s on ~550k candidate folds; the matmul kernel returns in
+    well under a second — the gap widens with cell size since folds
+    pay per PAIR and the matmul pays per row-block.
+
+    Emits the same columns/values as :func:`cosine_near_dup_pairs`
+    (cosine rounded 6 dp HALF_UP; threshold applied to the unrounded
+    value). Rows whose ``cell_col`` is NULL are dropped (an equi-join
+    would never match them; :func:`semantic_dedup` NULLs the cell of
+    zero-norm vectors upstream); zero-norm vectors inside a cell are
+    dropped for the same reason. Integer ids order identically in
+    numpy and Spark; string ids assume ASCII (Python code-point order
+    vs UTF8String byte order diverge past ASCII).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if max_cell_size is not None:
+        hot = (
+            emb.filter(F.col(cell_col).isNotNull())
+            .groupBy(cell_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cell_size)
+            .limit(20)
+            .collect()
+        )
+        if hot:
+            detail = ", ".join(f"{r[cell_col]}={r['_n']}" for r in hot)
+            raise ValueError(
+                f"cluster_pairs_kernel: cell(s) exceed "
+                f"max_cell_size={max_cell_size} ({detail}); raise the "
+                "cap consciously (memory is block_rows*cell doubles) "
+                "or train more centroids"
+            )
+    id_type = emb.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    narrow = emb.filter(F.col(cell_col).isNotNull()).select(
+        cell_col, "vec_id", as_double_array(vec_col).alias("_vec")
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+        )
+        norms = np.linalg.norm(V, axis=1)
+        nz = norms > 0
+        ids, V, norms = ids[nz], V[nz], norms[nz]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        Vn = V / norms[:, None]
+        a_parts, b_parts, c_parts = [], [], []
+        for i0 in range(0, n, block_rows):
+            i1 = min(i0 + block_rows, n)
+            S = Vn[i0:i1] @ Vn.T
+            mask = S >= threshold
+            # keep the strict upper triangle in GLOBAL coordinates
+            cols = np.arange(n)[None, :]
+            rows = np.arange(i0, i1)[:, None]
+            mask &= cols > rows
+            r, c = np.nonzero(mask)
+            if len(r):
+                a_parts.append(ids[i0 + r])
+                b_parts.append(ids[c])
+                raw = S[r, c]
+                c_parts.append(
+                    np.copysign(
+                        np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw
+                    )
+                )
+        if not a_parts:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_parts),
+                "id_b": np.concatenate(b_parts),
+                "cosine": np.concatenate(c_parts),
+            }
+        )
+
+    return narrow.groupBy(cell_col).applyInPandas(cell_pairs, out_schema)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids=None,
+    k: int = 64,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    max_cell_size: Optional[int] = 100_000,
+    max_iters: int = 25,
+    method: str = "kernel",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, find cosine-duplicate groups WITHIN
+    each cluster, keep exactly one representative per group — the
+    member with the LOWEST similarity to its centroid (the paper's
+    rule: the most atypical copy preserves the most diversity), ties
+    to min ``vec_id``. Exact embedding dedup is all-pairs-impossible
+    at corpus scale; clustering makes the quadratic term per-cluster
+    (true near-dups of a vector share its cluster — the same pruning
+    argument as IVF), and ``max_cell_size`` fail-fasts the plan if a
+    degenerate clustering would hand one reducer a quadratic cell.
+
+    Stages (every one an already-measured primitive):
+    nearest-centroid assignment (:func:`assign_clusters`) ->
+    within-cluster pairs >= ``threshold`` (``kernel``: one dense
+    matmul per cell, :func:`cluster_pairs_kernel`; ``expr``: the
+    cluster-blocked fold join :func:`cosine_near_dup_pairs`, the
+    bit-exact oracle twin) -> connected components (pointer jumping
+    over the edge-induced subgraph, ``dedup.duplicate_clusters``) ->
+    survivor argmax (map-side-combinable ``min(struct)``,
+    ``dedup.cluster_survivors`` on NEGATED centroid_sim). The assigned
+    frame is persisted once — four narrow consumers (pair sides,
+    component seed, survivor scores) would otherwise re-run the
+    assignment kernel each.
+
+    Returns one row per input vector: (``vec_id``, ``cluster``,
+    ``centroid_sim``, ``group_id``, ``group_size``, ``is_dup``,
+    ``keep``) — filter ``keep`` for the deduplicated corpus; the rest
+    is the audit trail. Vectors with NULL cluster (empty/zero-norm)
+    never pair and ride through as keep=true singletons.
+
+    ``centroids=None`` trains ``k`` of them (:func:`train_kmeans`);
+    pass an array to reuse a trained/pinned codebook. ``method``
+    selects the assignment engine (:func:`assign_clusters`): ``kernel``
+    for scale, ``expr`` for bit-exact cross-engine oracle runs.
+    """
+    from table_ocr_spark.operators.dedup import (
+        cluster_survivors,
+        duplicate_clusters,
+    )
+
+    if centroids is None:
+        centroids = train_kmeans(emb, k=k, vec_col=vec_col)
+    assigned = assign_clusters(
+        emb.select("vec_id", vec_col), centroids, vec_col, method=method
+    ).persist()
+    if method == "kernel":
+        pairs = cluster_pairs_kernel(
+            assigned.filter(F.col("cluster").isNotNull()),
+            threshold=threshold,
+            vec_col=vec_col,
+            cell_col="cluster",
+            max_cell_size=max_cell_size,
+        )
+    else:
+        pairs = cosine_near_dup_pairs(
+            assigned.select(
+                "vec_id", vec_col, F.col("cluster").alias("label")
+            ),
+            threshold=threshold,
+            vec_col=vec_col,
+            max_cell_size=max_cell_size,
+        )
+    groups = duplicate_clusters(
+        assigned, pairs, id_col="vec_id", max_iters=max_iters
+    )
+    surv = cluster_survivors(
+        groups,
+        assigned.select("vec_id", (-F.col("centroid_sim")).alias("_neg")),
+        id_col="vec_id",
+        score_col="_neg",
+    )
+    return (
+        assigned.select("vec_id", "cluster", "centroid_sim")
+        .join(
+            groups.select(
+                "vec_id",
+                F.col("cluster_id").alias("group_id"),
+                F.col("cluster_size").alias("group_size"),
+                "is_dup",
+            ),
+            "vec_id",
+        )
+        .join(surv.select("vec_id", "keep"), "vec_id")
+    )

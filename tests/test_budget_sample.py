@@ -181,3 +181,89 @@ def test_upsample_null_and_zero_weight_strata(spark):
         == [0, 1, 2, 3]
     # zero-weight stratum with positive budget: one epoch-0 copy
     assert by_doc.get(3) == 0
+
+
+# ---------------------------------------------------------------------------
+# UniMax waterfilling (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_fractions_waterfill_shape(spark):
+    from table_ocr_spark.operators.sampling import unimax_fractions
+
+    # strata totals 10 / 20 / 70, max_epochs=2 -> caps 20 / 40 / 140.
+    # budget 90: sorted by cap asc -> a(20): 20*3=60 <= 90 -> capped;
+    # b(40): 40*2=80 <= 70? no -> uncapped; R=70 over {b,c}: 35 each.
+    rows = [(1, 0, 10), (2, 1, 20), (3, 2, 70)]
+    fr = unimax_fractions(
+        _df(spark, rows), 90, max_epochs=2, strata_col="tier"
+    )
+    assert fr == {0: (20, 10), 1: (35, 20), 2: (35, 70)}
+
+
+def test_unimax_remainder_goes_to_first_uncapped_in_order(spark):
+    from table_ocr_spark.operators.sampling import unimax_fractions
+
+    # equal caps, budget not divisible: 3 strata caps 100 each,
+    # budget 100 -> nobody capped (100*3 > 100); base 33 rem 1 ->
+    # the FIRST stratum in (cap, str(s)) order gets the extra token
+    rows = [(1, 0, 100), (2, 1, 100), (3, 2, 100)]
+    fr = unimax_fractions(
+        _df(spark, rows), 100, max_epochs=1, strata_col="tier"
+    )
+    assert fr == {0: (34, 100), 1: (33, 100), 2: (33, 100)}
+
+
+def test_unimax_budget_above_total_cap_leaves_excess_unspent(spark):
+    from table_ocr_spark.operators.sampling import unimax_fractions
+
+    rows = [(1, 0, 10), (2, 1, 20)]
+    fr = unimax_fractions(
+        _df(spark, rows), 10_000, max_epochs=3, strata_col="tier"
+    )
+    # every stratum at max_epochs, nothing more
+    assert fr == {0: (30, 10), 1: (60, 20)}
+
+
+def test_unimax_allocations_sum_exactly(spark):
+    from table_ocr_spark.operators.sampling import unimax_fractions
+
+    rows = [(i, i % 5, (i * 37) % 90 + 1) for i in range(40)]
+    df = _df(spark, rows)
+    caps_total = sum((r[2]) for r in rows) * 2
+    for budget in (0, 1, 17, 500, caps_total, caps_total + 5):
+        fr = unimax_fractions(df, budget, max_epochs=2, strata_col="tier")
+        assert sum(b for b, _ in fr.values()) == min(budget, caps_total)
+        # per-stratum epoch cap holds by construction
+        assert all(b <= 2 * t for b, t in fr.values())
+
+
+def test_unimax_sample_emits_capped_stratum_at_max_epochs(spark):
+    from table_ocr_spark.operators.sampling import unimax_sample
+
+    # tier 0 tiny (capped -> exactly 2 full epochs, no residual);
+    # tier 1 huge (waterfilled -> 0 full epochs + residual)
+    rows = [(1, 0, 5), (2, 0, 5), (100, 1, 400), (101, 1, 400)]
+    out = unimax_sample(
+        _df(spark, rows), 120, max_epochs=2, strata_col="tier"
+    ).collect()
+    t0 = [r for r in out if r["tier"] == 0]
+    # both tier-0 docs appear with epochs {0, 1}, nothing else
+    assert sorted((r["doc_id"], r["epoch"]) for r in t0) == [
+        (1, 0), (1, 1), (2, 0), (2, 1),
+    ]
+    # tier 1 got B=100 of T=800 -> residual-only membership rule
+    t1 = [r for r in out if r["tier"] == 1]
+    assert all(r["epoch"] == 0 for r in t1)
+    expect = {d for d in (100, 101) if _python_member(d, 100, 800)}
+    assert {r["doc_id"] for r in t1} == expect
+
+
+def test_unimax_validation(spark):
+    from table_ocr_spark.operators.sampling import unimax_fractions
+
+    df = _df(spark, [(1, 0, 10)])
+    with pytest.raises(ValueError, match="budget"):
+        unimax_fractions(df, -1, strata_col="tier")
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_fractions(df, 10, max_epochs=0, strata_col="tier")

@@ -290,3 +290,266 @@ def test_line_repetition_stats(spark):
     # map-only: per-document statistic must not shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped embedding dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _round6(x):
+    import decimal
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_EVEN
+        )
+    )
+
+
+def test_assign_clusters_cosine_argmax(spark):
+    import numpy as np
+    from table_ocr_spark.operators.similarity import assign_clusters
+
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    df = spark.createDataFrame(
+        [
+            (0, [0.9, 0.1, 0.0]),
+            (1, [0.1, 0.9, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero-norm -> NULL
+            (3, None),             # NULL vec -> NULL
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in assign_clusters(df, cents).collect()}
+    assert got[0]["cluster"] == 0 and got[1]["cluster"] == 1
+    v = np.array([0.9, 0.1, 0.0], dtype=np.float32).astype(np.float64)
+    expect = float(np.round(v[0] / np.linalg.norm(v), 6))
+    assert abs(got[0]["centroid_sim"] - expect) < 1e-12
+    assert got[2]["cluster"] is None and got[2]["centroid_sim"] is None
+    assert got[3]["cluster"] is None
+    # original columns ride through
+    assert set(got[0].asDict()) == {
+        "vec_id", "embedding", "cluster", "centroid_sim"
+    }
+
+
+def test_assign_clusters_ties_to_lowest_centroid_index(spark):
+    import numpy as np
+    from table_ocr_spark.operators.similarity import assign_clusters
+
+    # both centroids at the same rounded similarity -> index 0 wins
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(0, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    r = assign_clusters(df, cents).collect()[0]
+    assert r["cluster"] == 0
+
+
+def test_assign_clusters_dim_mismatch_fails_loud(spark):
+    import numpy as np
+    from table_ocr_spark.operators.similarity import assign_clusters
+
+    cents = np.array([[1.0, 0.0, 0.0]])
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        assign_clusters(df, cents).collect()
+
+
+def test_semantic_dedup_keeps_least_central_member(spark):
+    import numpy as np
+    from table_ocr_spark.operators.similarity import semantic_dedup
+
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    rows = [
+        # cluster-0 dup group: 10 is closest to the centroid, 12 the
+        # farthest -> SemDeDup keeps 12 (lowest centroid_sim)
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.995, 0.05, 0.0]),
+        (12, [0.98, 0.12, 0.0]),
+        # cluster-0 singleton (cosine to the group < threshold)
+        (13, [0.5, 0.0, 0.5]),
+        # cluster-1 exact twins: equal sims -> min id 20 survives
+        (20, [0.0, 1.0, 0.0]),
+        (21, [0.0, 1.0, 0.0]),
+        # zero vector: NULL cluster, rides through kept
+        (30, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, centroids=cents, threshold=0.95).collect()
+    }
+    assert len(out) == len(rows)
+    # group structure: {10,11,12} one group labeled 10; twins {20,21}
+    assert [out[i]["group_id"] for i in (10, 11, 12)] == [10, 10, 10]
+    assert out[10]["group_size"] == 3 and out[13]["group_size"] == 1
+    assert [out[i]["group_id"] for i in (20, 21)] == [20, 20]
+    # survivor rule: least-central in the trio, min-id among twins
+    assert [out[i]["keep"] for i in (10, 11, 12)] == [False, False, True]
+    assert out[20]["keep"] is True and out[21]["keep"] is False
+    # singletons and the zero vector always survive
+    assert out[13]["keep"] is True and out[30]["keep"] is True
+    assert out[30]["cluster"] is None
+    # exactly one survivor per group
+    kept = [r for r in out.values() if r["keep"]]
+    assert len(kept) == len({r["group_id"] for r in out.values()})
+
+
+def test_train_kmeans_deterministic_and_separating(spark):
+    import numpy as np
+    from table_ocr_spark.operators.similarity import (
+        assign_clusters,
+        train_kmeans,
+    )
+
+    rng = np.random.default_rng(5)
+    blob_a = rng.normal([5.0, 0.0, 0.0], 0.05, (20, 3))
+    blob_b = rng.normal([0.0, 5.0, 0.0], 0.05, (20, 3))
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([blob_a, blob_b]))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = train_kmeans(df, k=2, max_train=64)
+    c2 = train_kmeans(df, k=2, max_train=64)
+    assert c1.shape == (2, 3) and (c1 == c2).all()
+    got = assign_clusters(df, c1).collect()
+    a_clusters = {r["cluster"] for r in got if r["vec_id"] < 20}
+    b_clusters = {r["cluster"] for r in got if r["vec_id"] >= 20}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+
+
+def test_pinned_centroids_md5_rule(spark):
+    import hashlib
+    import numpy as np
+    from table_ocr_spark.operators.similarity import pinned_centroids
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pinned_centroids(df, k=3)
+    order = sorted(range(10), key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i
+    ))[:3]
+    expect = np.array([[float(i), 1.0] for i in order])
+    assert (got == expect).all()
+    with pytest.raises(ValueError, match="only"):
+        pinned_centroids(df, k=99)
+
+
+def test_assign_clusters_kernel_expr_differential(spark):
+    """The matmul kernel (scale path) and the JVM-fold expression twin
+    (oracle path) must agree on every (cluster, centroid_sim) over the
+    REAL embeddings table — the guarantee that lets the contract row
+    run expr while bench runs kernel."""
+    import os
+    from table_ocr_spark.operators.similarity import (
+        assign_clusters,
+        pinned_centroids,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = pinned_centroids(emb, k=4)
+    a = assign_clusters(emb, cents, method="kernel")
+    b = assign_clusters(emb, cents, method="expr")
+    diff = (
+        a.select("vec_id", "cluster", "centroid_sim")
+        .exceptAll(b.select("vec_id", "cluster", "centroid_sim"))
+        .count()
+    )
+    assert diff == 0
+    with pytest.raises(ValueError, match="method"):
+        assign_clusters(emb, cents, method="nope")
+
+
+def test_cluster_pairs_kernel_matches_fold_join(spark):
+    """The dense-matmul pair kernel and the JVM fold join must emit
+    identical (id_a, id_b, cosine) rows over the real embeddings."""
+    import os
+    from table_ocr_spark.operators.similarity import (
+        assign_clusters,
+        cluster_pairs_kernel,
+        cosine_near_dup_pairs,
+        pinned_centroids,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # planted exact copies + a LOW threshold: random 64-dim cosines
+    # cluster near 0, so 0.2 lets genuine (non-planted) pairs exercise
+    # the rounding path too
+    emb = base.unionByName(
+        base.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = pinned_centroids(emb, k=3)
+    assigned = assign_clusters(emb, cents).cache()
+    kern = cluster_pairs_kernel(
+        assigned, threshold=0.2, cell_col="cluster", block_rows=7
+    )
+    fold = cosine_near_dup_pairs(
+        assigned.select("vec_id", "embedding", F.col("cluster").alias("label")),
+        threshold=0.2,
+    )
+    assert kern.count() > 0
+    assert kern.exceptAll(fold).count() == 0
+    assert fold.exceptAll(kern).count() == 0
+
+
+def test_cluster_pairs_kernel_cell_guard(spark):
+    from table_ocr_spark.operators.similarity import cluster_pairs_kernel
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, cluster int",
+    )
+    with pytest.raises(ValueError, match="max_cell_size"):
+        cluster_pairs_kernel(df, max_cell_size=5)
+    # NULL cells and zero vectors drop instead of pairing
+    weird = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], None),
+            (2, [1.0, 0.0], None),
+            (3, [0.0, 0.0], 0),
+            (4, [1.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, cluster int",
+    )
+    assert cluster_pairs_kernel(weird, threshold=0.0).count() == 0
+
+
+def test_semantic_dedup_kernel_expr_differential(spark):
+    """Full-pipeline differential: semantic_dedup on the matmul kernel
+    vs the expr oracle twin over the real embeddings — every output
+    row (assignment, grouping, survivor) identical."""
+    import os
+    from table_ocr_spark.operators.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    cents = pinned_centroids(corpus, k=3)
+    a = semantic_dedup(corpus, centroids=cents, threshold=0.99, method="kernel")
+    b = semantic_dedup(corpus, centroids=cents, threshold=0.99, method="expr")
+    assert a.count() == corpus.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # the planted copies actually deduplicated
+    assert a.filter(~F.col("keep")).count() > 0
