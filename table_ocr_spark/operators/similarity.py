@@ -1145,9 +1145,13 @@ def semantic_dedup(
             vec_col=vec_col,
             max_cell_size=max_cell_size,
         )
+    # persisted: TWO consumers (survivor scores, final audit join)
+    # would otherwise each re-run the corpus-wide label join that
+    # closes the CC output — narrow rows (id + 2 longs + bool), so
+    # the cache is id-cardinality, never payload-cardinality
     groups = duplicate_clusters(
         assigned, pairs, id_col="vec_id", max_iters=max_iters
-    )
+    ).persist()
     surv = cluster_survivors(
         groups,
         assigned.select("vec_id", (-F.col("centroid_sim")).alias("_neg")),
