@@ -46,6 +46,7 @@ ANN_K, IVF_K = 5, 3
 EMB_COPY_MOD, EMB_COPY_OFF = 20, 10_000
 NEAR_DUP_T = 0.99
 SEMDEDUP_K = 4  # pinned-seed centroid count for the semdedup leg
+NGRAM_MIN_COUNT, NGRAM_ALPHA = 2, 0.4  # trigram stupid-backoff leg
 SESSION_GAP_US = 1800 * 1_000_000
 KEY_BAD_MOD = 97
 JSON_BAD_MOD = 13
@@ -1819,13 +1820,35 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 order-n ladder over unigram_logprob: Stupid Backoff
+    trigram LM (Brants et al. 2007 — every probability a rational
+    function of integer counts; alpha powers injected as identical
+    double literals in both engines), self-scored with min_count=2
+    pruning so singleton trigrams genuinely back off inside the hash
+    gate."""
+    from table_ocr_spark.operators.textstats import ngram_logprob
+
+    return ngram_logprob(
+        _read(spark, sf_dir, "documents"),
+        n=3,
+        min_count=NGRAM_MIN_COUNT,
+        alpha=NGRAM_ALPHA,
+    ).select(
+        "doc_id",
+        F.col("avg_neg_logprob").alias("tri_neg_logprob"),
+        F.col("backoff_frac").alias("tri_backoff_frac"),
+    )
+
+
 def q_fingerprint_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_fingerprint ⊕ unigram_logprob ⊕ ccnet_buckets, joined on
-    doc_id."""
+    """doc_fingerprint ⊕ unigram_logprob ⊕ ccnet_buckets ⊕ (round 5)
+    trigram stupid-backoff LM, joined on doc_id."""
     return (
         q_fingerprint(spark, sf_dir)
         .join(q_unigram_logprob(spark, sf_dir), "doc_id")
         .join(q_ccnet_buckets(spark, sf_dir), "doc_id")
+        .join(q_trigram_logprob(spark, sf_dir), "doc_id")
     )
 
 
@@ -2615,6 +2638,65 @@ _ANN_BASE_SQL = """
         FROM s)
   WHERE rn <= {k}
 """
+
+
+def _ngram_logprob_sql() -> str:
+    """Trigram stupid-backoff oracle: identical gram keys (DuckDB
+    1-based ``toks[i]`` mapped to the Spark transform's 0-based pos),
+    identical count joins, the same lag-window context recovery, and
+    the EXACT branch order of textstats.ngram_logprob — alpha powers
+    are the same Python-computed double literals the Spark plan
+    carries."""
+    a1, a2 = NGRAM_ALPHA, NGRAM_ALPHA * NGRAM_ALPHA
+    return f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      gi AS (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks))) AS i FROM t),
+      g AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w,
+                   CASE WHEN i >= 2
+                        THEN toks[i-1] || ' ' || toks[i] END AS b,
+                   CASE WHEN i >= 3
+                        THEN toks[i-2] || ' ' || toks[i-1] || ' ' ||
+                             toks[i] END AS t3
+            FROM gi),
+      c1 AS (SELECT w, count(*) AS c1 FROM g GROUP BY w),
+      c2 AS (SELECT b, count(*) AS c2 FROM g
+             WHERE b IS NOT NULL GROUP BY b),
+      c3 AS (SELECT t3, count(*) AS c3 FROM g
+             WHERE t3 IS NOT NULL GROUP BY t3),
+      tt AS (SELECT CAST(sum(c1) AS BIGINT) AS tot FROM c1),
+      j AS (SELECT g.doc_id, g.pos, c1.c1, c2.c2, c3.c3, tt.tot,
+                   lag(c1.c1) OVER w AS c1p,
+                   lag(c2.c2) OVER w AS c2p
+            FROM g JOIN c1 USING (w)
+                   LEFT JOIN c2 USING (b)
+                   LEFT JOIN c3 USING (t3), tt
+            WINDOW w AS (PARTITION BY g.doc_id ORDER BY g.pos)),
+      s AS (SELECT doc_id,
+              CASE
+                WHEN pos >= 2 AND c3 >= {NGRAM_MIN_COUNT}
+                  THEN CAST(c3 AS DOUBLE) / CAST(c2p AS DOUBLE)
+                WHEN pos >= 2 AND c2 >= {NGRAM_MIN_COUNT}
+                  THEN {a1!r} * (CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE))
+                WHEN pos >= 2
+                  THEN {a2!r} * (CAST(c1 AS DOUBLE) / CAST(tot AS DOUBLE))
+                WHEN pos = 1 AND c2 >= {NGRAM_MIN_COUNT}
+                  THEN CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE)
+                WHEN pos = 1
+                  THEN {a1!r} * (CAST(c1 AS DOUBLE) / CAST(tot AS DOUBLE))
+                ELSE CAST(c1 AS DOUBLE) / CAST(tot AS DOUBLE)
+              END AS ratio,
+              CASE WHEN pos >= 2 AND c3 >= {NGRAM_MIN_COUNT} THEN 0
+                   WHEN pos = 1 AND c2 >= {NGRAM_MIN_COUNT} THEN 0
+                   WHEN pos = 0 THEN 0 ELSE 1 END AS bo
+            FROM j)
+      SELECT doc_id,
+             round(avg(-ln(ratio)), 6) AS tri_neg_logprob,
+             round(avg(CAST(bo AS DOUBLE)), 6) AS tri_backoff_frac
+      FROM s GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, 0.0, 0.0 FROM t WHERE len(toks) = 0
+    """
 
 
 def _semdedup_sql() -> str:
@@ -4403,7 +4485,8 @@ def oracle_sql() -> dict[str, str]:
     sql["fingerprint_logprob"] = (
         f"SELECT * FROM ({sql.pop('doc_fingerprint')}) a "
         f"JOIN ({sql.pop('unigram_logprob')}) b USING (doc_id) "
-        f"JOIN ({_ccnet_sql}) c USING (doc_id)"
+        f"JOIN ({_ccnet_sql}) c USING (doc_id) "
+        f"JOIN ({_ngram_logprob_sql()}) d USING (doc_id)"
     )
     sql["quality_pii"] = (
         f"SELECT * FROM ({sql.pop('quality_filter')}) a "

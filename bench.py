@@ -125,6 +125,7 @@ R5_NEW = [
     "bpe_tokenize",
     "unimax_sample",
     "semantic_dedup",
+    "trigram_logprob",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW + R5_NEW
@@ -161,6 +162,7 @@ def _bench_queries(em) -> dict:
         "langid_classifier": em.q_langid_classifier,
         "bpe_tokenize": em.q_bpe_tokenize,
         "unimax_sample": em.q_unimax_only,
+        "trigram_logprob": em.q_trigram_logprob,
         # the scale-path kernel twin; the contract leg times as part
         # of the embedding_near_dup composite on the expr engine
         "semantic_dedup": em.q_semantic_dedup_kernel,

@@ -553,3 +553,111 @@ def test_semantic_dedup_kernel_expr_differential(spark):
     assert b.exceptAll(a).count() == 0
     # the planted copies actually deduplicated
     assert a.filter(~F.col("keep")).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff n-gram LM (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_hand_oracle(corpus, n=3, mc=2, a1=0.4):
+    import math
+    from collections import Counter
+
+    a2 = a1 * a1
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for toks in corpus.values():
+        for i, w in enumerate(toks):
+            c1[w] += 1
+            if i >= 1:
+                c2[(toks[i - 1], w)] += 1
+            if n == 3 and i >= 2:
+                c3[(toks[i - 2], toks[i - 1], w)] += 1
+    T = sum(c1.values())
+    out = {}
+    for d, toks in corpus.items():
+        nls, bos = [], []
+        for i, w in enumerate(toks):
+            if n == 3 and i >= 2 and c3[(toks[i - 2], toks[i - 1], w)] >= mc:
+                r, bo = c3[(toks[i - 2], toks[i - 1], w)] / c2[(toks[i - 2], toks[i - 1])], 0
+            elif i >= 1 and n == 3 and i >= 2 and c2[(toks[i - 1], w)] >= mc:
+                r, bo = a1 * c2[(toks[i - 1], w)] / c1[toks[i - 1]], 1
+            elif n == 3 and i >= 2:
+                r, bo = a2 * c1[w] / T, 1
+            elif i >= 1 and c2[(toks[i - 1], w)] >= mc:
+                r, bo = c2[(toks[i - 1], w)] / c1[toks[i - 1]], 0
+            elif i >= 1:
+                r, bo = a1 * c1[w] / T, 1
+            else:
+                r, bo = c1[w] / T, 0
+            nls.append(-math.log(r))
+            bos.append(bo)
+        out[d] = (
+            len(toks),
+            round(sum(nls) / len(nls), 6),
+            round(sum(bos) / len(bos), 6),
+        )
+    return out
+
+
+def test_ngram_logprob_matches_hand_oracle(spark):
+    from table_ocr_spark.operators.textstats import ngram_logprob
+
+    docs = [
+        (1, "a b c a b c"),
+        (2, "a b x"),
+        (3, ""),
+        (4, "z"),
+        (5, "c a b c a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = {d: t.split() for d, t in docs if t}
+    expect = _ngram_hand_oracle(corpus)
+    for n in (3, 2):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["avg_neg_logprob"], r["backoff_frac"]
+            )
+            for r in ngram_logprob(df, n=n, min_count=2).collect()
+        }
+        exp = expect if n == 3 else _ngram_hand_oracle(corpus, n=2)
+        assert got[3] == (0, 0.0, 0.0)  # empty doc backfill
+        for d in corpus:
+            assert got[d] == exp[d], (n, d, got[d], exp[d])
+
+
+def test_ngram_logprob_min_count_1_never_backs_off(spark):
+    from table_ocr_spark.operators.textstats import ngram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "u v w")], "doc_id long, text string"
+    )
+    got = ngram_logprob(df, min_count=1).collect()
+    assert all(r["backoff_frac"] == 0.0 for r in got)
+
+
+def test_ngram_logprob_deterministic_across_runs_and_partitioning(spark):
+    from table_ocr_spark.operators.textstats import ngram_logprob
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    runs = [
+        sorted(
+            ngram_logprob(df.repartition(p), min_count=2).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        for p in (2, 13, 2)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert len(runs[0]) == df.count()
+
+
+def test_ngram_logprob_validation(spark):
+    from table_ocr_spark.operators.textstats import ngram_logprob
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must"):
+        ngram_logprob(df, n=4)
+    with pytest.raises(ValueError, match="min_count"):
+        ngram_logprob(df, min_count=0)
+    with pytest.raises(ValueError, match="alpha"):
+        ngram_logprob(df, alpha=0.0)
