@@ -2695,7 +2695,10 @@ def _ngram_logprob_sql() -> str:
              round(avg(CAST(bo AS DOUBLE)), 6) AS tri_backoff_frac
       FROM s GROUP BY doc_id
       UNION ALL
-      SELECT doc_id, 0.0, 0.0 FROM t WHERE len(toks) = 0
+      -- coalesce: NULL text gives NULL toks in DuckDB, but Spark's
+      -- tokens() coalesces NULL to [] and the operator backfills it —
+      -- a bare len(toks) = 0 would drop those docs from the oracle
+      SELECT doc_id, 0.0, 0.0 FROM t WHERE coalesce(len(toks), 0) = 0
     """
 
 

@@ -289,39 +289,49 @@ def train_pq_codebooks(
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for s in range(m):
         Xs = np.ascontiguousarray(X[:, s * dsub:(s + 1) * dsub])
-        # k-means++ init under the pinned rng
-        cents = np.empty((ksub, dsub))
-        cents[0] = Xs[rng.integers(Xs.shape[0])]
-        d2 = ((Xs - cents[0]) ** 2).sum(axis=1)
-        for c in range(1, ksub):
-            tot = d2.sum()
-            if tot <= 0:  # all points identical to chosen centroids
-                cents[c:] = cents[0]
-                break
-            cents[c] = Xs[rng.choice(Xs.shape[0], p=d2 / tot)]
-            d2 = np.minimum(d2, ((Xs - cents[c]) ** 2).sum(axis=1))
-        for _ in range(iters):
-            # assignment via the expanded form: argmin ||x||²-2xc+||c||²
-            dists = (
-                (Xs ** 2).sum(axis=1, keepdims=True)
-                - 2.0 * Xs @ cents.T
-                + (cents ** 2).sum(axis=1)
-            )
-            assign = dists.argmin(axis=1)
-            # point→assigned-centroid distances, masked as re-seeds consume
-            # points so two empty clusters in one round never pick the same
-            # farthest point (which would pin duplicate centroids)
-            own = dists[np.arange(Xs.shape[0]), assign].copy()
-            for c in range(ksub):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = Xs[mask].mean(axis=0)
-                else:  # deterministic re-seed: farthest unconsumed point
-                    far = own.argmax()
-                    cents[c] = Xs[far]
-                    own[far] = -np.inf
-        books[s] = cents
+        books[s] = _lloyd(Xs, ksub, rng, iters)
     return books
+
+
+def _lloyd(Xs, ksub: int, rng, iters: int):
+    """Deterministic Lloyd over one matrix: k-means++ init under the
+    supplied rng, FIXED iteration count, deterministic empty-cluster
+    re-seeding. Shared by the per-subspace PQ trainer and the
+    full-dimension :func:`train_kmeans`."""
+    import numpy as np
+
+    # k-means++ init under the pinned rng
+    cents = np.empty((ksub, Xs.shape[1]))
+    cents[0] = Xs[rng.integers(Xs.shape[0])]
+    d2 = ((Xs - cents[0]) ** 2).sum(axis=1)
+    for c in range(1, ksub):
+        tot = d2.sum()
+        if tot <= 0:  # all points identical to chosen centroids
+            cents[c:] = cents[0]
+            break
+        cents[c] = Xs[rng.choice(Xs.shape[0], p=d2 / tot)]
+        d2 = np.minimum(d2, ((Xs - cents[c]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        # assignment via the expanded form: argmin ||x||²-2xc+||c||²
+        dists = (
+            (Xs ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * Xs @ cents.T
+            + (cents ** 2).sum(axis=1)
+        )
+        assign = dists.argmin(axis=1)
+        # point→assigned-centroid distances, masked as re-seeds consume
+        # points so two empty clusters in one round never pick the same
+        # farthest point (which would pin duplicate centroids)
+        own = dists[np.arange(Xs.shape[0]), assign].copy()
+        for c in range(ksub):
+            mask = assign == c
+            if mask.any():
+                cents[c] = Xs[mask].mean(axis=0)
+            else:  # deterministic re-seed: farthest unconsumed point
+                far = own.argmax()
+                cents[c] = Xs[far]
+                own[far] = -np.inf
+    return cents
 
 
 def _pq_encode_udf(codebooks):
@@ -784,17 +794,43 @@ def train_kmeans(
     iters: int = 10,
 ):
     """Full-dimension k-means centroids for SemDeDup-style semantic
-    clustering: :func:`train_pq_codebooks` with ``m=1`` IS full-dim
-    Lloyd — bounded deterministic sample (smallest ``xxhash64(vec_id)``
-    rows), pinned k-means++ seed, fixed iteration count, deterministic
-    empty-cluster re-seeding — so the trainer is reused, not
-    re-implemented. Returns numpy ``(k, dim)`` float64 cluster means
-    (inside the unit ball, NOT re-normalized; cosine assignment
-    normalizes both sides). Same input -> bit-identical centroids."""
-    return train_pq_codebooks(
-        emb, m=1, ksub=k, vec_col=vec_col, max_train=max_train,
-        iters=iters,
-    )[0]
+    clustering: the SAME bounded deterministic sample rule (smallest
+    ``xxhash64(vec_id)`` rows), pinned k-means++ seed, fixed iteration
+    count and deterministic empty-cluster re-seeding as the PQ
+    trainer (:func:`_lloyd` is shared) — but WITHOUT the PQ ``ksub <=
+    256`` byte-code storage cap, which is a property of 1-byte PQ
+    codes, not of centroid training (SemDeDup-scale k is 10^2..10^4).
+    Returns numpy ``(k, dim)`` float64 cluster means (inside the unit
+    ball, NOT re-normalized; cosine assignment normalizes both
+    sides). Same input -> bit-identical centroids."""
+    import numpy as np
+
+    if not 2 <= k <= 65_536:
+        raise ValueError(f"train_kmeans: k={k} not in [2, 65536]")
+    if max_train > PQ_MAX_TRAIN:
+        raise ValueError(
+            f"train_kmeans: max_train={max_train} exceeds the enforced "
+            f"driver-collect bound {PQ_MAX_TRAIN}"
+        )
+    rows = (
+        _with_vec(emb, vec_col, with_label=False)
+        .filter(F.col("vec").isNotNull() & (F.size("vec") > 0))
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(max_train)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_kmeans: no non-empty vectors to train on")
+    X = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]  # cosine regime
+    if X.shape[0] < k:
+        raise ValueError(
+            f"train_kmeans: only {X.shape[0]} usable training vectors "
+            f"for k={k}; lower k or widen the sample"
+        )
+    rng = np.random.default_rng(2654435761)
+    return _lloyd(np.ascontiguousarray(X), k, rng, iters)
 
 
 def pinned_centroids(emb: DataFrame, k: int = 8, vec_col: str = "embedding"):
@@ -938,6 +974,25 @@ def assign_clusters(
     if method != "expr":
         raise ValueError(f"assign_clusters: unknown method {method!r}")
     vec = as_double_array(vec_col)
+    # mirror the kernel's loud dim-mismatch: without this, zip_with
+    # null-pads a wrong-width vector, the fold goes NULL, and the
+    # corrupt row silently rides through as a never-dedup-checked
+    # NULL-cluster singleton — the exact silent-shrink the kernel
+    # refuses (engines must agree on corrupt input too)
+    dim = c.shape[1]
+    width_ok = (
+        F.size(vec).isNull() | (F.size(vec) == 0) | (F.size(vec) == dim)
+    )
+    vec = F.when(
+        ~width_ok,
+        F.raise_error(
+            F.concat(
+                F.lit("assign_clusters: vector of dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" vs centroid dim {dim}"),
+            )
+        ).cast("array<double>"),
+    ).otherwise(vec)
     sims = F.array(
         *[
             F.round(
@@ -1031,6 +1086,14 @@ def cluster_pairs_kernel(
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
+        widths = {len(v) for v in pdf["_vec"]}
+        if len(widths) > 1:
+            # a ragged np.asarray would surface as an opaque
+            # object-dtype error deep in the task; name the cause
+            raise ValueError(
+                f"cluster_pairs_kernel: mixed vector widths {sorted(widths)} "
+                f"in cell {pdf.iloc[0][cell_col]!r}"
+            )
         V = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
         )
@@ -1137,8 +1200,13 @@ def semantic_dedup(
             max_cell_size=max_cell_size,
         )
     else:
+        # NULL clusters (zero-norm vectors) can never equi-join into a
+        # pair, but the hot-cell guard inside cosine_near_dup_pairs
+        # counts label cells INCLUDING the NULL cell — filter first so
+        # a corpus with many empty vectors doesn't trip a spurious
+        # max_cell_size failure the kernel path wouldn't hit
         pairs = cosine_near_dup_pairs(
-            assigned.select(
+            assigned.filter(F.col("cluster").isNotNull()).select(
                 "vec_id", vec_col, F.col("cluster").alias("label")
             ),
             threshold=threshold,

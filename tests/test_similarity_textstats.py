@@ -297,15 +297,6 @@ def test_line_repetition_stats(spark):
 # ---------------------------------------------------------------------------
 
 
-def _round6(x):
-    import decimal
-    return float(
-        decimal.Decimal(x).quantize(
-            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_EVEN
-        )
-    )
-
-
 def test_assign_clusters_cosine_argmax(spark):
     import numpy as np
     from table_ocr_spark.operators.similarity import assign_clusters
@@ -661,3 +652,62 @@ def test_ngram_logprob_validation(spark):
         ngram_logprob(df, min_count=0)
     with pytest.raises(ValueError, match="alpha"):
         ngram_logprob(df, alpha=0.0)
+
+
+def test_assign_clusters_expr_dim_mismatch_fails_loud(spark):
+    """The expr twin must refuse corrupt-width vectors like the kernel
+    does — zip_with's null padding would otherwise silently shrink
+    the dedup universe (review r5)."""
+    import numpy as np
+    from table_ocr_spark.operators.similarity import assign_clusters
+
+    cents = np.array([[1.0, 0.0, 0.0]])
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        assign_clusters(df, cents, method="expr").collect()
+    # NULL / empty vectors still pass through as NULL, not an error
+    ok = spark.createDataFrame(
+        [(0, None), (1, [])], "vec_id long, embedding array<float>"
+    )
+    got = assign_clusters(ok, cents, method="expr").collect()
+    assert all(r["cluster"] is None for r in got)
+
+
+def test_cluster_pairs_kernel_mixed_width_fails_loud(spark):
+    from table_ocr_spark.operators.similarity import cluster_pairs_kernel
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, cluster int",
+    )
+    with pytest.raises(Exception, match="mixed vector widths"):
+        cluster_pairs_kernel(df, threshold=0.0).count()
+
+
+def test_train_kmeans_above_pq_byte_cap(spark):
+    """k > 256 must train (the 256 cap is a PQ byte-code storage
+    property, not a centroid-training one — review r5)."""
+    import numpy as np
+    from table_ocr_spark.operators.similarity import train_kmeans
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c = train_kmeans(df, k=300, max_train=512)
+    assert c.shape == (300, 4)
+    with pytest.raises(ValueError, match="not in"):
+        train_kmeans(df, k=1)
+
+
+def test_ngram_logprob_null_text_backfilled(spark):
+    from table_ocr_spark.operators.textstats import ngram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in ngram_logprob(df).collect()}
+    assert got[2]["n_tokens"] == 0 and got[2]["avg_neg_logprob"] == 0.0
