@@ -2442,9 +2442,20 @@ def q_usage_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tagged_union("variant", [("usage", usage), ("cost", cost)])
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 corpus data card (operators/report.py): long-format
+    (section, key, n, value) — exact totals, language shares, exact
+    token-count quartiles (the pinned integer-ceil ranks), and the
+    Gopher pass rate — every number oracle-reproducible."""
+    from table_ocr_spark.operators.report import corpus_report
+
+    return corpus_report(_read(spark, sf_dir, "documents"))
+
+
 def q_grouped_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus_summary (per-lang moments) ∪ salted_host_agg (skew-safe
-    per-source), unified to a shared wide schema."""
+    per-source) ∪ (round 5) corpus_report (the data card, section
+    riding the variant tag), unified to a shared wide schema."""
     corpus = q_corpus_summary(spark, sf_dir).select(
         F.col("lang").alias("k"),
         "n_docs",
@@ -2461,9 +2472,19 @@ def q_grouped_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("stddev_chars"),
         F.lit(None).cast("double").alias("median_chars"),
     )
-    return _tagged_union(
+    report = q_corpus_report(spark, sf_dir).select(
+        F.concat(F.lit("report:"), F.col("section")).alias("variant"),
+        F.col("key").alias("k"),
+        F.col("n").alias("n_docs"),
+        F.lit(None).cast("long").alias("total_chars"),
+        F.col("value").alias("avg_chars"),
+        F.lit(None).cast("double").alias("stddev_chars"),
+        F.lit(None).cast("double").alias("median_chars"),
+    )
+    base = _tagged_union(
         "variant", [("corpus", corpus), ("salted_host", salted)]
     )
+    return base.unionByName(report)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2638,6 +2659,79 @@ _ANN_BASE_SQL = """
         FROM s)
   WHERE rn <= {k}
 """
+
+
+def _corpus_report_sql() -> str:
+    """Data-card oracle: exact totals from the same pinned token/char
+    definitions (NULL text coalesced, the tokens() pin), language
+    shares over the corpus count, token-count quantiles at the SAME
+    integer-ceil rank targets tier_cutoffs pins (DISTINCT ranks, so a
+    tiny corpus yields fewer rows in both engines), and the Gopher
+    pass rate with flags compared on the UNROUNDED ratios exactly as
+    gopher_quality does."""
+    return f"""
+      WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks
+                 FROM documents),
+      m AS (SELECT doc_id, lang,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                   coalesce(CAST(list_sum(list_transform(toks,
+                     w -> CAST(length(w) AS BIGINT))) AS BIGINT), 0)
+                     AS tok_chars,
+                   CAST(length(regexp_replace(coalesce(text, ''),
+                     '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS symbols
+            FROM t),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+      corpus AS (
+        SELECT 'corpus' AS section, 'docs' AS key, n AS n,
+               CAST(NULL AS DOUBLE) AS value FROM nn
+        UNION ALL
+        SELECT 'corpus', 'tokens', CAST(sum(n_tokens) AS BIGINT), NULL
+        FROM m
+        UNION ALL
+        SELECT 'corpus', 'chars', CAST(sum(n_chars) AS BIGINT), NULL
+        FROM m
+        UNION ALL
+        SELECT 'corpus', 'empty_docs',
+               CAST(count(*) FILTER (n_tokens = 0) AS BIGINT),
+               round(CAST(count(*) FILTER (n_tokens = 0) AS DOUBLE)
+                     / greatest((SELECT n FROM nn), 1), 6)
+        FROM m),
+      langs AS (
+        SELECT 'lang' AS section,
+               coalesce(CAST(lang AS VARCHAR), '') AS key,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(count(*) AS DOUBLE) / (SELECT n FROM nn), 6)
+                 AS value
+        FROM m GROUP BY lang),
+      r AS (SELECT n_tokens AS s,
+                   row_number() OVER (ORDER BY n_tokens) AS rk FROM m),
+      rt AS (SELECT DISTINCT ((SELECT n FROM nn) * i + 3) // 4 AS rk
+             FROM (VALUES (1), (2), (3)) AS v(i)),
+      quant AS (
+        SELECT 'tokens_quantile' AS section,
+               'q' || CAST(row_number() OVER (ORDER BY r.rk) AS VARCHAR)
+                 AS key,
+               CAST(NULL AS BIGINT) AS n, CAST(r.s AS DOUBLE) AS value
+        FROM r JOIN rt USING (rk)),
+      qual AS (
+        SELECT 'quality' AS section, 'gopher_pass' AS key,
+               CAST(count(*) FILTER (ok) AS BIGINT) AS n,
+               round(CAST(count(*) FILTER (ok) AS DOUBLE)
+                     / greatest((SELECT n FROM nn), 1), 6) AS value
+        FROM (SELECT (n_tokens >= 10 AND n_tokens <= 100000
+                      AND (CAST(tok_chars AS DOUBLE)
+                           / greatest(n_tokens, 1)) >= 2.0
+                      AND (CAST(tok_chars AS DOUBLE)
+                           / greatest(n_tokens, 1)) <= 12.0
+                      AND (CAST(symbols AS DOUBLE)
+                           / greatest(n_chars, 1)) <= 0.1) AS ok
+              FROM m))
+      SELECT * FROM corpus
+      UNION ALL SELECT * FROM langs
+      UNION ALL SELECT * FROM quant
+      UNION ALL SELECT * FROM qual
+    """
 
 
 def _ngram_logprob_sql() -> str:
@@ -4678,7 +4772,10 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({sql.pop('corpus_summary')}) "
         "UNION ALL SELECT 'salted_host', source, n_docs, sum_chars, "
         "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) "
-        f"FROM ({sql.pop('salted_host_agg')})"
+        f"FROM ({sql.pop('salted_host_agg')}) "
+        "UNION ALL SELECT 'report:' || section, key, n, "
+        "CAST(NULL AS BIGINT), value, CAST(NULL AS DOUBLE), "
+        f"CAST(NULL AS DOUBLE) FROM ({_corpus_report_sql()})"
     )
 
     return sql

@@ -126,6 +126,7 @@ R5_NEW = [
     "unimax_sample",
     "semantic_dedup",
     "trigram_logprob",
+    "corpus_report",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW + R5_NEW
@@ -163,6 +164,7 @@ def _bench_queries(em) -> dict:
         "bpe_tokenize": em.q_bpe_tokenize,
         "unimax_sample": em.q_unimax_only,
         "trigram_logprob": em.q_trigram_logprob,
+        "corpus_report": em.q_corpus_report,
         # the scale-path kernel twin; the contract leg times as part
         # of the embedding_near_dup composite on the expr engine
         "semantic_dedup": em.q_semantic_dedup_kernel,

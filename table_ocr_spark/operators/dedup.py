@@ -1251,3 +1251,61 @@ def novel_documents(
     return keyed_new.join(
         seen_keys, ["_h64", "_h128"], "left_anti"
     ).drop("_h64", "_h128")
+
+
+def plan_lsh_bands(
+    threshold: float,
+    num_hashes: int = 128,
+    fp_weight: float = 0.5,
+    _steps: int = 1000,
+) -> tuple:
+    """Pick (bands, rows_per_band) for MinHash LSH at a target Jaccard
+    ``threshold`` — the knob :func:`minhash_lsh_pairs` otherwise asks
+    the caller to eyeball. Standard S-curve analysis (Leskovec/
+    Rajaraman/Ullman ch.3; the same integral objective datasketch's
+    ``_optimal_param`` uses, public): candidate probability at
+    similarity s is ``1 - (1 - s^r)^b``; for every factorization
+    ``b * r <= num_hashes`` integrate the false-positive mass below
+    the threshold and the false-negative mass above it (fixed-step
+    midpoint sums — deterministic, no scipy) and take the
+    factorization minimizing ``fp_weight * FP + (1-fp_weight) * FN``.
+    Ties break toward fewer bands (fewer band buckets = less shuffle).
+
+    Driver-side pure arithmetic over <= num_hashes factorizations of
+    two integers — no data touched. Returns ``(bands, rows_per_band,
+    weighted_error)``; feed ``rows_per_band`` and ``num_hashes =
+    bands * rows_per_band`` into :func:`minhash_lsh_pairs`. The exact
+    verify step downstream makes FP purely a COST concern (verified
+    away) while FN is a RECALL concern (a missed candidate is never
+    recovered) — weight accordingly: ``fp_weight`` below 0.5 tightens
+    recall at more verify work.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"plan_lsh_bands: threshold must be in (0,1), "
+                         f"got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"plan_lsh_bands: num_hashes must be >= 2, "
+                         f"got {num_hashes}")
+    if not 0.0 <= fp_weight <= 1.0:
+        raise ValueError(f"plan_lsh_bands: fp_weight must be in [0,1], "
+                         f"got {fp_weight}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        r = num_hashes // b
+        if r < 1:
+            break
+        # FP: integral of P(candidate) below threshold (midpoint rule)
+        # FN: integral of 1 - P(candidate) above threshold
+        fp = fn = 0.0
+        w_lo = threshold / _steps
+        for i in range(_steps):
+            s = (i + 0.5) * w_lo
+            fp += (1.0 - (1.0 - s ** r) ** b) * w_lo
+        w_hi = (1.0 - threshold) / _steps
+        for i in range(_steps):
+            s = threshold + (i + 0.5) * w_hi
+            fn += (1.0 - (1.0 - (1.0 - s ** r) ** b)) * w_hi
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[2] - 1e-15:
+            best = (b, r, err)
+    return best

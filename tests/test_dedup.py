@@ -708,3 +708,38 @@ def test_duplicate_clusters_state_dir_string_ids(spark, tmp_path):
     rows = out.collect()
     assert {r["cluster_id"] for r in rows} == {ids[0]}
     assert all(r["cluster_size"] == 40 for r in rows)
+
+
+def test_plan_lsh_bands_scurve_properties():
+    """The planner's pick must sit near the analytic S-curve midpoint
+    (1/b)^(1/r) ~= threshold and respond to the fp/fn weighting in the
+    documented direction."""
+    from table_ocr_spark.operators.dedup import plan_lsh_bands
+
+    b, r, err = plan_lsh_bands(0.8, num_hashes=128)
+    assert b * r <= 128 and err < 0.05
+    # analytic curve midpoint of the chosen factorization near target
+    mid = (1.0 / b) ** (1.0 / r)
+    assert abs(mid - 0.8) < 0.15
+    # recall-heavy weighting moves the curve LEFT (more bands / fewer
+    # rows -> catch more below-threshold candidates, fewer misses)
+    b_lo, r_lo, _ = plan_lsh_bands(0.8, num_hashes=128, fp_weight=0.05)
+    assert (1.0 / b_lo) ** (1.0 / r_lo) <= mid + 1e-9
+    # precision-heavy moves it right
+    b_hi, r_hi, _ = plan_lsh_bands(0.8, num_hashes=128, fp_weight=0.95)
+    assert (1.0 / b_hi) ** (1.0 / r_hi) >= mid - 1e-9
+    # determinism
+    assert plan_lsh_bands(0.8, 128) == plan_lsh_bands(0.8, 128)
+    # the shipped minhash default (32 hashes, r=2 at t=0.8): planner
+    # agrees r=2 is the right row count at that budget for balanced
+    # weights OR picks something with strictly smaller error
+    b32, r32, e32 = plan_lsh_bands(0.8, num_hashes=32)
+    assert b32 * r32 <= 32
+
+    import pytest
+    with pytest.raises(ValueError, match="threshold"):
+        plan_lsh_bands(1.0)
+    with pytest.raises(ValueError, match="num_hashes"):
+        plan_lsh_bands(0.8, 1)
+    with pytest.raises(ValueError, match="fp_weight"):
+        plan_lsh_bands(0.8, 128, fp_weight=2.0)

@@ -364,3 +364,45 @@ def test_continuous_cutoffs_bucket_count_guard(spark):
     with pytest.raises(ValueError, match="bucket_count"):
         tier_cutoffs_continuous(df, "s", 2, bucket_count=1)
 
+
+
+def test_corpus_report_hand_check(spark):
+    """Data card (operators/report.py) against hand-computed values,
+    including NULL lang and NULL text."""
+    from table_ocr_spark.operators.report import corpus_report
+
+    docs = [
+        (1, "the cat sat on the mat for a while today ok", "en"),
+        (2, "der hund und die katze sind hier heute ja gut", "de"),
+        (3, None, None),
+        (4, "one two three four five six seven eight nine ten", "en"),
+        (5, "a b c d e f g h i j", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r["section"], r["key"]): (r["n"], r["value"])
+        for r in corpus_report(df).collect()
+    }
+    assert got[("corpus", "docs")] == (5, None)
+    assert got[("corpus", "tokens")] == (41, None)
+    assert got[("corpus", "empty_docs")] == (1, 0.2)
+    assert got[("lang", "en")] == (3, 0.6)
+    assert got[("lang", "")] == (1, 0.2)
+    # token counts sorted: [0, 10, 10, 10, 10]; ceil-ranks of n=5,T=4:
+    # (5*1+3)//4=2, (5*2+3)//4=3, (5*3+3)//4=4 -> values 10, 10, 10
+    assert got[("tokens_quantile", "q1")] == (None, 10.0)
+    assert got[("tokens_quantile", "q3")] == (None, 10.0)
+    # docs 1,2,4 pass all gopher rules; doc 5 fails avg len; doc 3 empty
+    assert got[("quality", "gopher_pass")][0] == 3
+    assert got[("quality", "gopher_pass")][1] == 0.6
+    assert len(got) == 4 + 3 + 3 + 1
+
+
+def test_corpus_report_no_lang_col(spark):
+    from table_ocr_spark.operators.report import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    got = corpus_report(df, lang_col=None).collect()
+    assert not [r for r in got if r["section"] == "lang"]
