@@ -312,6 +312,7 @@ def remove_repeated_lines(
     min_doc_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate line REMOVAL (the C4/CCNet move —
     :func:`line_repetition_stats` measures within-document repetition;
@@ -324,6 +325,14 @@ def remove_repeated_lines(
 
     Output: (id_col, text_clean, n_lines, n_kept, n_dropped) — one row
     per input doc, text_clean = '' when every line was boilerplate.
+
+    ``scope_col`` (e.g. the registrable domain) switches the
+    boilerplate key to (scope, line) — the RefinedWeb/Dolma variant
+    that deletes WITHIN-SITE repeats (every site repeats its own nav
+    bar) without letting a corpus-global threshold delete common
+    phrases that merely recur across unrelated sites. NULL scopes
+    coalesce to ``''`` (the assign_splits pin). The plan shape is
+    unchanged: the count/anti-join keys just widen by one column.
 
     Scale shape: posexplode the line stream (narrow: id, pos, line) →
     two-phase distinct-doc count per trimmed line (map-side partial) →
@@ -346,6 +355,7 @@ def remove_repeated_lines(
         trim_chars=LINE_TRIM_CHARS,
         join_sep="\n",
         n_col="n_lines",
+        scope_col=scope_col,
     )
 
 
@@ -362,6 +372,7 @@ def remove_repeated_paragraphs(
     min_doc_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate PARAGRAPH removal — the coarser
     granularity of :func:`remove_repeated_lines` (CCNet dedups at the
@@ -377,8 +388,8 @@ def remove_repeated_paragraphs(
     keys on).
 
     Output: (id_col, text_clean, n_paras, n_kept, n_dropped). Same
-    plan shape and raw-key rationale as the line variant (docstring
-    above)."""
+    plan shape, raw-key rationale and ``scope_col`` site-scoping as
+    the line variant (docstring above)."""
     return _remove_repeated_units(
         df,
         min_doc_df,
@@ -388,6 +399,7 @@ def remove_repeated_paragraphs(
         trim_chars=PARA_TRIM_CHARS,
         join_sep="\n\n",
         n_col="n_paras",
+        scope_col=scope_col,
     )
 
 
@@ -400,28 +412,37 @@ def _remove_repeated_units(
     trim_chars: str,
     join_sep: str,
     n_col: str,
+    scope_col: str | None = None,
 ) -> DataFrame:
     if min_doc_df < 2:
         raise ValueError(
             f"min_doc_df must be >= 2 (1 would delete every unit), "
             f"got {min_doc_df}"
         )
+    scope = (
+        [F.coalesce(F.col(scope_col).cast("string"), F.lit("")).alias("_scope")]
+        if scope_col is not None
+        else []
+    )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        *scope,
     )
+    keys = (["_scope"] if scope_col is not None else []) + ["_k"]
     units = base.select(
         "_id",
+        *(["_scope"] if scope_col is not None else []),
         F.posexplode(F.split("_t", split_pat)).alias("_pos", "_line"),
     ).withColumn("_k", F.expr(f"trim(BOTH '{trim_chars}' FROM _line)"))
     boiler = (
         units.filter(F.length("_k") > 0)
-        .groupBy("_k")
+        .groupBy(*keys)
         .agg(F.countDistinct("_id").alias("_ddf"))
         .filter(F.col("_ddf") >= min_doc_df)
-        .select("_k")
+        .select(*keys)
     )
-    kept = units.join(boiler, "_k", "left_anti")
+    kept = units.join(boiler, keys, "left_anti")
     reassembled = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(

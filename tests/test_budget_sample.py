@@ -267,3 +267,17 @@ def test_unimax_validation(spark):
         unimax_fractions(df, -1, strata_col="tier")
     with pytest.raises(ValueError, match="max_epochs"):
         unimax_fractions(df, 10, max_epochs=0, strata_col="tier")
+
+
+def test_unimax_emission_is_map_only(spark):
+    """After the bounded planning aggregate, the emission itself must
+    be a map-only explode over literals — no exchange, no join (the
+    token_budget_upsample shape, inherited through the fractions=
+    hook)."""
+    from table_ocr_spark.operators.sampling import unimax_sample
+
+    df = _df(spark, [(i, i % 3, 10 + i) for i in range(30)])
+    out = unimax_sample(df, 400, max_epochs=2, strata_col="tier")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

@@ -147,3 +147,54 @@ def test_paragraph_min_doc_df_validation(spark):
 
     with pytest.raises(ValueError):
         remove_repeated_paragraphs(_df(spark, [(1, "x")]), min_doc_df=1)
+
+
+def test_remove_repeated_lines_site_scoped(spark):
+    """scope_col: the RefinedWeb variant — a line repeated across two
+    docs of the SAME site is boilerplate; the identical line shared
+    only across DIFFERENT sites survives."""
+    from table_ocr_spark.operators.textstats import remove_repeated_lines
+
+    docs = [
+        (1, "nav menu\nunique one", "a.com"),
+        (2, "nav menu\nunique two", "a.com"),
+        (3, "nav menu\nunique three", "b.com"),  # only once on b.com
+        (4, "solo line", None),
+        (5, "solo line", None),  # NULL scopes share the '' scope
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, site string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_lines(df, scope_col="site").collect()
+    }
+    assert got[1]["text_clean"] == "unique one"
+    assert got[2]["text_clean"] == "unique two"
+    # b.com sees 'nav menu' once -> kept there
+    assert got[3]["text_clean"] == "nav menu\nunique three"
+    # NULL scopes coalesce to the same '' scope -> df 2 -> removed
+    assert got[4]["text_clean"] == "" and got[4]["n_dropped"] == 1
+    # global (unscoped) behavior unchanged: nav menu df=3 -> removed
+    # everywhere
+    g = {
+        r["doc_id"]: r for r in remove_repeated_lines(df).collect()
+    }
+    assert g[3]["text_clean"] == "unique three"
+
+
+def test_remove_repeated_paragraphs_site_scoped(spark):
+    from table_ocr_spark.operators.textstats import (
+        remove_repeated_paragraphs,
+    )
+
+    docs = [
+        (1, "footer block\nlegal text\n\nbody one", "a.com"),
+        (2, "footer block\nlegal text\n\nbody two", "a.com"),
+        (3, "footer block\nlegal text\n\nbody three", "b.com"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, site string")
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_repeated_paragraphs(df, scope_col="site").collect()
+    }
+    assert got[1] == "body one" and got[2] == "body two"
+    assert got[3] == "footer block\nlegal text\n\nbody three"
