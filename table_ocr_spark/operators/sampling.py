@@ -459,7 +459,18 @@ def unimax_fractions(
             df, 0, strata_col, weight_col, None, max_strata
         ).items()
     }
-    caps = {s: t * max_epochs for s, t in totals.items()}
+    alloc = waterfill({s: t * max_epochs for s, t in totals.items()}, budget)
+    return {s: (alloc[s], totals[s]) for s in totals}
+
+
+def waterfill(caps: Dict, budget: int) -> Dict:
+    """The pure closed-form waterfill at the heart of
+    :func:`unimax_fractions` (docstring there proves the prefix
+    property): exact-integer allocation of ``budget`` across capped
+    strata, sums to ``min(budget, sum(caps))``. Exposed separately so
+    the allocation law is testable against a brute-force reference
+    without a Spark session, and reusable for any capped fair-share
+    split (per-host fetch budgets, per-shard quotas)."""
     order = sorted(caps, key=lambda s: (caps[s], str(s)))
     n = len(order)
     alloc: Dict = {}
@@ -476,7 +487,7 @@ def unimax_fractions(
         base, rem = divmod(budget - prefix, n - j)
         for idx, s in enumerate(order[j:]):
             alloc[s] = base + (1 if idx < rem else 0)
-    return {s: (alloc[s], totals[s]) for s in totals}
+    return alloc
 
 
 def unimax_sample(

@@ -1239,3 +1239,27 @@ def semantic_dedup(
         )
         .join(surv.select("vec_id", "keep"), "vec_id")
     )
+
+
+def ivf_index(
+    emb: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """Build the coarse-quantizer ``label`` column a REAL IVF deployment
+    uses, from trained centroids: :func:`assign_clusters` under cosine,
+    cluster id renamed to the ``label`` every cell-pruned operator in
+    this module consumes (:func:`ivf_topk`, :func:`ivf_pq_topk`,
+    :func:`cosine_near_dup_pairs`). Closes the module docstring's
+    "at real scale: k-means centroid ids" note — the synthetic tables
+    ship a pre-assigned label; a production corpus derives it with
+    ``ivf_index(emb, train_kmeans(emb, k))`` and nothing downstream
+    changes (same map-only assignment stage, same equi-join pruning
+    argument). Rows whose vector has no cosine direction (NULL/empty/
+    zero-norm) get label NULL: they can never be ranked under cosine,
+    and a NULL label never equi-joins into any cell scan."""
+    assigned = assign_clusters(emb, centroids, vec_col=vec_col)
+    drop = [c for c in ("label", "centroid_sim") if c in emb.columns]
+    return (
+        assigned.drop(*drop)
+        .withColumnRenamed("cluster", "label")
+        .drop("centroid_sim")
+    )

@@ -281,3 +281,41 @@ def test_unimax_emission_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_waterfill_matches_bruteforce_reference():
+    """The closed-form waterfill vs an independent binary-search-on-
+    level reference over randomized cases (no Spark needed) — the
+    allocation law itself, not just the Spark plumbing."""
+    import random
+
+    from table_ocr_spark.operators.sampling import waterfill
+
+    def brute(caps, budget):
+        order = sorted(caps, key=lambda s: (caps[s], str(s)))
+        lo, hi = 0, max(caps.values()) if caps else 0
+        spent = lambda L: sum(min(c, L) for c in caps.values())  # noqa: E731
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if spent(mid) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        alloc = {s: min(c, lo) for s, c in caps.items()}
+        left = budget - sum(alloc.values())
+        for s in order:
+            if left <= 0:
+                break
+            if alloc[s] < caps[s]:
+                alloc[s] += 1
+                left -= 1
+        return alloc
+
+    rng = random.Random(7)
+    for _ in range(2000):
+        n = rng.randint(1, 6)
+        caps = {f"s{i}": rng.randint(0, 150) for i in range(n)}
+        budget = rng.randint(0, sum(caps.values()) + 30)
+        a = waterfill(caps, budget)
+        assert a == brute(caps, budget), (caps, budget)
+        assert sum(a.values()) == min(budget, sum(caps.values()))

@@ -711,3 +711,34 @@ def test_ngram_logprob_null_text_backfilled(spark):
     )
     got = {r["doc_id"]: r for r in ngram_logprob(df).collect()}
     assert got[2]["n_tokens"] == 0 and got[2]["avg_neg_logprob"] == 0.0
+
+
+def test_ivf_index_with_trained_centroids(spark):
+    """End-to-end real-IVF composition: train_kmeans -> ivf_index ->
+    ivf_topk finds planted near-duplicates through the trained coarse
+    quantizer (not the synthetic label column)."""
+    import numpy as np
+    from table_ocr_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        train_kmeans,
+    )
+
+    rng = np.random.default_rng(3)
+    blob_a = rng.normal([4.0, 0.0, 0.0], 0.2, (30, 3))
+    blob_b = rng.normal([0.0, 4.0, 0.0], 0.2, (30, 3))
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([blob_a, blob_b]))
+    ]
+    # planted: vec 100 = copy of vec 0 (same blob/cell, cosine 1.0)
+    rows.append((100, rows[0][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_kmeans(df, k=2, max_train=64)
+    indexed = ivf_index(df, cents)
+    assert "label" in indexed.columns and "cluster" not in indexed.columns
+    got = ivf_topk(indexed, [0], k=1).collect()
+    assert got[0]["neighbor_id"] == 100 and got[0]["score"] == 1.0
+    # the scan stayed cell-pruned: no blob-b vector in the candidates
+    top30 = ivf_topk(indexed, [0], k=50).collect()
+    assert all(r["neighbor_id"] < 30 or r["neighbor_id"] == 100 for r in top30)
