@@ -229,6 +229,43 @@ PQ_MAX_TRAIN = 1 << 20          # enforced cap on the driver-side training colle
 PQ_MAX_QUERIES = 10_000         # enforced cap on the broadcast LUT width
 
 
+def _bounded_train_sample(emb: DataFrame, vec_col: str, max_train: int):
+    """Collect the ``max_train`` rows with the smallest
+    ``(xxhash64(vec_id), vec_id)`` — the pinned deterministic training
+    sample — WITHOUT the TakeOrderedAndProject result-size trap: with
+    P partitions each task ships its local top-``max_train`` to the
+    driver, and once the corpus grows past P x max_train rows those
+    task results total P x max_train x row_width bytes (measured: a 4M
+    x 64-dim corpus at 64 partitions = ~2.3 GB of task results, over
+    spark.driver.maxResultSize; a 1M corpus ships under the limit,
+    which is why the trap only fires at scale). Fix: prefilter to
+    ``hash < cutoff`` with the cutoff sized for ~3x max_train expected
+    survivors. The filter keeps EVERY row below the cutoff, so if at
+    least ``max_train`` rows survive, the global top-``max_train`` is
+    provably inside the survivor set and the sample is BIT-IDENTICAL
+    to the unfiltered rule; the (vanishingly rare) under-full filter
+    falls back to the plain sort. Same shape as train_bpe's
+    sample-prefilter composition (operators/bpe.py).
+    """
+    base = _with_vec(emb, vec_col, with_label=False).filter(
+        F.col("vec").isNotNull() & (F.size("vec") > 0)
+    )
+    n = base.count()
+    src = base
+    if n > 4 * max_train:
+        # xxhash64 is uniform over [-2^63, 2^63)
+        cutoff = -(2 ** 63) + (3 * max_train * (2 ** 64)) // n
+        pre = base.filter(F.xxhash64(F.col("vec_id")) < F.lit(int(cutoff)))
+        if pre.count() >= max_train:
+            src = pre
+    return (
+        src.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(max_train)
+        .collect()
+    )
+
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     m: int = 16,
@@ -264,13 +301,7 @@ def train_pq_codebooks(
             f"driver-collect bound {PQ_MAX_TRAIN}; train on a sample — the "
             "codebook quality saturates long before that"
         )
-    rows = (
-        _with_vec(emb, vec_col, with_label=False)
-        .filter(F.col("vec").isNotNull() & (F.size("vec") > 0))
-        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
-        .limit(max_train)
-        .collect()
-    )
+    rows = _bounded_train_sample(emb, vec_col, max_train)
     if not rows:
         raise ValueError("train_pq_codebooks: no non-empty vectors to train on")
     X = np.asarray([r["vec"] for r in rows], dtype=np.float64)
@@ -812,13 +843,7 @@ def train_kmeans(
             f"train_kmeans: max_train={max_train} exceeds the enforced "
             f"driver-collect bound {PQ_MAX_TRAIN}"
         )
-    rows = (
-        _with_vec(emb, vec_col, with_label=False)
-        .filter(F.col("vec").isNotNull() & (F.size("vec") > 0))
-        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
-        .limit(max_train)
-        .collect()
-    )
+    rows = _bounded_train_sample(emb, vec_col, max_train)
     if not rows:
         raise ValueError("train_kmeans: no non-empty vectors to train on")
     X = np.asarray([r["vec"] for r in rows], dtype=np.float64)

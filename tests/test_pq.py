@@ -219,3 +219,26 @@ def test_multi_empty_reseed_gets_distinct_points(spark):
     cents = np.round(books[0], 12)
     _, counts = np.unique(cents, axis=0, return_counts=True)
     assert counts.max() <= 2, f"duplicate re-seeded centroids: {counts}"
+
+
+def test_bounded_train_sample_prefilter_is_bit_identical(spark):
+    """The hash-cutoff prefilter (result-size fix at 4M+) must return
+    EXACTLY the rows the plain smallest-xxhash sort returns."""
+    from pyspark.sql import functions as F
+    from table_ocr_spark.operators.similarity import (
+        _bounded_train_sample,
+        _with_vec,
+    )
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(4000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # max_train small enough that n > 4*max_train engages the filter
+    got = _bounded_train_sample(emb, "embedding", 300)
+    plain = (
+        _with_vec(emb, "embedding", with_label=False)
+        .filter(F.col("vec").isNotNull() & (F.size("vec") > 0))
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(300)
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in plain]
