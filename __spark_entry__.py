@@ -1764,14 +1764,40 @@ def _tagged_union(tag_col: str, parts) -> DataFrame:
     return out
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 TF-IDF keyword leg (textstats.top_terms): per document
+    the top-3 ``tf * ln(N/df)`` terms (ties -> term ascending — a
+    df=N term scores exactly 0.0 in both engines, the only tie class;
+    ln of distinct small-integer rationals is never exactly equal
+    otherwise), aggregated rank-ordered into one string so the leg
+    joins the per-doc profile row. top_tfidf = max of the rounded
+    scores (rounding is monotone, so max-of-round == round-of-max)."""
+    from table_ocr_spark.operators.textstats import top_terms
+
+    tt = top_terms(_read(spark, sf_dir, "documents"), k=3)
+    return tt.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                lambda x: x["term"],
+            ),
+            " ",
+        ).alias("top_terms"),
+        F.max("tfidf").alias("top_tfidf"),
+    )
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_stats ⊕ lang_id ⊕ token_counts ⊕ normalize_text, joined on
-    doc_id."""
+    """doc_stats ⊕ lang_id ⊕ token_counts ⊕ normalize_text ⊕ (round 5)
+    top-3 TF-IDF keywords, joined on doc_id (keywords LEFT — a
+    zero-token doc has no keyword rows but must keep its profile
+    row)."""
     return (
         q_doc_stats(spark, sf_dir)
         .join(q_lang_id(spark, sf_dir), "doc_id")
         .join(q_token_counts(spark, sf_dir), "doc_id")
         .join(q_normalize_text(spark, sf_dir), "doc_id")
+        .join(q_top_terms(spark, sf_dir), "doc_id", "left")
     )
 
 
@@ -4537,11 +4563,30 @@ def oracle_sql() -> dict[str, str]:
                    ELSE '' END AS t
           FROM documents) p) q
     """
+    _tt_sql = f"""
+      WITH ex AS (SELECT doc_id AS id, unnest({_TOKS}) AS term
+                  FROM documents),
+      tf AS (SELECT id, term, count(*) AS tf FROM ex GROUP BY id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      nn AS (SELECT count(*) AS n FROM documents),
+      sc AS (SELECT tf.id, tf.term,
+                    tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df) AS tfidf,
+                    row_number() OVER (
+                      PARTITION BY tf.id
+                      ORDER BY tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df)
+                               DESC, tf.term) AS rk
+             FROM tf JOIN dfq USING (term), nn)
+      SELECT id AS doc_id,
+             string_agg(term, ' ' ORDER BY rk) AS top_terms,
+             round(max(tfidf), 6) AS top_tfidf
+      FROM sc WHERE rk <= 3 GROUP BY id
+    """
     sql["text_profile"] = (
         f"SELECT * FROM ({sql.pop('doc_stats')}) a "
         f"JOIN ({sql.pop('lang_id')}) b USING (doc_id) "
         f"JOIN ({sql.pop('token_counts')}) c USING (doc_id) "
-        f"JOIN ({_norm_sql}) d USING (doc_id)"
+        f"JOIN ({_norm_sql}) d USING (doc_id) "
+        f"LEFT JOIN ({_tt_sql}) e USING (doc_id)"
     )
     # ccnet_buckets: per-lang exact terciles of the SAME rounded score
     # the unigram component verifies. rk-th-smallest is deterministic

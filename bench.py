@@ -127,6 +127,7 @@ R5_NEW = [
     "semantic_dedup",
     "trigram_logprob",
     "corpus_report",
+    "top_terms",
 ]
 
 HEADLINE = R2_SUBSET + PROMOTED + R3_NEW + R4_NEW + R5_NEW
@@ -165,6 +166,7 @@ def _bench_queries(em) -> dict:
         "unimax_sample": em.q_unimax_only,
         "trigram_logprob": em.q_trigram_logprob,
         "corpus_report": em.q_corpus_report,
+        "top_terms": em.q_top_terms,
         # the scale-path kernel twin; the contract leg times as part
         # of the embedding_near_dup composite on the expr engine
         "semantic_dedup": em.q_semantic_dedup_kernel,

@@ -755,3 +755,63 @@ def ngram_logprob(
         F.lit(0.0).alias("backoff_frac"),
     )
     return out.unionByName(empties)
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the ``k`` highest
+    ``tf * ln(N / df)`` terms per document (raw term frequency;
+    smooth-free idf is exact rational-over-integers inside the log, so
+    both engines see identical doubles), ties broken by term string
+    ascending — the classic corpus-summarization/labeling signal
+    (salient-term panels on dataset cards, cluster naming, index
+    keywords).
+
+    Output: (id_col, rank, term, tf, df, round(tfidf, 6)). Documents
+    with no tokens emit no rows (keywords of nothing are nothing —
+    unlike scores, absence is the honest answer here).
+
+    Plan shape (the :func:`unigram_logprob` family): one explode →
+    per-(doc, term) count (map-side combine) → term df table (one more
+    combine over the distinct doc-term stream) → equi-join back on the
+    raw term string (the measured short-key regime) → per-doc top-k
+    window. The window partitions on the document id — corpus-id
+    cardinality with ≤ |distinct terms per doc| rows each, never a
+    global sort. A term appearing in EVERY document scores exactly 0
+    (ln 1) and still ranks — deliberately unfiltered; callers wanting
+    stopword pruning compose ``max_df_ratio`` upstream like bm25.
+    """
+    if k < 1:
+        raise ValueError(f"top_terms: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = ex.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    tfidf = F.col("tf") * F.log(F.col("_n") / F.col("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc(tfidf), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(tfidf, 6).alias("tfidf"),
+        )
+    )

@@ -742,3 +742,48 @@ def test_ivf_index_with_trained_centroids(spark):
     # the scan stayed cell-pruned: no blob-b vector in the candidates
     top30 = ivf_topk(indexed, [0], k=50).collect()
     assert all(r["neighbor_id"] < 30 or r["neighbor_id"] == 100 for r in top30)
+
+
+def test_top_terms_tfidf_hand_check(spark):
+    import math
+    from table_ocr_spark.operators.textstats import top_terms
+
+    docs = [
+        (1, "apple apple banana shared"),
+        (2, "cherry banana shared"),
+        (3, "date shared"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in top_terms(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=1 -> 2*ln(4); banana tf=1 df=2 -> ln(2)
+    r1 = sorted(got[1], key=lambda r: r["rank"])
+    assert [r["term"] for r in r1] == ["apple", "banana"]
+    assert r1[0]["tfidf"] == round(2 * math.log(4), 6)
+    assert (r1[0]["tf"], r1[0]["df"]) == (2, 1)
+    # doc 3: date beats shared (df=3 vs df=1)
+    r3 = sorted(got[3], key=lambda r: r["rank"])
+    assert [r["term"] for r in r3] == ["date", "shared"]
+    # empty doc: no rows at all
+    assert 4 not in got
+    # df == N scores exactly 0, still ranked (deliberately unfiltered)
+    assert r3[1]["tfidf"] == round(1 * math.log(4 / 3), 6)
+    with pytest.raises(ValueError, match="k must"):
+        top_terms(df, k=0)
+
+
+def test_top_terms_tie_breaks_by_term(spark):
+    from table_ocr_spark.operators.textstats import top_terms
+
+    # both terms appear once in every doc -> tfidf exactly 0.0 for
+    # both -> rank order must be term-ascending in every engine
+    df = spark.createDataFrame(
+        [(1, "zz aa"), (2, "aa zz")], "doc_id long, text string"
+    )
+    got = {}
+    for r in top_terms(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    assert sorted(got[1]) == [(1, "aa"), (2, "zz")]
+    assert sorted(got[2]) == [(1, "aa"), (2, "zz")]
