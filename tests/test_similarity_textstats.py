@@ -787,3 +787,36 @@ def test_top_terms_tie_breaks_by_term(spark):
         got.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
     assert sorted(got[1]) == [(1, "aa"), (2, "zz")]
     assert sorted(got[2]) == [(1, "aa"), (2, "zz")]
+
+
+def test_ngram_logprob_randomized_differential(spark):
+    """Randomized corpora (small alphabet, heavy collisions) vs the
+    pure-python reference across n and min_count — the branch lattice
+    under pressure, not just the one constructed corpus."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        docs = []
+        for d in range(1, 26):
+            length = rng.randint(0, 8)
+            docs.append(
+                (d, " ".join(rng.choice("abc") for _ in range(length)))
+            )
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        corpus = {d: t.split() for d, t in docs if t}
+        from table_ocr_spark.operators.textstats import ngram_logprob
+
+        for n, mc in ((3, 2), (3, 3), (2, 2)):
+            exp = _ngram_hand_oracle(corpus, n=n, mc=mc)
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"], r["avg_neg_logprob"], r["backoff_frac"]
+                )
+                for r in ngram_logprob(df, n=n, min_count=mc).collect()
+            }
+            for d, t in docs:
+                if not t:
+                    assert got[d] == (0, 0.0, 0.0)
+                else:
+                    assert got[d] == exp[d], (trial, n, mc, d)
