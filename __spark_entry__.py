@@ -1766,12 +1766,15 @@ def _tagged_union(tag_col: str, parts) -> DataFrame:
 
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 TF-IDF keyword leg (textstats.top_terms): per document
-    the top-3 ``tf * ln(N/df)`` terms (ties -> term ascending — a
-    df=N term scores exactly 0.0 in both engines, the only tie class;
-    ln of distinct small-integer rationals is never exactly equal
-    otherwise), aggregated rank-ordered into one string so the leg
-    joins the per-doc profile row. top_tfidf = max of the rounded
-    scores (rounding is monotone, so max-of-round == round-of-max)."""
+    the top-3 ``tf * ln(N/df)`` terms, ties -> term ascending. The
+    term tie-break is LOAD-BEARING for every exact-tie class, not
+    just df=N scoring 0.0: mathematically equal products exist for
+    distinct (tf, df) pairs — e.g. tf=2,df=50 and tf=1,df=25 at N=100
+    both give 2·ln 2 (review r5) — and both engines resolve them by
+    the same string order. Keywords aggregate rank-ordered into one
+    string so the leg joins the per-doc profile row; top_tfidf = max
+    of the rounded scores (rounding is monotone, so max-of-round ==
+    round-of-max)."""
     from table_ocr_spark.operators.textstats import top_terms
 
     tt = top_terms(_read(spark, sf_dir, "documents"), k=3)
@@ -2696,7 +2699,8 @@ def _corpus_report_sql() -> str:
     pass rate with flags compared on the UNROUNDED ratios exactly as
     gopher_quality does."""
     return f"""
-      WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks
+      WITH t AS (SELECT doc_id, lang, coalesce(text, '') AS text,
+                        {_TOKS.replace("text", "coalesce(text, '')")} AS toks
                  FROM documents),
       m AS (SELECT doc_id, lang,
                    CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -1290,22 +1290,27 @@ def plan_lsh_bands(
         raise ValueError(f"plan_lsh_bands: fp_weight must be in [0,1], "
                          f"got {fp_weight}")
     best = None
-    for b in range(1, num_hashes + 1):
-        r = num_hashes // b
-        if r < 1:
-            break
-        # FP: integral of P(candidate) below threshold (midpoint rule)
-        # FN: integral of 1 - P(candidate) above threshold
-        fp = fn = 0.0
-        w_lo = threshold / _steps
-        for i in range(_steps):
-            s = (i + 0.5) * w_lo
-            fp += (1.0 - (1.0 - s ** r) ** b) * w_lo
-        w_hi = (1.0 - threshold) / _steps
-        for i in range(_steps):
-            s = threshold + (i + 0.5) * w_hi
-            fn += (1.0 - (1.0 - (1.0 - s ** r) ** b)) * w_hi
-        err = fp_weight * fp + (1.0 - fp_weight) * fn
-        if best is None or err < best[2] - 1e-15:
-            best = (b, r, err)
+    # EVERY (b, r) with b*r <= num_hashes — not just r = num_hashes//b
+    # per b: the objective is not monotone in unused hashes, and the
+    # restricted sweep measurably misses optima (review r5: at
+    # (t=0.2, H=32, w=0.3) it returned (17,1) err 0.0443 vs the true
+    # (10,1) err 0.0405). ~H ln H candidate pairs — driver arithmetic.
+    for r in range(1, num_hashes + 1):
+        for b in range(1, num_hashes // r + 1):
+            # FP: integral of P(candidate) below threshold (midpoint
+            # rule); FN: integral of the miss above it
+            fp = fn = 0.0
+            w_lo = threshold / _steps
+            for i in range(_steps):
+                s = (i + 0.5) * w_lo
+                fp += (1.0 - (1.0 - s ** r) ** b) * w_lo
+            w_hi = (1.0 - threshold) / _steps
+            for i in range(_steps):
+                s = threshold + (i + 0.5) * w_hi
+                fn += (1.0 - (1.0 - (1.0 - s ** r) ** b)) * w_hi
+            err = fp_weight * fp + (1.0 - fp_weight) * fn
+            if best is None or err < best[2] - 1e-15 or (
+                abs(err - best[2]) <= 1e-15 and b < best[0]
+            ):
+                best = (b, r, err)
     return best

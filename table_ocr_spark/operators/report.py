@@ -125,9 +125,16 @@ def corpus_report(
         )
         parts.append(langs)
 
-    cuts = tier_cutoffs(
-        stats, "n_tokens", n_tiers=quantiles,
-        max_distinct_scores=max_distinct_lengths,
+    # an empty corpus HAS a card (docs=0 and no quantile rows — the
+    # oracle's shape); tier_cutoffs would raise on empty input, so
+    # probe first (limit(1) short-circuits the scan)
+    cuts = (
+        tier_cutoffs(
+            stats, "n_tokens", n_tiers=quantiles,
+            max_distinct_scores=max_distinct_lengths,
+        )
+        if stats.limit(1).count() > 0
+        else []
     )
     qrows = [
         ("tokens_quantile", f"q{i + 1}", None, float(c))

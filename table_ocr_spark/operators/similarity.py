@@ -251,15 +251,31 @@ def _bounded_train_sample(emb: DataFrame, vec_col: str, max_train: int):
         F.col("vec").isNotNull() & (F.size("vec") > 0)
     )
     n = base.count()
-    src = base
-    if n > 4 * max_train:
-        # xxhash64 is uniform over [-2^63, 2^63)
-        cutoff = -(2 ** 63) + (3 * max_train * (2 ** 64)) // n
-        pre = base.filter(F.xxhash64(F.col("vec_id")) < F.lit(int(cutoff)))
-        if pre.count() >= max_train:
-            src = pre
+    if n <= 4 * max_train:
+        # the trap cannot fire (per-task top-N is bounded by the
+        # per-task row count) — one sort pass, two passes total
+        return (
+            base.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(max_train)
+            .collect()
+        )
+    # xxhash64 is uniform over [-2^63, 2^63)
+    cutoff = -(2 ** 63) + (3 * max_train * (2 ** 64)) // n
+    pre = base.filter(F.xxhash64(F.col("vec_id")) < F.lit(int(cutoff)))
+    rows = (
+        pre.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(max_train)
+        .collect()
+    )
+    if len(rows) >= max_train:
+        # a FULL prefiltered sample proves the global top-N survived
+        # the cutoff (every row below it is present) — no separate
+        # pre-count pass needed (review r5: the count was a third
+        # corpus scan spent validating the common case)
+        return rows
+    # vanishingly rare under-full filter: fall back to the plain sort
     return (
-        src.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        base.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
         .limit(max_train)
         .collect()
     )
@@ -1281,10 +1297,14 @@ def ivf_index(
     argument). Rows whose vector has no cosine direction (NULL/empty/
     zero-norm) get label NULL: they can never be ranked under cosine,
     and a NULL label never equi-joins into any cell scan."""
-    assigned = assign_clusters(emb, centroids, vec_col=vec_col)
-    drop = [c for c in ("label", "centroid_sim") if c in emb.columns]
-    return (
-        assigned.drop(*drop)
-        .withColumnRenamed("cluster", "label")
-        .drop("centroid_sim")
+    # pre-drop any stale assignment columns: an already-indexed or
+    # already-assigned frame would otherwise yield DUPLICATE
+    # cluster/label columns after the select-*-plus-new shape, and
+    # the next F.col("label") reference dies ambiguous (review r5)
+    stale = [
+        c for c in ("label", "cluster", "centroid_sim") if c in emb.columns
+    ]
+    assigned = assign_clusters(emb.drop(*stale), centroids, vec_col=vec_col)
+    return assigned.withColumnRenamed("cluster", "label").drop(
+        "centroid_sim"
     )

@@ -735,6 +735,20 @@ def test_plan_lsh_bands_scurve_properties():
     # weights OR picks something with strictly smaller error
     b32, r32, e32 = plan_lsh_bands(0.8, num_hashes=32)
     assert b32 * r32 <= 32
+    # the sweep covers EVERY b*r <= H (review r5): the returned plan
+    # must beat-or-match every such factorization under the objective
+    import math as _m
+
+    def err(b, r, t=0.8, w=0.5, steps=400):
+        fp = sum((1 - (1 - ((i + .5) * t / steps) ** r) ** b) * t / steps
+                 for i in range(steps))
+        fn = sum((1 - (1 - (1 - (t + (i + .5) * (1 - t) / steps) ** r) ** b))
+                 * (1 - t) / steps for i in range(steps))
+        return w * fp + (1 - w) * fn
+
+    best = min(err(b, r) for r in range(1, 33)
+               for b in range(1, 32 // r + 1))
+    assert err(b32, r32) <= best + 1e-3
 
     import pytest
     with pytest.raises(ValueError, match="threshold"):

@@ -820,3 +820,29 @@ def test_ngram_logprob_randomized_differential(spark):
                     assert got[d] == (0, 0.0, 0.0)
                 else:
                     assert got[d] == exp[d], (trial, n, mc, d)
+
+
+def test_ivf_index_reindexing_is_clean(spark):
+    """Re-indexing an already-indexed (or assigned) frame must not
+    leave duplicate/ambiguous columns (review r5)."""
+    import numpy as np
+    from table_ocr_spark.operators.similarity import (
+        assign_clusters,
+        ivf_index,
+        ivf_topk,
+    )
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.9, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    once = ivf_index(df, cents)
+    twice = ivf_index(once, cents)
+    assert twice.columns.count("label") == 1
+    pre_assigned = assign_clusters(df, cents)
+    idx = ivf_index(pre_assigned, cents)
+    assert idx.columns.count("label") == 1
+    assert "cluster" not in idx.columns
+    # still queryable downstream
+    assert ivf_topk(idx, [0], k=1).collect()[0]["neighbor_id"] == 1

@@ -406,3 +406,18 @@ def test_corpus_report_no_lang_col(spark):
     )
     got = corpus_report(df, lang_col=None).collect()
     assert not [r for r in got if r["section"] == "lang"]
+
+
+def test_corpus_report_empty_corpus(spark):
+    from pyspark.sql import functions as F
+    from table_ocr_spark.operators.report import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "x", "en")], "doc_id long, text string, lang string"
+    ).filter(F.lit(False))
+    got = {
+        (r["section"], r["key"]): (r["n"], r["value"])
+        for r in corpus_report(df).collect()
+    }
+    assert got[("corpus", "docs")] == (0, None)
+    assert not [k for k in got if k[0] == "tokens_quantile"]
