@@ -846,3 +846,114 @@ def test_ivf_index_reindexing_is_clean(spark):
     assert "cluster" not in idx.columns
     # still queryable downstream
     assert ivf_topk(idx, [0], k=1).collect()[0]["neighbor_id"] == 1
+
+
+def test_semantic_dedup_randomized_vs_python_reference(spark):
+    """Full-pipeline randomized differential: semantic_dedup (kernel
+    engine) vs an independent pure-python implementation of the same
+    pinned semantics (6-dp-rounded cosine argmax assignment, lowest
+    centroid index on ties; within-cluster pairs at the unrounded
+    threshold; connected components; least-central survivor, min id
+    on ties) over random low-dimensional corpora where collisions and
+    boundary cases occur constantly."""
+    import math
+    import random
+
+    import numpy as np
+    from table_ocr_spark.operators.similarity import semantic_dedup
+
+    def py_ref(vecs, cents, threshold):
+        def half_up6(x):
+            return math.copysign(
+                math.floor(abs(x) * 1e6 + 0.5) / 1e6, x
+            )
+
+        cu = [c / np.linalg.norm(c) for c in cents]
+        assign, sim = {}, {}
+        for i, v in vecs.items():
+            nv = np.linalg.norm(v)
+            if nv == 0:
+                continue
+            sims = [half_up6(float(np.dot(v / nv, c))) for c in cu]
+            best = max(range(len(cu)), key=lambda j: (sims[j], -j))
+            assign[i], sim[i] = best, sims[best]
+        # within-cluster pairs on the unrounded cosine
+        ids = sorted(vecs)
+        adj = {i: set() for i in ids}
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if assign.get(a) is None or assign.get(a) != assign.get(b):
+                    continue
+                va, vb = vecs[a], vecs[b]
+                cos = float(
+                    np.dot(va, vb)
+                    / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+                if cos >= threshold:
+                    adj[a].add(b)
+                    adj[b].add(a)
+        # components + survivor
+        seen, out = set(), {}
+        for i in ids:
+            if i in seen:
+                continue
+            comp, stack = [], [i]
+            seen.add(i)
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            gid = min(comp)
+            surv = min(
+                comp,
+                key=lambda u: (sim.get(u, float("inf")), u),
+            ) if any(u in sim for u in comp) else min(comp)
+            for u in comp:
+                out[u] = (gid, len(comp), u != gid, u == surv)
+        return out
+
+    rng = random.Random(99)
+    for trial in range(3):
+        npr = np.random.default_rng(1000 + trial)
+        n = 40
+        # low-dim quantized vectors -> frequent exact ties and
+        # near-threshold pairs
+        vecs = {
+            i: np.round(npr.normal(0, 1, 3), 1) for i in range(n)
+        }
+        # planted exact copies
+        for i in range(5):
+            vecs[100 + i] = vecs[i].copy()
+        cents = np.stack([vecs[rng.randrange(n)] + 0.05 for _ in range(3)])
+        if (np.linalg.norm(cents, axis=1) == 0).any():
+            continue
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        # float32 round-trip: python reference must see the same vecs
+        vecs32 = {
+            i: np.asarray(
+                np.asarray(v, dtype=np.float32), dtype=np.float64
+            )
+            for i, v in vecs.items()
+        }
+        expect = py_ref(vecs32, cents, 0.95)
+        got = {
+            r["vec_id"]: (
+                r["group_id"], r["group_size"], r["is_dup"], r["keep"]
+            )
+            for r in semantic_dedup(
+                df, centroids=cents, threshold=0.95
+            ).collect()
+        }
+        zero_norm = {i for i, v in vecs32.items() if np.linalg.norm(v) == 0}
+        for i in vecs:
+            if i in zero_norm:
+                assert got[i][3] is True  # singleton pass-through
+            else:
+                assert got[i] == expect[i], (trial, i, got[i], expect[i])
