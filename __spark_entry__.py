@@ -2604,7 +2604,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # mirrored into each affected SQL string.
 # ---------------------------------------------------------------------------
 
-_TOKS = r"list_filter(str_split_regex(text, '\s+'), w -> w <> '')"
+def _toks_of(expr: str) -> str:
+    """The pinned DuckDB tokenizer over an arbitrary text expression —
+    the parameterized form exists so oracles needing a coalesced input
+    build it structurally instead of string-replacing inside _TOKS
+    (review r5: a blind .replace("text", ...) corrupts silently the
+    day _TOKS grows another 'text' substring)."""
+    return rf"list_filter(str_split_regex({expr}, '\s+'), w -> w <> '')"
+
+
+_TOKS = _toks_of("text")
 
 _VOTE_SAMPLES_SQL = """
   SELECT doc_id, s.smp,
@@ -2700,7 +2709,7 @@ def _corpus_report_sql() -> str:
     gopher_quality does."""
     return f"""
       WITH t AS (SELECT doc_id, lang, coalesce(text, '') AS text,
-                        {_TOKS.replace("text", "coalesce(text, '')")} AS toks
+                        {_toks_of("coalesce(text, '')")} AS toks
                  FROM documents),
       m AS (SELECT doc_id, lang,
                    CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -338,7 +338,9 @@ def minhash_lsh_pairs(
     exact verification. Output is identical to ``ngram_jaccard_pairs``
     at the same threshold (up to the ~1e-7 banding miss probability);
     the shuffle is on band buckets, NOT on raw shingles — this is the
-    path that survives 10^12 documents.
+    path that survives 10^12 documents. For a different threshold or
+    hash budget, :func:`plan_lsh_bands` picks (bands, rows_per_band)
+    from the S-curve instead of eyeballing.
     """
     # ONE Arrow kernel produces shingles AND signatures; the cached
     # frame is read by the band explode and both _pair_jaccard sides,
@@ -1271,10 +1273,11 @@ def plan_lsh_bands(
     factorization minimizing ``fp_weight * FP + (1-fp_weight) * FN``.
     Ties break toward fewer bands (fewer band buckets = less shuffle).
 
-    Driver-side pure arithmetic over <= num_hashes factorizations of
-    two integers — no data touched. Returns ``(bands, rows_per_band,
-    weighted_error)``; feed ``rows_per_band`` and ``num_hashes =
-    bands * rows_per_band`` into :func:`minhash_lsh_pairs`. The exact
+    Driver-side pure arithmetic over the ~H·ln H pairs with
+    ``b * r <= num_hashes`` — no data touched. Returns ``(bands,
+    rows_per_band, weighted_error)``; feed ``rows_per_band`` and
+    ``num_hashes = bands * rows_per_band`` into
+    :func:`minhash_lsh_pairs`. The exact
     verify step downstream makes FP purely a COST concern (verified
     away) while FN is a RECALL concern (a missed candidate is never
     recovered) — weight accordingly: ``fp_weight`` below 0.5 tightens
@@ -1295,19 +1298,20 @@ def plan_lsh_bands(
     # restricted sweep measurably misses optima (review r5: at
     # (t=0.2, H=32, w=0.3) it returned (17,1) err 0.0443 vs the true
     # (10,1) err 0.0405). ~H ln H candidate pairs — driver arithmetic.
+    w_lo = threshold / _steps
+    w_hi = (1.0 - threshold) / _steps
     for r in range(1, num_hashes + 1):
+        # the s**r grids depend only on r — hoisting them out of the b
+        # loop cuts the sweep's pow work ~b-fold (review r5)
+        p_lo = [((i + 0.5) * w_lo) ** r for i in range(_steps)]
+        p_hi = [
+            (threshold + (i + 0.5) * w_hi) ** r for i in range(_steps)
+        ]
         for b in range(1, num_hashes // r + 1):
             # FP: integral of P(candidate) below threshold (midpoint
             # rule); FN: integral of the miss above it
-            fp = fn = 0.0
-            w_lo = threshold / _steps
-            for i in range(_steps):
-                s = (i + 0.5) * w_lo
-                fp += (1.0 - (1.0 - s ** r) ** b) * w_lo
-            w_hi = (1.0 - threshold) / _steps
-            for i in range(_steps):
-                s = threshold + (i + 0.5) * w_hi
-                fn += (1.0 - (1.0 - (1.0 - s ** r) ** b)) * w_hi
+            fp = sum((1.0 - (1.0 - p) ** b) for p in p_lo) * w_lo
+            fn = sum((1.0 - p) ** b for p in p_hi) * w_hi
             err = fp_weight * fp + (1.0 - fp_weight) * fn
             if best is None or err < best[2] - 1e-15 or (
                 abs(err - best[2]) <= 1e-15 and b < best[0]

@@ -127,13 +127,13 @@ def corpus_report(
 
     # an empty corpus HAS a card (docs=0 and no quantile rows — the
     # oracle's shape); tier_cutoffs would raise on empty input, so
-    # probe first (limit(1) short-circuits the scan)
+    # probe first (take(1) short-circuits harder than limit+count)
     cuts = (
         tier_cutoffs(
             stats, "n_tokens", n_tiers=quantiles,
             max_distinct_scores=max_distinct_lengths,
         )
-        if stats.limit(1).count() > 0
+        if len(stats.take(1)) > 0
         else []
     )
     qrows = [

@@ -1297,10 +1297,19 @@ def ivf_index(
     argument). Rows whose vector has no cosine direction (NULL/empty/
     zero-norm) get label NULL: they can never be ranked under cosine,
     and a NULL label never equi-joins into any cell scan."""
-    # pre-drop any stale assignment columns: an already-indexed or
-    # already-assigned frame would otherwise yield DUPLICATE
-    # cluster/label columns after the select-*-plus-new shape, and
-    # the next F.col("label") reference dies ambiguous (review r5)
+    # pre-drop stale assignment columns so re-indexing never yields
+    # DUPLICATE cluster/label columns (review r5). Module-owned names
+    # drop silently: 'label' (this function's own output) always, and
+    # the 'cluster'+'centroid_sim' PAIR (assign_clusters' signature).
+    # A LONE 'cluster' is probably the caller's own data — destroying
+    # it silently would be the data-loss footgun the repo's fail-loud
+    # convention exists for (cf. novel_documents), so raise instead.
+    if "cluster" in emb.columns and "centroid_sim" not in emb.columns:
+        raise ValueError(
+            "ivf_index: input already has a 'cluster' column that does "
+            "not look like assign_clusters output (no centroid_sim "
+            "alongside) — rename or drop it first"
+        )
     stale = [
         c for c in ("label", "cluster", "centroid_sim") if c in emb.columns
     ]

@@ -737,8 +737,6 @@ def test_plan_lsh_bands_scurve_properties():
     assert b32 * r32 <= 32
     # the sweep covers EVERY b*r <= H (review r5): the returned plan
     # must beat-or-match every such factorization under the objective
-    import math as _m
-
     def err(b, r, t=0.8, w=0.5, steps=400):
         fp = sum((1 - (1 - ((i + .5) * t / steps) ** r) ** b) * t / steps
                  for i in range(steps))

@@ -846,6 +846,11 @@ def test_ivf_index_reindexing_is_clean(spark):
     assert "cluster" not in idx.columns
     # still queryable downstream
     assert ivf_topk(idx, [0], k=1).collect()[0]["neighbor_id"] == 1
+    # a LONE user 'cluster' column (no centroid_sim pair) is NOT
+    # assign_clusters output — refuse loudly instead of deleting it
+    lone = df.withColumn("cluster", F.lit(7))
+    with pytest.raises(ValueError, match="rename or drop"):
+        ivf_index(lone, cents)
 
 
 def test_semantic_dedup_randomized_vs_python_reference(spark):
