@@ -19,7 +19,12 @@ assignment -> per-cell blocked-matmul pairs -> pointer-jumping CC ->
 survivor argmax). Each number self-qualifies with the in-band host
 probe.
 
-Usage: python scripts/rehearse_semdedup.py [n] [n_dup]
+Usage: python scripts/rehearse_semdedup.py [n] [n_dup] [k]
+
+``k`` defaults to 256 and should grow with the corpus (constant
+n/k cell size keeps the per-cell quadratic pair work LINEAR in n —
+the SemDeDup deployment rule); k > 256 also exercises the
+wide-k trainer path train_kmeans unlocked in round 5.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 COPY_OFF = 1_000_000_000
-K = 256
+K_DEFAULT = 256
 DIM = 64
 
 
@@ -58,6 +63,7 @@ def _mix_vec(ids: np.ndarray) -> np.ndarray:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_dup = int(sys.argv[2]) if len(sys.argv) > 2 else n // 20
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else K_DEFAULT
 
     from bench import probe_effective_cores
     from table_ocr_spark.operators.similarity import (
@@ -99,10 +105,10 @@ def main() -> int:
     assert total == n + n_dup
 
     t0 = time.time()
-    cents = train_kmeans(emb, k=K, max_train=65_536)
+    cents = train_kmeans(emb, k=k, max_train=65_536)
     t_train = time.time() - t0
     print(f"[probe {probe_effective_cores():.1f}/32] train_kmeans "
-          f"k={K} on the bounded 65,536 sample: {t_train:.1f} s")
+          f"k={k} on the bounded 65,536 sample: {t_train:.1f} s")
 
     t0 = time.time()
     out = semantic_dedup(
